@@ -1,0 +1,163 @@
+"""Conservative 1-D vertical remapping.
+
+TPU-native re-design of MOM6's remapping core (reference:
+src/ALE/MOM_remapping.F90: remapping_core_h :83-86; schemes :107) and the
+reconstruction library (src/ALE/PLM_functions.F90, PPM_functions.F90,
+regrid_edge_values.F90).
+
+Algorithm (vectorized over whole (nz, ny, nx) columns, no per-cell loops):
+
+1. reconstruct a piecewise polynomial u_k(xi) in every source cell
+   (PCM constant / PLM limited linear / PPM_H4 limited parabola);
+2. form the cumulative integral I(z) of the reconstruction, a piecewise
+   polynomial in depth whose breakpoints are the source interfaces;
+3. evaluate I at every target interface (cell location found with a
+   comparison-sum index, gathered with take_along_axis — dense O(nz^2)
+   compare ops beat data-dependent loops on TPU);
+4. difference and divide by target thicknesses.
+
+This is exactly conservative by construction: the integral over the whole
+column is I(bottom) for any target grid.  Total source and target column
+thicknesses must agree (regridding guarantees this).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["remap_column", "reconstruct", "PCM", "PLM", "PPM_H4"]
+
+PCM = "PCM"
+PLM = "PLM"
+PPM_H4 = "PPM_H4"
+
+_EPS = 1e-30
+
+
+def _plm_slopes(u, h):
+    """Monotonic-limited non-uniform PLM slopes (du across the cell)."""
+    # neighbor padding: replicate end cells (zero-gradient boundaries)
+    u_m = jnp.concatenate([u[:1], u[:-1]], axis=0)
+    u_p = jnp.concatenate([u[1:], u[-1:]], axis=0)
+    h_m = jnp.concatenate([h[:1], h[:-1]], axis=0)
+    h_p = jnp.concatenate([h[1:], h[-1:]], axis=0)
+    # centered slope estimate per unit cell (non-uniform weights): the
+    # distance between neighbor centers is (h_m + 2h + h_p)/2
+    denom = h_m + 2.0 * h + h_p
+    slp = 2.0 * h * (u_p - u_m) / jnp.maximum(denom, _EPS)
+    # limit: no new extrema (cf. PLM_functions.F90 slope limiting)
+    d_p = u_p - u
+    d_m = u - u_m
+    max_slp = 2.0 * jnp.minimum(jnp.abs(d_p), jnp.abs(d_m))
+    slp = jnp.where(d_p * d_m > 0.0,
+                    jnp.sign(slp) * jnp.minimum(jnp.abs(slp), max_slp), 0.0)
+    return slp
+
+
+def _edge_values_h4(u, h):
+    """4th-order edge value estimates at interior interfaces, 2nd-order at
+    the boundaries (explicit scheme in the spirit of
+    regrid_edge_values.F90 edge_values_explicit_h4; uniform-grid weights
+    applied per-interface — non-uniform weights land with the parity pass).
+
+    Returns (e_top, e_bot): the interface value above/below each cell."""
+    nz = u.shape[0]
+    u_m2 = jnp.concatenate([u[:1], u[:1], u[:-2]], axis=0) if nz >= 2 else u
+    u_m1 = jnp.concatenate([u[:1], u[:-1]], axis=0)
+    u_p1 = jnp.concatenate([u[1:], u[-1:]], axis=0)
+    # interface k (top of cell k): 7/12(u_{k-1}+u_k) - 1/12(u_{k-2}+u_{k+1})
+    e_top = (7.0 / 12.0) * (u_m1 + u) - (1.0 / 12.0) * (u_m2 + u_p1)
+    # boundary interfaces: simple averages / extrapolation
+    e_top = e_top.at[0].set(u[0] + 0.5 * (u[0] - u_m1[0]))  # == u[0]
+    if nz >= 2:
+        # the first/last interior interfaces only have 3 usable neighbors:
+        # use the 2nd-order mean (exact for linear profiles)
+        e_top = e_top.at[1].set(0.5 * (u[0] + u[1]))
+        e_top = e_top.at[nz - 1].set(0.5 * (u[nz - 2] + u[nz - 1]))
+    e_bot = jnp.concatenate([e_top[1:], u[-1:]], axis=0)
+    e_bot = e_bot.at[-1].set(u[-1])
+    return e_top, e_bot
+
+
+def _ppm_limit(u, e_l, e_r):
+    """Colella & Woodward monotonizing limiter (same math as the continuity
+    PPM limiter; see MOM_continuity_PPM.F90:2620 and PPM_functions.F90)."""
+    e_l = jnp.clip(e_l, jnp.minimum(jnp.concatenate([u[:1], u[:-1]], 0), u),
+                   jnp.maximum(jnp.concatenate([u[:1], u[:-1]], 0), u))
+    e_r = jnp.clip(e_r, jnp.minimum(jnp.concatenate([u[1:], u[-1:]], 0), u),
+                   jnp.maximum(jnp.concatenate([u[1:], u[-1:]], 0), u))
+    not_mono = (e_r - u) * (u - e_l) <= 0.0
+    diff = e_r - e_l
+    mean = 0.5 * (e_r + e_l)
+    fac = 6.0 * diff * (u - mean)
+    diff2 = diff * diff
+    e_l2 = jnp.where(fac > diff2, 3.0 * u - 2.0 * e_r, e_l)
+    e_r2 = jnp.where(fac < -diff2, 3.0 * u - 2.0 * e_l, e_r)
+    e_l2 = jnp.where(not_mono, u, e_l2)
+    e_r2 = jnp.where(not_mono, u, e_r2)
+    return e_l2, e_r2
+
+
+def reconstruct(u, h, scheme: str):
+    """Per-cell polynomial coefficients (c0, c1, c2) of
+    u(xi) = c0 + c1*xi + c2*xi^2 on the unit cell xi in [0, 1]."""
+    if scheme == PCM:
+        z = jnp.zeros_like(u)
+        return u, z, z
+    if scheme == PLM:
+        slp = _plm_slopes(u, h)
+        return u - 0.5 * slp, slp, jnp.zeros_like(u)
+    if scheme == PPM_H4:
+        e_l, e_r = _edge_values_h4(u, h)
+        e_l, e_r = _ppm_limit(u, e_l, e_r)
+        # u(xi) = eL + xi[(eR-eL) + 6(1-xi)(u - (eL+eR)/2)]  (CW84)
+        c0 = e_l
+        c1 = 6.0 * u - 4.0 * e_l - 2.0 * e_r
+        c2 = 3.0 * ((e_l + e_r) - 2.0 * u)
+        return c0, c1, c2
+    raise ValueError(f"unknown remapping scheme {scheme}")
+
+
+def _cumulative(c0, c1, c2, h):
+    """Cumulative integral at source interfaces: I[k] = sum_{m<k} h_m*u_m."""
+    cell_int = h * (c0 + 0.5 * c1 + c2 / 3.0)
+    zeros = jnp.zeros_like(h[:1])
+    return jnp.concatenate([zeros, jnp.cumsum(cell_int, axis=0)], axis=0)
+
+
+def remap_column(u0, h0, h1, scheme: str = PPM_H4):
+    """Remap cell averages ``u0`` on thicknesses ``h0`` to grid ``h1``.
+
+    Shapes: (nz0, ...) -> (nz1, ...); trailing dims are batch (ny, nx).
+    Assumes sum(h0) == sum(h1) per column (same column depth)."""
+    c0, c1, c2 = reconstruct(u0, h0, scheme)
+    icum = _cumulative(c0, c1, c2, h0)                        # (nz0+1, ...)
+
+    z0 = jnp.concatenate([jnp.zeros_like(h0[:1]),
+                          jnp.cumsum(h0, axis=0)], axis=0)    # source interfaces
+    z1 = jnp.concatenate([jnp.zeros_like(h1[:1]),
+                          jnp.cumsum(h1, axis=0)], axis=0)    # target interfaces
+    z1 = jnp.minimum(z1, z0[-1:])                             # clamp to column
+
+    # locate each target interface in the source grid:
+    # k(z) = number of source interfaces (excluding top) strictly above z
+    # dense compare: (nz1+1, nz0-1, ...) -> sum over source axis
+    cmp = (z1[:, None] >= z0[None, 1:-1]).astype(jnp.int32)   # interior ifaces
+    k_idx = jnp.sum(cmp, axis=1)                              # in [0, nz0-1]
+
+    take = lambda a: jnp.take_along_axis(a, k_idx, axis=0)
+    h_k = take(h0)
+    z_k = take(z0[:-1])
+    i_k = take(icum[:-1])
+    a0, a1, a2 = take(c0), take(c1), take(c2)
+
+    xi = jnp.clip((z1 - z_k) / jnp.maximum(h_k, _EPS), 0.0, 1.0)
+    # antiderivative within the cell
+    F = h_k * (xi * (a0 + xi * (0.5 * a1 + (a2 / 3.0) * xi)))
+    i_at_z1 = i_k + F
+
+    du = i_at_z1[1:] - i_at_z1[:-1]
+    return du / jnp.maximum(h1, _EPS)

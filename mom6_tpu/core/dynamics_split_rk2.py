@@ -1,0 +1,136 @@
+"""Split barotropic/baroclinic RK2 time stepping.
+
+TPU-native re-design of MOM6's step_MOM_dyn_split_RK2 (reference:
+src/core/MOM_dynamics_split_RK2.F90:294; call sequence documented in
+SURVEY.md §3.3).  The whole step — predictor, barotropic subcycles,
+corrector, implicit viscosity, continuity — is one pure jittable function
+``state -> state`` with no host round-trips.
+
+Sequence (mirroring the reference's):
+  predictor:  PF(h) ; CorAd(u, h, uh_prev) ; visc coefficients & remnants ;
+              continuity fluxes of (u,h) ; btstep ; up = u + be*dt*accel ;
+              implicit vertvisc(up) ; continuity -> hp matched to uhbt_av
+  corrector:  PF(hp) ; CorAd(up, hp, uh_pred) ; btstep ; u_new = u + dt*accel ;
+              vertvisc(u_new) ; final continuity -> h_new, transports
+
+``be`` is the predictor step fraction (MOM6 BE, default 0.6): accelerations
+for the corrector are evaluated at t + be*dt.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.core.barotropic import BTParams, btcalc, btstep
+from mom6_tpu.core.continuity_ppm import continuity_ppm
+from mom6_tpu.core.coriolis_adv import SADOURNY75_ENERGY, coriolis_adv
+from mom6_tpu.core.pressure_force import find_eta, pressure_force_montgomery
+from mom6_tpu.core.state import OceanState
+from mom6_tpu.framework.stencil import ip1, jp1
+from mom6_tpu.physics.vertical.vert_friction import (vertvisc, vertvisc_coef,
+                                                     vertvisc_remnant)
+
+__all__ = ["DynParams", "MechForcing", "step_dynamics_split_rk2"]
+
+
+class DynParams(NamedTuple):
+    dt: float                    # baroclinic time step [s]
+    bt: BTParams                 # barotropic solver parameters
+    be: float = 0.6              # predictor fraction (MOM6 BE)
+    kv: float = 1e-4             # background vertical viscosity [m2 s-1]
+    bottom_drag: float = 0.0     # linear bottom drag piston velocity [m s-1]
+    cdrag: float = 0.0           # quadratic bottom drag coefficient
+    coriolis_scheme: str = SADOURNY75_ENERGY
+    continuity_monotonic: bool = False
+
+
+class MechForcing(NamedTuple):
+    taux: Optional[jnp.ndarray] = None   # (ny, nx) zonal wind stress [Pa]
+    tauy: Optional[jnp.ndarray] = None
+
+
+def _face_thickness(h, G):
+    h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
+    h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+    return h_u, h_v
+
+
+def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
+                            G, GV, p: DynParams) -> OceanState:
+    dt = p.dt
+    dt_pred = p.be * dt
+    h, u, v = state.h, state.u, state.v
+    eta = find_eta(h, G)
+
+    # ---- shared setup ------------------------------------------------------
+    h_u, h_v = _face_thickness(h, G)
+    u_bot = u[-1]
+    v_bot = v[-1]
+    cu = vertvisc_coef(h_u, p.kv, bottom_drag=p.bottom_drag,
+                       u_bot=u_bot, cdrag=p.cdrag)
+    cv = vertvisc_coef(h_v, p.kv, bottom_drag=p.bottom_drag,
+                       u_bot=v_bot, cdrag=p.cdrag)
+    visc_rem_u = vertvisc_remnant(h_u, cu, dt)
+    visc_rem_v = vertvisc_remnant(h_v, cv, dt)
+
+    # continuity fluxes of the initial state (for btstep's uhbt0)
+    _, uh_in, vh_in, _, _ = continuity_ppm(
+        u, v, h, dt, G, GV, monotonic=p.continuity_monotonic)
+
+    # ---- predictor -----------------------------------------------------------
+    pf = pressure_force_montgomery(h, G, GV)
+    cau, cav = coriolis_adv(u, v, h, state.uh, state.vh, G, GV,
+                            scheme=p.coriolis_scheme)
+    u_bc = (cau + pf.PFu) * G.mask2dCu
+    v_bc = (cav + pf.PFv) * G.mask2dCv
+
+    bt1 = btstep(u, v, eta, u_bc, v_bc, h, uh_in, vh_in,
+                 visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
+                 dt_pred, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy)
+
+    up = (u + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
+    vp = (v + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
+    up = vertvisc(up, h_u, cu, dt_pred,
+                  tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
+    vp = vertvisc(vp, h_v, cv, dt_pred,
+                  tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+
+    hp, uh_p, vh_p, up_adj, vp_adj = continuity_ppm(
+        up, vp, h, dt_pred, G, GV,
+        uhbt=bt1.uhbt_av, vhbt=bt1.vhbt_av,
+        visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
+        monotonic=p.continuity_monotonic)
+
+    # ---- corrector ------------------------------------------------------------
+    pf2 = pressure_force_montgomery(hp, G, GV)
+    cau2, cav2 = coriolis_adv(up_adj, vp_adj, hp, uh_p, vh_p, G, GV,
+                              scheme=p.coriolis_scheme)
+    u_bc2 = (cau2 + pf2.PFu) * G.mask2dCu
+    v_bc2 = (cav2 + pf2.PFv) * G.mask2dCv
+
+    bt2 = btstep(u, v, eta, u_bc2, v_bc2, h, uh_in, vh_in,
+                 visc_rem_u, visc_rem_v, pf2.pbce, pf2.eta_PF,
+                 dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy)
+
+    u_new = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
+    v_new = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
+    u_new = vertvisc(u_new, h_u, cu, dt,
+                     tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
+    v_new = vertvisc(v_new, h_v, cv, dt,
+                     tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+
+    # the flux adjustment only modifies the transports; the prognostic
+    # velocities stay u_new (as in the reference's final continuity call)
+    h_new, uh, vh, _, _ = continuity_ppm(
+        u_new, v_new, h, dt, G, GV,
+        uhbt=bt2.uhbt_av, vhbt=bt2.vhbt_av,
+        visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
+        monotonic=p.continuity_monotonic)
+
+    uhtr = state.uhtr + dt * uh if state.uhtr is not None else None
+    vhtr = state.vhtr + dt * vh if state.vhtr is not None else None
+
+    return state.replace(h=h_new, u=u_new, v=v_new, uh=uh, vh=vh,
+                         uhtr=uhtr, vhtr=vhtr)

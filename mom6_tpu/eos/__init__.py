@@ -1,0 +1,57 @@
+"""Equation-of-state dispatcher.
+
+Analogue of MOM6's MOM_EOS (reference: src/equation_of_state/MOM_EOS.F90:
+33-58, variants :157-169).  Implemented variants: LINEAR, WRIGHT (Wright
+1997 reduced fit).  WRIGHT_FULL/ROQUET/TEOS10/UNESCO/JACKETT06 are planned;
+the dispatcher raises for unimplemented names so configs fail loudly.
+
+All functions are elementwise over arbitrary-shaped jnp arrays (they fuse
+into calling kernels); ``p`` is pressure in Pa.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict
+
+from mom6_tpu.eos import linear, wright
+
+__all__ = ["EOS", "get_eos"]
+
+
+@dataclass(frozen=True)
+class EOS:
+    name: str
+    density: Callable          # (T, S, p, rho_ref=0.0) -> rho - rho_ref
+    density_derivs: Callable   # (T, S, p) -> (drho_dT, drho_dS)
+    specific_volume: Callable
+
+    def __hash__(self):
+        return hash(self.name)
+
+
+_REGISTRY: Dict[str, EOS] = {}
+
+
+def _register(name: str, mod) -> None:
+    _REGISTRY[name] = EOS(name=name, density=mod.density,
+                          density_derivs=mod.density_derivs,
+                          specific_volume=mod.specific_volume)
+
+
+_register("LINEAR", linear)
+_register("WRIGHT", wright)
+
+_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "UNESCO", "TEOS10",
+            "ROQUET_RHO", "ROQUET_SPV", "JACKETT06")
+
+
+def get_eos(name: str) -> EOS:
+    key = name.upper()
+    if key in _REGISTRY:
+        return _REGISTRY[key]
+    if key in _PLANNED:
+        raise NotImplementedError(
+            f"EOS {name} is recognized but not yet implemented; "
+            f"available: {sorted(_REGISTRY)}")
+    raise ValueError(f"unknown EOS {name}; available: {sorted(_REGISTRY)}")

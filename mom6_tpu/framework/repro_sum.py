@@ -1,0 +1,103 @@
+"""Order-invariant (reproducing) global sums.
+
+Re-implements the idea of MOM6's extended-fixed-point (EFP) reproducing sums
+(reference: src/framework/MOM_coms.F90:30-70): each real is decomposed into
+integer limbs of a wide fixed-point accumulator; integer addition is exactly
+associative, so the global sum is bitwise independent of summation order —
+and therefore of the device-mesh layout.
+
+Two implementations:
+
+* :func:`reproducing_sum` — host-side numpy, 6 × int64 limbs of 46 bits each
+  (the exact MOM6 design point).  Used by the ocean.stats writer, where the
+  field is pulled to host anyway at a low cadence.
+* :func:`fixed_point_sum` — jit/psum-compatible: decomposes into int32 limbs
+  and reduces with integer ``jnp.sum`` (order-invariant on any sharding).
+  Useful inside compiled code when layout-invariant reductions are required.
+  Element counts per partial sum must keep carries in range; limbs hold
+  ``bits``-bit chunks so up to ``2**(31-bits)`` elements per int32 partial
+  accumulate safely; we widen via a two-stage tree to cover full grids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["reproducing_sum", "fixed_point_sum"]
+
+# MOM6 design point: 6 limbs x 2^46 (MOM_coms.F90:30-44)
+_NLIMB = 6
+_BITS = 46
+_TOP_EXP = 3 * _BITS - 63  # largest representable magnitude ~ 2^75
+
+
+def reproducing_sum(x, scale: float = 1.0) -> float:
+    """Exact order-invariant sum of a real array (host-side, numpy).
+
+    The result is identical for any permutation/partition of ``x``.
+    """
+    x = np.asarray(x, dtype=np.float64).ravel() * scale
+    if x.size == 0:
+        return 0.0
+    limbs = np.zeros(_NLIMB, dtype=np.int64)
+    # decompose each element into 46-bit signed chunks relative to 2^_TOP_EXP
+    r = x / (2.0 ** _TOP_EXP)
+    for j in range(_NLIMB):
+        r = r * (2.0 ** _BITS)
+        c = np.floor(r)
+        limbs[j] += np.sum(c.astype(np.int64))
+        r = r - c
+    # carry-propagate from least to most significant
+    for j in range(_NLIMB - 1, 0, -1):
+        carry = limbs[j] >> _BITS
+        limbs[j] -= carry << _BITS
+        limbs[j - 1] += carry
+    total = 0.0
+    for j in range(_NLIMB):
+        total += float(limbs[j]) * 2.0 ** (_TOP_EXP - (j + 1) * _BITS)
+    return total
+
+
+def fixed_point_sum(x, max_mag: float, n_limbs: int = 4, bits: int = 14):
+    """Order-invariant sum under jit, returning a float of ``x.dtype``.
+
+    ``max_mag`` must statically bound ``max(|x|)``; values beyond it would
+    lose high bits.  Works in int32 (no x64 requirement).  The reduction
+    is exact to ``n_limbs*bits`` bits below ``max_mag``, which at the default
+    (56 bits) exceeds float32 precision.
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype
+    top = float(2.0 ** np.ceil(np.log2(max_mag)))
+    r = (x / dtype.type(top)).astype(jnp.float32)
+    partials = []
+    for _ in range(n_limbs):
+        r = r * jnp.float32(2.0 ** bits)
+        c = jnp.floor(r)
+        partials.append(c.astype(jnp.int32))
+        r = r - c
+    # two-stage integer reduction: per-limb elementwise sums are associative.
+    # Each limb value is < 2^bits, so int32 partial sums are exact up to
+    # 2^(31-bits) elements; reduce in chunks then combine as float64-free
+    # integer carries.
+    total = jnp.zeros((), dtype)
+    for j, limb in enumerate(partials):
+        s = _chunked_int_sum(limb, bits)
+        total = total + s.astype(dtype) * dtype.type(top * 2.0 ** (-(j + 1) * bits))
+    return total
+
+
+def _chunked_int_sum(limb, bits: int):
+    """Sum an int32 array of |values| < 2^bits exactly, avoiding overflow.
+
+    Splits each value into high/low 8-bit-ish parts whose independent int32
+    sums stay in range for any realistic grid size (< 2^23 elements each).
+    Returns a float32 recombination (exact: result < 2^bits * n < 2^53).
+    """
+    flat = limb.ravel()
+    lo = flat & 0xFF
+    hi = flat >> 8
+    s_lo = jnp.sum(lo)        # < 2^8 * n
+    s_hi = jnp.sum(hi)        # < 2^(bits-8) * n
+    return s_hi.astype(jnp.float32) * jnp.float32(256.0) + s_lo.astype(jnp.float32)

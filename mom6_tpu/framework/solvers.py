@@ -1,0 +1,44 @@
+"""Batched column solvers.
+
+The vertical dimension is never sharded (SURVEY.md §5.7): every column solve
+runs device-local, vectorized over (ny, nx) with the k loop as a
+``lax.scan``.  Used by vertical viscosity, diabatic diffusion, and the ALE
+edge-value solvers (reference: tridiagonal solvers in
+src/parameterizations/vertical/MOM_vert_friction.F90:557 and
+src/ALE/regrid_solvers.F90).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tridiag_solve"]
+
+
+def tridiag_solve(a, b, c, d):
+    """Solve tridiagonal systems along axis 0 (Thomas algorithm).
+
+    ``a`` is the sub-diagonal (a[0] ignored), ``b`` the diagonal, ``c`` the
+    super-diagonal (c[-1] ignored), ``d`` the RHS; all shaped (nz, ...).
+    Returns x with b·x + a·x_{k-1} + c·x_{k+1} = d.
+    """
+    def fwd(carry, abcd):
+        cp_prev, dp_prev = carry
+        a_k, b_k, c_k, d_k = abcd
+        denom = b_k - a_k * cp_prev
+        inv = 1.0 / denom
+        cp = c_k * inv
+        dp = (d_k - a_k * dp_prev) * inv
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(d[0])
+    (_, _), (cp, dp) = jax.lax.scan(fwd, (zeros, zeros), (a, b, c, d))
+
+    def bwd(x_next, cpdp):
+        cp_k, dp_k = cpdp
+        x = dp_k - cp_k * x_next
+        return x, x
+
+    _, x_rev = jax.lax.scan(bwd, zeros, (cp, dp), reverse=True)
+    return x_rev

@@ -1,0 +1,163 @@
+"""Horizontal ocean grid container.
+
+TPU-native analogue of MOM6's ``ocean_grid_type`` (reference:
+src/core/MOM_grid.F90:30-140) with the halo/index bookkeeping deleted:
+all metric arrays are dense ``(ny, nx)`` global arrays in the non-symmetric
+staggering of framework/stencil.py (u at EAST faces, v at NORTH faces,
+q at NE corners).  Land is represented by 0/1 masks; wrap-around faces of
+non-reentrant axes are masked out, which makes every roll-based stencil
+correct without special boundary code.
+
+The Grid is a frozen pytree: metric arrays are leaves (shardable over the
+device mesh); sizes and flags are static aux data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mom6_tpu.framework.pytree import pytree_dataclass, static
+from mom6_tpu.framework import constants
+
+__all__ = ["Grid", "build_cartesian_grid"]
+
+
+@pytree_dataclass
+class Grid:
+    # static metadata
+    nx: int = static()
+    ny: int = static()
+    cyclic_x: bool = static(default=False)
+    reentrant_y: bool = static(default=False)
+
+    # cell-center (h-point) metrics [m], [m2]
+    dxT: jnp.ndarray = None
+    dyT: jnp.ndarray = None
+    areaT: jnp.ndarray = None
+    IareaT: jnp.ndarray = None
+    IdxT: jnp.ndarray = None
+    IdyT: jnp.ndarray = None
+
+    # u-face (east) metrics
+    dxCu: jnp.ndarray = None
+    dyCu: jnp.ndarray = None
+    IdxCu: jnp.ndarray = None
+    IdyCu: jnp.ndarray = None
+
+    # v-face (north) metrics
+    dxCv: jnp.ndarray = None
+    dyCv: jnp.ndarray = None
+    IdxCv: jnp.ndarray = None
+    IdyCv: jnp.ndarray = None
+
+    # corner (q-point) metrics
+    dxBu: jnp.ndarray = None
+    dyBu: jnp.ndarray = None
+    areaBu: jnp.ndarray = None
+    IareaBu: jnp.ndarray = None
+
+    # masks (1.0 = wet)
+    mask2dT: jnp.ndarray = None
+    mask2dCu: jnp.ndarray = None
+    mask2dCv: jnp.ndarray = None
+    mask2dBu: jnp.ndarray = None
+
+    # Coriolis parameter at corners [s-1]
+    CoriolisBu: jnp.ndarray = None
+
+    # bathymetry: positive depth below mean sea level at h points [m]
+    bathyT: jnp.ndarray = None
+
+    # geographic coordinates (for forcing/diagnostics)
+    geoLonT: jnp.ndarray = None
+    geoLatT: jnp.ndarray = None
+    geoLonBu: jnp.ndarray = None
+    geoLatBu: jnp.ndarray = None
+
+    @property
+    def shape(self):
+        return (self.ny, self.nx)
+
+
+def _face_masks(mask_t: np.ndarray, cyclic_x: bool, reentrant_y: bool):
+    """Derive u/v/q masks from the center mask; zero wrap faces of closed axes."""
+    mu = mask_t * np.roll(mask_t, -1, axis=-1)
+    mv = mask_t * np.roll(mask_t, -1, axis=-2)
+    mq = (mask_t * np.roll(mask_t, -1, axis=-1)
+          * np.roll(mask_t, -1, axis=-2)
+          * np.roll(np.roll(mask_t, -1, axis=-1), -1, axis=-2))
+    if not cyclic_x:
+        mu[:, -1] = 0.0
+        mq[:, -1] = 0.0
+    if not reentrant_y:
+        mv[-1, :] = 0.0
+        mq[-1, :] = 0.0
+    return mu, mv, mq
+
+
+def build_cartesian_grid(
+    nx: int,
+    ny: int,
+    len_lon_km: float,
+    len_lat_km: float,
+    *,
+    depth: Optional[np.ndarray] = None,
+    max_depth: float = 4000.0,
+    min_depth: float = 0.0,
+    f0: float = 0.0,
+    beta: float = 0.0,
+    south_lat_km: float = 0.0,
+    west_lon_km: float = 0.0,
+    cyclic_x: bool = False,
+    reentrant_y: bool = False,
+    dtype=jnp.float32,
+) -> Grid:
+    """Uniform Cartesian beta-plane grid.
+
+    Equivalent to MOM6 GRID_CONFIG="cartesian" with AXIS_UNITS="k"
+    (reference: src/initialization/MOM_grid_initialize.F90:58-644).
+    ``beta`` uses y measured in meters from the southern edge.
+    """
+    dx = len_lon_km * 1e3 / nx
+    dy = len_lat_km * 1e3 / ny
+    x_q = west_lon_km * 1e3 + dx * (np.arange(nx) + 1.0)   # NE-corner x
+    y_q = south_lat_km * 1e3 + dy * (np.arange(ny) + 1.0)
+    x_t = x_q - 0.5 * dx
+    y_t = y_q - 0.5 * dy
+
+    ones = np.ones((ny, nx))
+    dxT = ones * dx
+    dyT = ones * dy
+
+    if depth is None:
+        depth = np.full((ny, nx), max_depth)
+    depth = np.asarray(depth, dtype=np.float64)
+    mask_t = (depth > max(min_depth, 0.0)).astype(np.float64)
+    depth = depth * mask_t
+    mu, mv, mq = _face_masks(mask_t, cyclic_x, reentrant_y)
+
+    yy_q = np.broadcast_to(y_q[:, None], (ny, nx))
+    f_q = f0 + beta * (yy_q - south_lat_km * 1e3)
+
+    def J(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    area = dxT * dyT
+    return Grid(
+        nx=nx, ny=ny, cyclic_x=cyclic_x, reentrant_y=reentrant_y,
+        dxT=J(dxT), dyT=J(dyT), areaT=J(area), IareaT=J(1.0 / area),
+        IdxT=J(1.0 / dxT), IdyT=J(1.0 / dyT),
+        dxCu=J(dxT), dyCu=J(dyT), IdxCu=J(1.0 / dxT), IdyCu=J(1.0 / dyT),
+        dxCv=J(dxT), dyCv=J(dyT), IdxCv=J(1.0 / dxT), IdyCv=J(1.0 / dyT),
+        dxBu=J(dxT), dyBu=J(dyT), areaBu=J(area), IareaBu=J(1.0 / area),
+        mask2dT=J(mask_t), mask2dCu=J(mu), mask2dCv=J(mv), mask2dBu=J(mq),
+        CoriolisBu=J(f_q * mq if False else f_q),
+        bathyT=J(depth),
+        geoLonT=J(np.broadcast_to(x_t[None, :], (ny, nx)) / 1e3),
+        geoLatT=J(np.broadcast_to(y_t[:, None], (ny, nx)) / 1e3),
+        geoLonBu=J(np.broadcast_to(x_q[None, :], (ny, nx)) / 1e3),
+        geoLatBu=J(np.broadcast_to(y_q[:, None], (ny, nx)) / 1e3),
+    )

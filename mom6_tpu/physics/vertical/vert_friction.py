@@ -1,0 +1,90 @@
+"""Implicit vertical viscosity (momentum diffusion) and surface/bottom stress.
+
+TPU-native analogue of MOM6's MOM_vert_friction (reference:
+src/parameterizations/vertical/MOM_vert_friction.F90: vertvisc_coef :1357,
+vertvisc :557, vertvisc_remnant :1229): backward-Euler vertical diffusion of
+momentum as a batched tridiagonal solve per velocity column, with wind
+stress entering the surface layer and a linear (or quadratic) bottom drag
+coupling the deepest layer to a motionless bottom.
+
+``visc_rem`` — the fraction of a time-step's worth of barotropic
+acceleration a layer retains after viscosity — is obtained by applying the
+same implicit operator to a unit velocity profile, exactly the quantity
+MOM6's vertvisc_remnant computes, which weights the barotropic projections
+and the continuity flux adjustment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.framework.solvers import tridiag_solve
+
+__all__ = ["ViscCoeffs", "vertvisc_coef", "vertvisc", "vertvisc_remnant"]
+
+# Thickness floor for the implicit solve [m].  Must be large enough that the
+# float32 Thomas recursion stays well conditioned when layers are massless
+# (vanished layers / land columns): with a 1e-10 floor the interface
+# couplings kv/dz reach ~1e6 and cancel the ~1e-13 h/dt diagonal to exactly
+# zero in f32, producing NaNs that masks cannot remove (NaN*0 = NaN).  A 1 mm
+# floor keeps couplings <= kv*1e3 and the recursion denominators resolvable.
+_H_EPS = 1e-3
+
+
+class ViscCoeffs(NamedTuple):
+    a_above: jnp.ndarray   # (nz, ny, nx) coupling to layer k-1 [m s-1]
+    a_below: jnp.ndarray   # (nz, ny, nx) coupling to layer k+1 (bottom drag in k=nz)
+
+
+def vertvisc_coef(h_face, kv: float, *, bottom_drag: float = 0.0,
+                  u_bot: Optional[jnp.ndarray] = None,
+                  cdrag: float = 0.0) -> ViscCoeffs:
+    """Viscous coupling coefficients at a velocity point.
+
+    ``h_face``: (nz, ny, nx) layer thicknesses at the velocity point.
+    ``kv``: background vertical viscosity [m2 s-1].
+    ``bottom_drag``: linear bottom drag piston velocity r [m s-1].
+    ``cdrag``/``u_bot``: quadratic drag c_d*|u_bot| added to r.
+    """
+    dz_int = 0.5 * (h_face[:-1] + h_face[1:])          # interfaces 2..nz
+    a_int = kv / jnp.maximum(dz_int, _H_EPS)
+    zeros = jnp.zeros_like(h_face[:1])
+    a_above = jnp.concatenate([zeros, a_int], axis=0)  # no stress through surface (explicit wind)
+    r = bottom_drag
+    if cdrag and u_bot is not None:
+        r = bottom_drag + cdrag * jnp.abs(u_bot)
+    a_bot = jnp.broadcast_to(jnp.asarray(r, h_face.dtype), h_face[:1].shape)
+    a_below = jnp.concatenate([a_int, a_bot], axis=0)
+    return ViscCoeffs(a_above, a_below)
+
+
+def _solve(u_rhs_over_dt, h_face, coeffs: ViscCoeffs, dt: float):
+    """Solve (h/dt + A) u_new = rhs for one velocity component."""
+    hdt = jnp.maximum(h_face, _H_EPS) / dt
+    b = hdt + coeffs.a_above + coeffs.a_below
+    a = -coeffs.a_above
+    c = jnp.concatenate([-coeffs.a_below[:-1],
+                         jnp.zeros_like(coeffs.a_below[:1])], axis=0)
+    return tridiag_solve(a, b, c, u_rhs_over_dt)
+
+
+def vertvisc(u, h_face, coeffs: ViscCoeffs, dt: float,
+             tau: Optional[jnp.ndarray] = None, rho0: float = 1035.0):
+    """Implicit viscous update of a velocity component; ``tau`` is the
+    surface stress [Pa] absorbed by the top layer."""
+    hdt = jnp.maximum(h_face, _H_EPS) / dt
+    rhs = hdt * u
+    if tau is not None:
+        sfc = jnp.zeros_like(u).at[0].add(tau / rho0)
+        rhs = rhs + sfc
+    return _solve(rhs, h_face, coeffs, dt)
+
+
+def vertvisc_remnant(h_face, coeffs: ViscCoeffs, dt: float):
+    """Fraction of barotropic forcing remaining after implicit viscosity
+    (vertvisc_remnant, MOM_vert_friction.F90:1229)."""
+    hdt = jnp.maximum(h_face, _H_EPS) / dt
+    ones = jnp.ones_like(h_face)
+    return jnp.clip(_solve(hdt * ones, h_face, coeffs, dt), 0.0, 1.0)

@@ -1,0 +1,141 @@
+"""ALE remapping/regridding tests (conservation, exactness, monotonicity) +
+EOS sanity checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.ale.remapping import PCM, PLM, PPM_H4, remap_column
+from mom6_tpu.ale.regridding import build_sigma_grid, build_zstar_grid
+from mom6_tpu.eos import get_eos
+
+
+def rand_grids(rng, nz0, nz1, n=6):
+    """Random source/target grids with identical column sums."""
+    h0 = rng.uniform(0.5, 2.0, (nz0, n, n))
+    col = h0.sum(axis=0)
+    w = rng.uniform(0.5, 2.0, (nz1, n, n))
+    h1 = w / w.sum(axis=0) * col
+    return jnp.asarray(h0, jnp.float32), jnp.asarray(h1, jnp.float32)
+
+
+class TestRemap:
+    @pytest.mark.parametrize("scheme", [PCM, PLM, PPM_H4])
+    def test_conservation(self, scheme):
+        rng = np.random.default_rng(0)
+        h0, h1 = rand_grids(rng, 10, 7)
+        u0 = jnp.asarray(rng.standard_normal((10, 6, 6)), jnp.float32)
+        u1 = remap_column(u0, h0, h1, scheme)
+        tot0 = np.asarray(jnp.sum(u0 * h0, axis=0), np.float64)
+        tot1 = np.asarray(jnp.sum(u1 * h1, axis=0), np.float64)
+        np.testing.assert_allclose(tot1, tot0, rtol=1e-5, atol=1e-5)
+
+    def test_identity_same_grid(self):
+        rng = np.random.default_rng(1)
+        h0, _ = rand_grids(rng, 8, 8)
+        u0 = jnp.asarray(rng.standard_normal((8, 6, 6)), jnp.float32)
+        u1 = remap_column(u0, h0, h0, PPM_H4)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("scheme", [PLM, PPM_H4])
+    def test_exact_for_linear_profile(self, scheme):
+        """PLM/PPM must reproduce a linear-in-depth profile exactly
+        (interior cells; boundary cells are lower order)."""
+        nz0, nz1 = 16, 11
+        h0 = jnp.full((nz0, 2, 2), 10.0, jnp.float32)
+        col = 160.0
+        h1 = jnp.full((nz1, 2, 2), col / nz1, jnp.float32)
+        z0c = np.cumsum(np.full(nz0, 10.0)) - 5.0
+        u0 = jnp.asarray(np.broadcast_to((2.0 + 0.03 * z0c)[:, None, None],
+                                         (nz0, 2, 2)), jnp.float32)
+        u1 = remap_column(u0, h0, h1, scheme)
+        z1c = np.cumsum(np.full(nz1, col / nz1)) - col / nz1 / 2
+        want = 2.0 + 0.03 * z1c
+        got = np.asarray(u1)[:, 0, 0]
+        np.testing.assert_allclose(got[1:-1], want[1:-1], rtol=1e-4)
+
+    def test_monotone_no_overshoot(self):
+        rng = np.random.default_rng(2)
+        nz0, nz1 = 12, 30
+        h0 = jnp.full((nz0, 1, 1), 5.0, jnp.float32)
+        h1 = jnp.full((nz1, 1, 1), 2.0, jnp.float32)
+        u0 = jnp.asarray(np.sort(rng.standard_normal((nz0, 1, 1)), axis=0),
+                         jnp.float32)
+        u1 = np.asarray(remap_column(u0, h0, h1, PPM_H4))
+        assert u1.max() <= float(u0.max()) + 1e-5
+        assert u1.min() >= float(u0.min()) - 1e-5
+
+
+class TestRegrid:
+    def test_zstar_flat_bottom_uniform(self):
+        h = jnp.full((5, 4, 4), 200.0, jnp.float32)
+        bathy = jnp.full((4, 4), 1000.0, jnp.float32)
+        dz = np.full(5, 200.0)
+        h_new = build_zstar_grid(h, bathy, dz)
+        np.testing.assert_allclose(np.asarray(h_new), 200.0, rtol=1e-5)
+
+    def test_zstar_column_sum_preserved(self):
+        rng = np.random.default_rng(3)
+        h = jnp.asarray(rng.uniform(10.0, 300.0, (5, 4, 4)), jnp.float32)
+        bathy = jnp.asarray(np.asarray(jnp.sum(h, 0)) +
+                            rng.uniform(-5, 5, (4, 4)), jnp.float32)
+        h_new = build_zstar_grid(h, bathy, np.full(5, 200.0))
+        np.testing.assert_allclose(np.asarray(jnp.sum(h_new, 0)),
+                                   np.asarray(jnp.sum(h, 0)), rtol=1e-5)
+
+    def test_zstar_free_surface_in_top_layer(self):
+        """eta perturbations are absorbed by stretching, dominated by the
+        upper layers (z* property)."""
+        h = jnp.full((4, 2, 2), 250.0, jnp.float32).at[0].add(1.0)  # eta=+1
+        bathy = jnp.full((2, 2), 1000.0, jnp.float32)
+        h_new = np.asarray(build_zstar_grid(h, bathy, np.full(4, 250.0)))
+        # uniform stretch: each layer gains eta/4
+        np.testing.assert_allclose(h_new, 250.25, rtol=1e-5)
+
+    def test_sigma(self):
+        rng = np.random.default_rng(4)
+        h = jnp.asarray(rng.uniform(10.0, 100.0, (5, 3, 3)), jnp.float32)
+        h_new = np.asarray(build_sigma_grid(h))
+        want = np.broadcast_to(np.asarray(jnp.sum(h, 0)) / 5, h_new.shape)
+        np.testing.assert_allclose(h_new, want, rtol=1e-5)
+
+
+class TestEOS:
+    def test_wright_surface_values(self):
+        eos = get_eos("WRIGHT")
+        rho = float(eos.density(jnp.float32(10.0), jnp.float32(35.0),
+                                jnp.float32(0.0)))
+        # seawater at 10C, 35 PSU, surface: ~1026.95 kg/m3 (Wright 1997 fit)
+        assert 1026.0 < rho < 1028.0
+
+    def test_wright_derivs_signs_and_fd(self):
+        """The EOS is dtype-generic: drive the FD check in numpy float64
+        (f32 FD through the ~1e8-magnitude Wright intermediates is all
+        cancellation noise)."""
+        eos = get_eos("WRIGHT")
+        T, S, p = np.float64(10.0), np.float64(35.0), np.float64(2e7)
+        dT, dS = eos.density_derivs(T, S, p)
+        assert float(dT) < 0.0 and float(dS) > 0.0
+        eps = 1e-4
+        fd_T = (float(eos.density(T + eps, S, p)) -
+                float(eos.density(T - eps, S, p))) / (2 * eps)
+        np.testing.assert_allclose(float(dT), fd_T, rtol=1e-6)
+        fd_S = (float(eos.density(T, S + eps, p)) -
+                float(eos.density(T, S - eps, p))) / (2 * eps)
+        np.testing.assert_allclose(float(dS), fd_S, rtol=1e-6)
+
+    def test_wright_compressibility(self):
+        from mom6_tpu.eos.wright import compressibility, density
+        T, S = jnp.float32(2.0), jnp.float32(34.7)
+        rho_surf = float(density(T, S, jnp.float32(0.0)))
+        rho_4km = float(density(T, S, jnp.float32(4e7)))
+        assert rho_4km > rho_surf + 15.0  # ~2% compression over 4km
+        drdp = float(compressibility(T, S, jnp.float32(2e7)))
+        assert 3e-7 < drdp < 6e-7  # 1/c^2, c ~ 1400-1800 m/s
+
+    def test_linear(self):
+        eos = get_eos("LINEAR")
+        rho = float(eos.density(jnp.float32(10.0), jnp.float32(35.0),
+                                jnp.float32(0.0)))
+        assert rho == pytest.approx(1000.0 - 2.0 + 28.0)
