@@ -1,0 +1,68 @@
+"""ALE driver: regrid to the target coordinate, conservatively remap state.
+
+Analogue of MOM6's ALE driver (reference: src/ALE/MOM_ALE.F90:
+ALE_regrid :518, ALE_remap_tracers :760, ALE_remap_velocities :1089).
+
+One call = one regrid/remap cycle applied after the thermodynamic step:
+build the new grid for the current column heights, remap T/S/tracers on
+cell columns and u/v on face columns (face thicknesses are the mean of the
+adjacent cell columns, before and after)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.ale.regridding import build_sigma_grid, build_zstar_grid
+from mom6_tpu.ale.remapping import PPM_H4, remap_column
+from mom6_tpu.framework.stencil import ip1, jp1
+
+__all__ = ["ALEParams", "ale_regrid_remap"]
+
+LAYER = "LAYER"
+ZSTAR = "ZSTAR"
+SIGMA = "SIGMA"
+
+
+class ALEParams(NamedTuple):
+    mode: str = ZSTAR
+    dz_nominal: tuple = ()         # nominal z* thicknesses (nz,)
+    scheme: str = PPM_H4
+    min_thickness: float = 1e-10
+
+
+def ale_regrid_remap(state, G, GV, p: ALEParams,
+                     extra_tracers: Optional[jnp.ndarray] = None):
+    """Returns (new_state, extra_tracers_new)."""
+    if p.mode == LAYER:
+        return state, extra_tracers
+    h = state.h
+    if p.mode == ZSTAR:
+        h_new = build_zstar_grid(h, G.bathyT, jnp.asarray(p.dz_nominal,
+                                                          h.dtype),
+                                 p.min_thickness)
+    elif p.mode == SIGMA:
+        h_new = build_sigma_grid(h, min_thickness=p.min_thickness)
+    else:
+        raise ValueError(f"unknown ALE mode {p.mode}")
+    h_new = jnp.where(G.mask2dT[None] > 0.5, h_new, h)
+
+    def remap(x):
+        return remap_column(x, h, h_new, p.scheme) if x is not None else None
+
+    T_new = remap(state.T)
+    S_new = remap(state.S)
+    extra_new = (jnp.stack([remap(extra_tracers[i])
+                            for i in range(extra_tracers.shape[0])])
+                 if extra_tracers is not None else None)
+
+    # velocities on face columns
+    h_u_old = 0.5 * (h + ip1(h))
+    h_u_new = 0.5 * (h_new + ip1(h_new))
+    u_new = remap_column(state.u, h_u_old, h_u_new, p.scheme) * G.mask2dCu
+    h_v_old = 0.5 * (h + jp1(h))
+    h_v_new = 0.5 * (h_new + jp1(h_new))
+    v_new = remap_column(state.v, h_v_old, h_v_new, p.scheme) * G.mask2dCv
+
+    return state.replace(h=h_new, T=T_new, S=S_new, u=u_new, v=v_new), extra_new

@@ -58,11 +58,18 @@ def _face_thickness(h, G):
 
 
 def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
-                            G, GV, p: DynParams) -> OceanState:
+                            G, GV, p: DynParams, *,
+                            pf_fn=None, hv_fn=None) -> OceanState:
+    """``pf_fn(h, state) -> PressureForceOut`` overrides the default
+    Montgomery pressure force (used for the FV/EOS thermo path);
+    ``hv_fn(u, v, h) -> (diffu, diffv)`` adds lateral friction
+    (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886)."""
     dt = p.dt
     dt_pred = p.be * dt
     h, u, v = state.h, state.u, state.v
     eta = find_eta(h, G)
+    if pf_fn is None:
+        pf_fn = lambda hh, st: pressure_force_montgomery(hh, G, GV)
 
     # ---- shared setup ------------------------------------------------------
     h_u, h_v = _face_thickness(h, G)
@@ -80,11 +87,14 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         u, v, h, dt, G, GV, monotonic=p.continuity_monotonic)
 
     # ---- predictor -----------------------------------------------------------
-    pf = pressure_force_montgomery(h, G, GV)
+    pf = pf_fn(h, state)
     cau, cav = coriolis_adv(u, v, h, state.uh, state.vh, G, GV,
                             scheme=p.coriolis_scheme)
-    u_bc = (cau + pf.PFu) * G.mask2dCu
-    v_bc = (cav + pf.PFv) * G.mask2dCv
+    diffu = diffv = 0.0
+    if hv_fn is not None:
+        diffu, diffv = hv_fn(u, v, h)
+    u_bc = (cau + pf.PFu + diffu) * G.mask2dCu
+    v_bc = (cav + pf.PFv + diffv) * G.mask2dCv
 
     bt1 = btstep(u, v, eta, u_bc, v_bc, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
@@ -104,11 +114,13 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         monotonic=p.continuity_monotonic)
 
     # ---- corrector ------------------------------------------------------------
-    pf2 = pressure_force_montgomery(hp, G, GV)
+    pf2 = pf_fn(hp, state)
     cau2, cav2 = coriolis_adv(up_adj, vp_adj, hp, uh_p, vh_p, G, GV,
                               scheme=p.coriolis_scheme)
-    u_bc2 = (cau2 + pf2.PFu) * G.mask2dCu
-    v_bc2 = (cav2 + pf2.PFv) * G.mask2dCv
+    if hv_fn is not None:
+        diffu, diffv = hv_fn(up_adj, vp_adj, hp)
+    u_bc2 = (cau2 + pf2.PFu + diffu) * G.mask2dCu
+    v_bc2 = (cav2 + pf2.PFv + diffv) * G.mask2dCv
 
     bt2 = btstep(u, v, eta, u_bc2, v_bc2, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf2.pbce, pf2.eta_PF,

@@ -1,0 +1,104 @@
+"""Top-level model orchestrator — the step_MOM analogue.
+
+Re-designs MOM6's main stepping logic (reference: src/core/MOM.F90:
+step_MOM :513, step_MOM_dynamics :1167, step_MOM_tracer_dyn :1481,
+step_MOM_thermo :1591, ALE_regridding_and_remapping :1751) as one pure
+jittable function over the state pytree:
+
+  for each baroclinic step:
+    dynamics (split RK2, accumulating uhtr/vhtr)
+  every thermo cycle:
+    tracer advection with the accumulated transports  (step_MOM_tracer_dyn)
+    diabatic column physics                            (step_MOM_thermo)
+    ALE regrid + remap of tracers and velocities
+    reset transport accumulators
+
+The dt_therm/dt split is static (``n_dyn_per_thermo``), so an entire
+thermo cycle compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.ale.ale import ALEParams, LAYER, ale_regrid_remap
+from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
+                                              step_dynamics_split_rk2)
+from mom6_tpu.core.pressure_force import (pressure_force_fv,
+                                          pressure_force_montgomery)
+from mom6_tpu.core.state import OceanState
+from mom6_tpu.eos import get_eos
+from mom6_tpu.physics.lateral.hor_visc import (HorViscParams,
+                                               horizontal_viscosity)
+from mom6_tpu.physics.vertical.diabatic import (BuoyancyForcing,
+                                                DiabaticParams, diabatic_ale)
+from mom6_tpu.tracers.advect import advect_tracers
+
+__all__ = ["MOMParams", "Forcing", "step_mom"]
+
+
+class MOMParams(NamedTuple):
+    dyn: DynParams
+    thermo_enabled: bool = False
+    eos_name: str = "WRIGHT"
+    diabatic: DiabaticParams = DiabaticParams()
+    ale: ALEParams = ALEParams(mode=LAYER)
+    hor_visc: Optional[HorViscParams] = None
+    n_dyn_per_thermo: int = 1
+    tracer_advect_sub: int = 2
+
+
+class Forcing(NamedTuple):
+    mech: MechForcing = MechForcing()
+    buoy: BuoyancyForcing = BuoyancyForcing()
+
+
+def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
+             ) -> OceanState:
+    """Advance one thermo cycle = n_dyn_per_thermo baroclinic steps."""
+    eos = get_eos(p.eos_name) if p.thermo_enabled else None
+
+    if p.thermo_enabled:
+        def pf_fn(h, st):
+            return pressure_force_fv(h, st.T, st.S, G, GV, eos)
+    else:
+        pf_fn = None
+
+    hv_fn = None
+    if p.hor_visc is not None:
+        def hv_fn(u, v, h):
+            return horizontal_viscosity(u, v, h, G, p.hor_visc)
+
+    h_before_dyn = state.h
+
+    def dyn_body(st, _):
+        return step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
+                                       pf_fn=pf_fn, hv_fn=hv_fn), None
+
+    state, _ = jax.lax.scan(dyn_body, state, None,
+                            length=p.n_dyn_per_thermo)
+
+    if not p.thermo_enabled:
+        return state
+
+    # --- tracer transport (step_MOM_tracer_dyn) ---------------------------
+    tr = jnp.stack([state.T, state.S])
+    tr, h_adv = advect_tracers(tr, h_before_dyn, state.uhtr, state.vhtr, G,
+                               n_sub=p.tracer_advect_sub)
+    T, S = tr[0], tr[1]
+    state = state.replace(T=T, S=S,
+                          uhtr=jnp.zeros_like(state.uhtr),
+                          vhtr=jnp.zeros_like(state.vhtr))
+
+    # --- column physics (step_MOM_thermo -> diabatic) ---------------------
+    dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+    T, S, kd, _ = diabatic_ale(state.T, state.S, state.h, forcing.buoy,
+                               dt_therm, G, GV, p.diabatic)
+    state = state.replace(T=T, S=S)
+
+    # --- ALE regrid + remap ----------------------------------------------
+    state, _ = ale_regrid_remap(state, G, GV, p.ale)
+    return state

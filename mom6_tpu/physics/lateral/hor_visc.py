@@ -1,0 +1,120 @@
+"""Horizontal (lateral) viscosity: Laplacian + biharmonic friction.
+
+TPU-native re-design of MOM6's hor_visc (reference:
+src/parameterizations/lateral/MOM_hor_visc.F90: horizontal_viscosity :266;
+scheme flags :41-78): the stress-tensor formulation on the C-grid with
+
+* horizontal tension  sh_xx = du/dx - dv/dy at h points,
+* horizontal shear    sh_xy = dv/dx + du/dy at q points (no-slip via masks),
+* Smagorinsky (KH = (C dx)^2 |S|) and/or Leith (KH = C dx^3 |grad zeta|)
+  dynamic coefficients plus constant KH/AH,
+* biharmonic friction as the same stress operator applied to -del2(u),
+* a stability bound on the coefficients (hor_visc's Kh bounds).
+
+Everything is fused elementwise VPU work; the thickness-weighted stress
+divergence conserves momentum and vanishes on masked land."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+
+__all__ = ["HorViscParams", "horizontal_viscosity"]
+
+
+class HorViscParams(NamedTuple):
+    kh: float = 0.0            # constant Laplacian viscosity [m2 s-1]
+    ah: float = 0.0            # constant biharmonic viscosity [m4 s-1]
+    smag_lap_const: float = 0.0    # Smagorinsky C for Laplacian (~0.15)
+    smag_bi_const: float = 0.0     # Smagorinsky C for biharmonic (~0.06)
+    leith_lap_const: float = 0.0   # Leith C (~1.0)
+    bound_coef: bool = True
+    dt: float = 0.0            # needed for the stability bound
+
+
+def _strains(u, v, G):
+    """(sh_xx at h, sh_xy at q) with no-slip land handled by the q mask."""
+    sh_xx = ((u - im1(u)) * G.IdxT - (v - jm1(v)) * G.IdyT) * G.mask2dT
+    sh_xy = ((ip1(v) - v) / G.dxBu + (jp1(u) - u) / G.dyBu) * G.mask2dBu
+    return sh_xx, sh_xy
+
+
+def _stress_accel(h, str_xx, str_xy, G):
+    """Thickness-weighted divergence of the deviatoric stress tensor."""
+    h_q = 0.25 * ((h + ip1(h)) + (jp1(h) + ip1(jp1(h))))
+    h_u = jnp.maximum(0.5 * (h + ip1(h)), 1e-10)
+    h_v = jnp.maximum(0.5 * (h + jp1(h)), 1e-10)
+    fx = ((ip1(h * str_xx) - h * str_xx) * G.IdxCu
+          + (h_q * str_xy - jm1(h_q * str_xy)) * G.IdyCu)
+    fy = (-(jp1(h * str_xx) - h * str_xx) * G.IdyCv
+          + (h_q * str_xy - im1(h_q * str_xy)) * G.IdxCv)
+    du = fx / h_u * G.mask2dCu
+    dv = fy / h_v * G.mask2dCv
+    return du, dv
+
+
+def _coefficients(u, v, sh_xx, sh_xy, G, p: HorViscParams):
+    """Dynamic Laplacian/biharmonic coefficients at h and q points."""
+    dx2 = G.dxT * G.dyT            # grid area scale
+    # |S| at h points: tension local, shear averaged from corners
+    sh_xy_h = 0.25 * ((sh_xy + im1(sh_xy)) + (jm1(sh_xy) + im1(jm1(sh_xy))))
+    shear_mag = jnp.sqrt(sh_xx * sh_xx + sh_xy_h * sh_xy_h)
+
+    kh = jnp.full_like(sh_xx, p.kh)
+    if p.smag_lap_const:
+        kh = kh + (p.smag_lap_const ** 2) * dx2 * shear_mag
+    if p.leith_lap_const:
+        # |grad zeta| at h points
+        zeta = ((ip1(v) - v) / G.dxBu - (jp1(u) - u) / G.dyBu) * G.mask2dBu
+        zeta_h = 0.25 * ((zeta + im1(zeta)) + (jm1(zeta) + im1(jm1(zeta))))
+        dzx = (zeta_h - im1(zeta_h)) * G.IdxT
+        dzy = (zeta_h - jm1(zeta_h)) * G.IdyT
+        grad_zeta = jnp.sqrt(dzx * dzx + dzy * dzy)
+        kh = kh + (p.leith_lap_const ** 3 / 3.14159 ** 3) * \
+            dx2 * jnp.sqrt(dx2) * grad_zeta
+
+    ah = jnp.full_like(sh_xx, p.ah)
+    if p.smag_bi_const:
+        ah = ah + (p.smag_bi_const ** 2) * dx2 * dx2 * shear_mag
+
+    if p.bound_coef and p.dt > 0.0:
+        # explicit diffusion stability: KH < 1/(4 dt (Idx^2+Idy^2))
+        denom = G.IdxT ** 2 + G.IdyT ** 2
+        kh = jnp.minimum(kh, 0.2 / (p.dt * denom))
+        ah = jnp.minimum(ah, 0.2 / (p.dt * denom * denom * 16.0))
+    return kh, ah
+
+
+def _lap_uv(u, v, h, G):
+    """Vector Laplacian of (u, v) via the unit-coefficient stress operator."""
+    sh_xx, sh_xy = _strains(u, v, G)
+    return _stress_accel(h, sh_xx, sh_xy, G)
+
+
+def horizontal_viscosity(u, v, h, G, p: HorViscParams
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frictional accelerations (diffu, diffv) [m s-2] on (nz, ny, nx)."""
+    sh_xx, sh_xy = _strains(u, v, G)
+    kh_h, ah_h = _coefficients(u, v, sh_xx, sh_xy, G, p)
+    kh_q = 0.25 * ((kh_h + ip1(kh_h)) + (jp1(kh_h) + ip1(jp1(kh_h))))
+
+    diffu = jnp.zeros_like(u)
+    diffv = jnp.zeros_like(v)
+
+    if p.kh or p.smag_lap_const or p.leith_lap_const:
+        du, dv = _stress_accel(h, kh_h * sh_xx, kh_q * sh_xy, G)
+        diffu = diffu + du
+        diffv = diffv + dv
+
+    if p.ah or p.smag_bi_const:
+        lap_u, lap_v = _lap_uv(u, v, h, G)
+        sh2_xx, sh2_xy = _strains(lap_u, lap_v, G)
+        ah_q = 0.25 * ((ah_h + ip1(ah_h)) + (jp1(ah_h) + ip1(jp1(ah_h))))
+        du, dv = _stress_accel(h, ah_h * sh2_xx, ah_q * sh2_xy, G)
+        diffu = diffu - du   # biharmonic: minus the double Laplacian
+        diffv = diffv - dv
+
+    return diffu, diffv

@@ -1,0 +1,141 @@
+"""Monotone directionally-split tracer advection.
+
+TPU-native re-design of MOM6's tracer advection (reference:
+src/tracer/MOM_tracer_advect.F90: advect_tracer :53, advect_x :355,
+advect_y :748; schemes in MOM_tracer_advect_schemes.F90).
+
+Differences from the Fortran:
+* tracers are advected as one stacked (n_tracer, nz, ny, nx) array — one
+  reconstruction per sweep is shared by every tracer... each tracer needs
+  its own reconstruction, but the *flux machinery, masks and thickness
+  updates* are shared and the tracer axis is a pure batch dimension;
+* instead of the data-dependent ``domore`` sweep loop that iterates until
+  the stored transports are exhausted, the transports are split into
+  ``n_sub`` equal sub-sweeps with a static count chosen from the advective
+  CFL bound (jit-friendly; same monotonicity guarantees);
+* flux-limited PLM (monotone) reconstruction; PPM:H3 planned.
+
+Mass consistency: thickness is updated alongside the tracers with the same
+transports, so a uniform tracer stays exactly uniform.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+
+__all__ = ["advect_tracers"]
+
+_H_MIN = 1e-10
+
+
+def _plm_edge_x(T, mask):
+    """Limited PLM east/west edge values for an x sweep (batch dims lead)."""
+    Tm, Tp = im1(T), ip1(T)
+    mm, mp = im1(mask), ip1(mask)
+    Tm = mm * Tm + (1.0 - mm) * T
+    Tp = mp * Tp + (1.0 - mp) * T
+    slp = 0.5 * (Tp - Tm)
+    d_p, d_m = Tp - T, T - Tm
+    lim = 2.0 * jnp.minimum(jnp.abs(d_p), jnp.abs(d_m))
+    slp = jnp.where(d_p * d_m > 0.0,
+                    jnp.sign(slp) * jnp.minimum(jnp.abs(slp), lim), 0.0)
+    return T - 0.5 * slp, T + 0.5 * slp      # (T_W, T_E)
+
+
+def _plm_edge_y(T, mask):
+    Tm, Tp = jm1(T), jp1(T)
+    mm, mp = jm1(mask), jp1(mask)
+    Tm = mm * Tm + (1.0 - mm) * T
+    Tp = mp * Tp + (1.0 - mp) * T
+    slp = 0.5 * (Tp - Tm)
+    d_p, d_m = Tp - T, T - Tm
+    lim = 2.0 * jnp.minimum(jnp.abs(d_p), jnp.abs(d_m))
+    slp = jnp.where(d_p * d_m > 0.0,
+                    jnp.sign(slp) * jnp.minimum(jnp.abs(slp), lim), 0.0)
+    return T - 0.5 * slp, T + 0.5 * slp      # (T_S, T_N)
+
+
+def _sweep_x(T, h, uh, G):
+    """One x sweep moving volume ``uh`` [m3] with upwind-PLM tracer edges.
+
+    ``T``: (n_tr, nz, ny, nx); ``h``: (nz, ny, nx) volume-consistent
+    thickness; ``uh`` thickness transport for this sweep [m3]."""
+    mask = G.mask2dT
+    T_W, T_E = _plm_edge_x(T, mask)
+    # CFL fraction of the donor cell swept out
+    vol = h * G.areaT
+    cfl_p = uh / jnp.maximum(vol, _H_MIN)          # u > 0, donor i
+    cfl_m = -uh / jnp.maximum(ip1(vol), _H_MIN)    # u < 0, donor i+1
+    # mean tracer of the swept region (PLM average over the CFL wedge)
+    T_up_p = T_E + 0.5 * cfl_p[None] * (T_W - T_E)
+    T_up_m = ip1(T_W) + 0.5 * cfl_m[None] * (ip1(T_E) - ip1(T_W))
+    T_face = jnp.where(uh[None] > 0.0, T_up_p,
+                       jnp.where(uh[None] < 0.0, T_up_m,
+                                 0.5 * (T_E + ip1(T_W))))
+    flux = uh[None] * T_face                        # [m3 * conc]
+    h_new = h - (uh - im1(uh)) * G.IareaT
+    h_new = jnp.maximum(h_new, _H_MIN)
+    T_new = (T * vol[None] - (flux - im1(flux))) / jnp.maximum(
+        h_new * G.areaT, _H_MIN)[None]
+    return jnp.where(mask[None, None] > 0.5, T_new, T), h_new
+
+
+def _sweep_y(T, h, vh, G):
+    mask = G.mask2dT
+    T_S, T_N = _plm_edge_y(T, mask)
+    vol = h * G.areaT
+    cfl_p = vh / jnp.maximum(vol, _H_MIN)
+    cfl_m = -vh / jnp.maximum(jp1(vol), _H_MIN)
+    T_up_p = T_N + 0.5 * cfl_p[None] * (T_S - T_N)
+    T_up_m = jp1(T_S) + 0.5 * cfl_m[None] * (jp1(T_N) - jp1(T_S))
+    T_face = jnp.where(vh[None] > 0.0, T_up_p,
+                       jnp.where(vh[None] < 0.0, T_up_m,
+                                 0.5 * (T_N + jp1(T_S))))
+    flux = vh[None] * T_face
+    h_new = h - (vh - jm1(vh)) * G.IareaT
+    h_new = jnp.maximum(h_new, _H_MIN)
+    T_new = (T * vol[None] - (flux - jm1(flux))) / jnp.maximum(
+        h_new * G.areaT, _H_MIN)[None]
+    return jnp.where(mask[None, None] > 0.5, T_new, T), h_new
+
+
+def advect_tracers(T, h_prev, uhtr, vhtr, G, *, n_sub: int = 2
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Advect stacked tracers with accumulated transports.
+
+    ``T``: (n_tr, nz, ny, nx) concentrations; ``h_prev``: thicknesses
+    *before* the transports were applied; ``uhtr``/``vhtr``: accumulated
+    volume transports [m3] (uh*dt sums from continuity).  The transports
+    are applied in ``n_sub`` alternating x/y sub-sweeps (static count —
+    pick n_sub so each sub-sweep's CFL < 1, cf. the reference's dynamic
+    ``domore`` iteration).  Returns (T_new, h_after)."""
+    uh_s = uhtr / n_sub
+    vh_s = vhtr / n_sub
+    h = h_prev
+
+    def body(carry, xy_first):
+        T, h = carry
+
+        def xy(ops):
+            T, h = ops
+            T, h = _sweep_x(T, h, uh_s, G)
+            T, h = _sweep_y(T, h, vh_s, G)
+            return T, h
+
+        def yx(ops):
+            T, h = ops
+            T, h = _sweep_y(T, h, vh_s, G)
+            T, h = _sweep_x(T, h, uh_s, G)
+            return T, h
+
+        T, h = jax.lax.cond(xy_first, xy, yx, (T, h))
+        return (T, h), None
+
+    order = jnp.arange(2 * n_sub) % 2
+    (T, h), _ = jax.lax.scan(body, (T, h), order[:n_sub])
+    return T, h

@@ -1,0 +1,44 @@
+"""Along-layer horizontal tracer diffusion.
+
+Analogue of MOM6's tracer_hordiff (reference:
+src/tracer/MOM_tracer_hor_diff.F90:119): subcycled Laplacian diffusion of
+tracers along layers with thickness-weighted fluxes.  Neutral diffusion
+(MOM_neutral_diffusion.F90) and boundary diffusion are planned follow-ons.
+
+TPU design: fixed subcycle count from the diffusive CFL (static), tracer
+axis batched, flux form guarantees conservation."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+
+__all__ = ["tracer_hordiff"]
+
+
+def tracer_hordiff(T, h, khtr, dt, G, *, n_sub: int = 1):
+    """Diffuse stacked tracers (n_tr, nz, ny, nx) with diffusivity
+    ``khtr`` [m2 s-1] (scalar or (ny, nx))."""
+    kh = jnp.asarray(khtr, T.dtype)
+    if kh.ndim == 0:
+        kh = jnp.broadcast_to(kh, (G.ny, G.nx))
+    dt_sub = dt / n_sub
+
+    h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
+    h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+    kh_u = 0.5 * (kh + ip1(kh))
+    kh_v = 0.5 * (kh + jp1(kh))
+    # transport coefficients [m3 s-1]
+    coef_u = kh_u * G.dyCu * G.IdxCu * h_u * G.mask2dCu
+    coef_v = kh_v * G.dxCv * G.IdyCv * h_v * G.mask2dCv
+    vol = jnp.maximum(h * G.areaT, 1e-10)
+
+    def sub(_, T):
+        fx = coef_u[None] * (ip1(T) - T)
+        fy = coef_v[None] * (jp1(T) - T)
+        div = (fx - im1(fx)) + (fy - jm1(fy))
+        return T + dt_sub * div / vol[None]
+
+    return jax.lax.fori_loop(0, n_sub, sub, T)

@@ -1,0 +1,46 @@
+"""Implicit vertical tracer diffusion (the diabatic column solve).
+
+Analogue of MOM6's tracer_vertdiff (reference:
+src/tracer/MOM_tracer_diabatic.F90:643 — tracer_vertdiff_Eulerian): a
+backward-Euler vertical diffusion of tracers with interface diffusivities
+Kd, optional surface flux into the top layer, as one batched tridiagonal
+solve (tracer axis batched)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.framework.solvers import tridiag_solve
+
+__all__ = ["tracer_vertdiff"]
+
+_H_EPS = 1e-3  # conditioning floor, see physics/vertical/vert_friction.py
+
+
+def tracer_vertdiff(T, h, kd_int, dt, *, sfc_flux: Optional[jnp.ndarray] = None):
+    """``T``: (n_tr, nz, ny, nx); ``h``: (nz, ny, nx);
+    ``kd_int``: interface diffusivities (nz+1, ny, nx) [m2 s-1]
+    (kd_int[0] and kd_int[nz] are the surface/bottom, fluxes there are 0);
+    ``sfc_flux``: (n_tr, ny, nx) tracer flux into the top layer
+    [conc * m / s]."""
+    dz_int = 0.5 * (h[:-1] + h[1:])
+    a_int = kd_int[1:-1] / jnp.maximum(dz_int, _H_EPS)   # (nz-1, ny, nx)
+    zeros = jnp.zeros_like(h[:1])
+    a_above = jnp.concatenate([zeros, a_int], axis=0)
+    a_below = jnp.concatenate([a_int, zeros], axis=0)
+
+    hdt = jnp.maximum(h, _H_EPS) / dt
+    b = hdt + a_above + a_below
+    a = -a_above
+    c = jnp.concatenate([-a_below[:-1], zeros], axis=0)
+
+    rhs = hdt[None] * T
+    if sfc_flux is not None:
+        rhs = rhs.at[:, 0].add(sfc_flux)
+
+    # solve along k with the tracer axis batched: (nz, n_tr, ny, nx)
+    x = tridiag_solve(a[:, None], b[:, None], c[:, None],
+                      jnp.moveaxis(rhs, 0, 1))
+    return jnp.moveaxis(x, 1, 0)

@@ -1,0 +1,81 @@
+"""Lateral friction tests: momentum conservation, energy dissipation,
+smoothing, Smagorinsky scaling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.physics.lateral.hor_visc import (HorViscParams,
+                                               horizontal_viscosity)
+
+
+def setup(nx=16, ny=16):
+    return build_cartesian_grid(nx, ny, 100.0, 100.0, max_depth=1000.0,
+                                cyclic_x=True, reentrant_y=True,
+                                dtype=jnp.float32)
+
+
+def rand_state(G, seed=0, nz=2):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(0.1 * rng.standard_normal((nz, G.ny, G.nx)), jnp.float32)
+    v = jnp.asarray(0.1 * rng.standard_normal((nz, G.ny, G.nx)), jnp.float32)
+    h = jnp.asarray(100.0 + 5 * rng.standard_normal((nz, G.ny, G.nx)),
+                    jnp.float32)
+    return u, v, h
+
+
+def test_uniform_flow_no_friction():
+    G = setup()
+    u = jnp.full((1, 16, 16), 0.5, jnp.float32)
+    v = jnp.full((1, 16, 16), -0.3, jnp.float32)
+    h = jnp.full((1, 16, 16), 100.0, jnp.float32)
+    du, dv = horizontal_viscosity(u, v, h, G, HorViscParams(kh=1e3))
+    assert float(jnp.max(jnp.abs(du))) < 1e-10
+    assert float(jnp.max(jnp.abs(dv))) < 1e-10
+
+
+def test_laplacian_dissipates_energy():
+    G = setup()
+    u, v, h = rand_state(G)
+    du, dv = horizontal_viscosity(u, v, h, G, HorViscParams(kh=1e3))
+    h_u = 0.5 * (h + jnp.roll(h, -1, -1))
+    h_v = 0.5 * (h + jnp.roll(h, -1, -2))
+    work = float(np.asarray(u * du * h_u, np.float64).sum()
+                 + np.asarray(v * dv * h_v, np.float64).sum())
+    assert work < 0.0
+
+
+def test_biharmonic_dissipates_energy():
+    G = setup()
+    u, v, h = rand_state(G, seed=1)
+    du, dv = horizontal_viscosity(u, v, h, G, HorViscParams(ah=1e10))
+    h_u = 0.5 * (h + jnp.roll(h, -1, -1))
+    h_v = 0.5 * (h + jnp.roll(h, -1, -2))
+    work = float(np.asarray(u * du * h_u, np.float64).sum()
+                 + np.asarray(v * dv * h_v, np.float64).sum())
+    assert work < 0.0
+
+
+def test_smag_scales_with_shear():
+    G = setup()
+    u, v, h = rand_state(G, seed=2)
+    p = HorViscParams(smag_lap_const=0.15, dt=1000.0)
+    du1, _ = horizontal_viscosity(u, v, h, G, p)
+    du2, _ = horizontal_viscosity(4.0 * u, 4.0 * v, h, G, p)
+    # Smagorinsky stress ~ |S| * S => quadruple velocity -> ~16x accel
+    r = float(jnp.max(jnp.abs(du2))) / max(float(jnp.max(jnp.abs(du1))), 1e-30)
+    assert 8.0 < r < 32.0
+
+
+def test_momentum_conservation_uniform_coef_flat_h():
+    """With constant coefficient and flat thickness, the stress divergence
+    integrates to zero over a periodic domain."""
+    G = setup()
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.1 * rng.standard_normal((1, 16, 16)), jnp.float32)
+    v = jnp.asarray(0.1 * rng.standard_normal((1, 16, 16)), jnp.float32)
+    h = jnp.full((1, 16, 16), 100.0, jnp.float32)
+    du, dv = horizontal_viscosity(u, v, h, G, HorViscParams(kh=1e3))
+    s = abs(float(np.asarray(du, np.float64).sum()))
+    scale = float(np.abs(np.asarray(du, np.float64)).sum()) + 1e-30
+    assert s < 1e-4 * scale

@@ -1,0 +1,80 @@
+"""End-to-end thermodynamic model test: step_mom with FV/EOS pressure force,
+diabatic physics, tracer advection and z* ALE (the benchmark-config
+milestone of SURVEY.md §7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.drivers.experiments import thermo_gyre
+from mom6_tpu.core.mom import step_mom
+
+
+def test_thermo_gyre_runs_and_conserves():
+    G, GV, state, params, forcing = thermo_gyre(nx=16, ny=16, nz=6,
+                                                dt=1800.0,
+                                                n_dyn_per_thermo=2)
+
+    @jax.jit
+    def cycle(s):
+        return step_mom(s, forcing, G, GV, params)
+
+    area = np.asarray(G.areaT, np.float64)
+    wet = np.asarray(G.mask2dT, np.float64)
+    h0 = np.asarray(state.h, np.float64)
+    vol0 = (h0 * area).sum()
+    salt0 = (np.asarray(state.S, np.float64) * h0 * area * wet).sum()
+    heat0 = (np.asarray(state.T, np.float64) * h0 * area * wet).sum()
+
+    n_cycles = 12   # 12 h
+    for _ in range(n_cycles):
+        state = cycle(state)
+
+    h = np.asarray(state.h, np.float64)
+    T = np.asarray(state.T, np.float64)
+    S = np.asarray(state.S, np.float64)
+    u = np.asarray(state.u)
+
+    assert np.isfinite(h).all() and np.isfinite(T).all() and np.isfinite(u).all()
+    assert h.min() > 0.0
+    assert np.abs(u).max() < 2.0
+
+    # volume conserved
+    vol1 = (h * area).sum()
+    assert abs(vol1 - vol0) / vol0 < 1e-4
+
+    # salt conserved (no salt forcing)
+    salt1 = (S * h * area * wet).sum()
+    assert abs(salt1 - salt0) / salt0 < 1e-3
+
+    # heat change matches the (here net-zero-mean) surface heating pattern:
+    # total heat change should be small compared to one-sided heating
+    dt_therm = params.dyn.dt * params.n_dyn_per_thermo
+    q = np.asarray(forcing.buoy.heat_flux, np.float64)
+    expected_dheat = (q * area * wet).sum() / (GV.rho0 * params.diabatic.cp) \
+        * dt_therm * n_cycles
+    heat1 = (T * h * area * wet).sum()
+    one_sided = (np.abs(q) * area * wet).sum() / (GV.rho0 * params.diabatic.cp) \
+        * dt_therm * n_cycles
+    assert abs((heat1 - heat0) - expected_dheat) < 0.05 * one_sided
+
+    # temperature stays within physical bounds (monotone advection + mixing)
+    assert T.max() <= 21.0 and T.min() >= 3.0
+
+    # z* ALE keeps layers close to their nominal thickness
+    dz_nom = 3000.0 / 6
+    assert abs(h.mean() - dz_nom) / dz_nom < 0.05
+
+
+def test_adiabatic_mode_matches_plain_dynamics():
+    """thermo_enabled=False must reduce step_mom to pure dynamics."""
+    from mom6_tpu.drivers.experiments import double_gyre
+    from mom6_tpu.core.mom import MOMParams, Forcing
+    from mom6_tpu.core.dynamics_split_rk2 import step_dynamics_split_rk2
+
+    G, GV, state, dynp, mech = double_gyre(nx=12, ny=12, nz=2, dt=1200.0)
+    p = MOMParams(dyn=dynp, thermo_enabled=False, n_dyn_per_thermo=1)
+    s1 = jax.jit(lambda s: step_mom(s, Forcing(mech=mech), G, GV, p))(state)
+    s2 = jax.jit(lambda s: step_dynamics_split_rk2(s, mech, G, GV, dynp))(state)
+    np.testing.assert_allclose(np.asarray(s1.h), np.asarray(s2.h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u), atol=1e-8)

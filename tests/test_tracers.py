@@ -1,0 +1,138 @@
+"""Tracer subsystem tests: advection conservation/monotonicity/uniformity,
+horizontal and vertical diffusion."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.tracers.advect import advect_tracers
+from mom6_tpu.tracers.hor_diff import tracer_hordiff
+from mom6_tpu.tracers.vert_diff import tracer_vertdiff
+from mom6_tpu.tracers.registry import TracerRegistry
+
+
+def setup(nx=16, ny=16, cyclic=True):
+    return build_cartesian_grid(nx, ny, 100.0, 100.0, max_depth=1000.0,
+                                cyclic_x=cyclic, reentrant_y=cyclic,
+                                dtype=jnp.float32)
+
+
+class TestAdvect:
+    def test_uniform_tracer_stays_uniform(self):
+        G = setup()
+        rng = np.random.default_rng(0)
+        h = jnp.asarray(100.0 + 10 * rng.standard_normal((2, 16, 16)),
+                        jnp.float32)
+        uhtr = jnp.asarray(1e7 * rng.standard_normal((2, 16, 16)), jnp.float32)
+        vhtr = jnp.asarray(1e7 * rng.standard_normal((2, 16, 16)), jnp.float32)
+        T = jnp.full((1, 2, 16, 16), 3.5, jnp.float32)
+        T_new, h_new = advect_tracers(T, h, uhtr, vhtr, G, n_sub=2)
+        np.testing.assert_allclose(np.asarray(T_new), 3.5, rtol=1e-5)
+
+    def test_total_tracer_conserved(self):
+        G = setup()
+        rng = np.random.default_rng(1)
+        h = jnp.asarray(100.0 + 10 * rng.standard_normal((2, 16, 16)),
+                        jnp.float32)
+        uhtr = jnp.asarray(5e6 * rng.standard_normal((2, 16, 16)), jnp.float32)
+        vhtr = jnp.asarray(5e6 * rng.standard_normal((2, 16, 16)), jnp.float32)
+        T = jnp.asarray(10.0 + rng.standard_normal((2, 2, 16, 16)),
+                        jnp.float32)
+        T_new, h_new = advect_tracers(T, h, uhtr, vhtr, G, n_sub=2)
+        area = np.asarray(G.areaT, np.float64)
+        tot0 = (np.asarray(T, np.float64) *
+                np.asarray(h, np.float64)[None] * area).sum(axis=(1, 2, 3))
+        tot1 = (np.asarray(T_new, np.float64) *
+                np.asarray(h_new, np.float64)[None] * area).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(tot1, tot0, rtol=2e-5)
+
+    def test_monotone(self):
+        G = setup()
+        rng = np.random.default_rng(2)
+        h = jnp.full((1, 16, 16), 100.0, jnp.float32)
+        uhtr = jnp.asarray(1e7 * rng.standard_normal((1, 16, 16)), jnp.float32)
+        vhtr = jnp.zeros_like(uhtr)
+        T0 = np.zeros((1, 1, 16, 16), np.float32)
+        T0[..., 6:10] = 1.0
+        T_new, _ = advect_tracers(jnp.asarray(T0), h, uhtr, vhtr, G, n_sub=4)
+        t = np.asarray(T_new)
+        assert t.min() >= -1e-6 and t.max() <= 1.0 + 1e-6
+
+    def test_translation(self):
+        """Uniform flow translates a blob in the right direction."""
+        G = setup()
+        h = jnp.full((1, 16, 16), 100.0, jnp.float32)
+        # transport = u*h*dy*dt, u=0.5 m/s eastward for dt such that
+        # displacement = 1 cell = 6250 m -> u*dt = 6250
+        uhtr = jnp.full((1, 16, 16), 6250.0 * 100.0 * 6250.0, jnp.float32)
+        vhtr = jnp.zeros_like(uhtr)
+        T0 = np.zeros((1, 1, 16, 16), np.float32)
+        T0[..., 8] = 1.0
+        T_new, _ = advect_tracers(jnp.asarray(T0), h, uhtr, vhtr, G, n_sub=4)
+        t = np.asarray(T_new)[0, 0]
+        # center of mass moved ~1 cell east
+        com0 = (T0[0, 0].sum(0) * np.arange(16)).sum() / T0.sum()
+        com1 = (t.sum(0) * np.arange(16)).sum() / t.sum()
+        assert 0.7 < com1 - com0 < 1.3
+
+
+class TestHorDiff:
+    def test_conserves_and_smooths(self):
+        G = setup()
+        rng = np.random.default_rng(3)
+        h = jnp.full((2, 16, 16), 100.0, jnp.float32)
+        T = jnp.asarray(rng.standard_normal((1, 2, 16, 16)), jnp.float32)
+        T_new = tracer_hordiff(T, h, 1e3, 3600.0, G, n_sub=2)
+        area = np.asarray(G.areaT, np.float64)
+        tot0 = (np.asarray(T, np.float64) * 100.0 * area).sum()
+        tot1 = (np.asarray(T_new, np.float64) * 100.0 * area).sum()
+        np.testing.assert_allclose(tot1, tot0, rtol=1e-5, atol=1e-2)
+        assert float(jnp.var(T_new)) < float(jnp.var(T))
+
+
+class TestVertDiff:
+    def test_conserves_column(self):
+        rng = np.random.default_rng(4)
+        h = jnp.asarray(50.0 + 10 * np.abs(rng.standard_normal((6, 4, 4))),
+                        jnp.float32)
+        T = jnp.asarray(rng.standard_normal((2, 6, 4, 4)), jnp.float32)
+        kd = jnp.full((7, 4, 4), 1e-3, jnp.float32)
+        T_new = tracer_vertdiff(T, h, kd, 3600.0)
+        col0 = np.asarray((T * h[None]).sum(axis=1), np.float64)
+        col1 = np.asarray((T_new * h[None]).sum(axis=1), np.float64)
+        np.testing.assert_allclose(col1, col0, rtol=1e-4, atol=1e-3)
+
+    def test_surface_flux_heats_top(self):
+        h = jnp.full((4, 4, 4), 100.0, jnp.float32)
+        T = jnp.zeros((1, 4, 4, 4), jnp.float32)
+        kd = jnp.zeros((5, 4, 4), jnp.float32)
+        flux = jnp.full((1, 4, 4), 0.01, jnp.float32)  # conc m/s
+        T_new = tracer_vertdiff(T, h, kd, 3600.0, sfc_flux=flux)
+        np.testing.assert_allclose(float(T_new[0, 0, 0, 0]),
+                                   0.01 * 3600 / 100, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(T_new[0, 1:]), 0.0, atol=1e-8)
+
+    def test_strong_mixing_homogenizes(self):
+        h = jnp.full((4, 2, 2), 100.0, jnp.float32)
+        T = jnp.zeros((1, 4, 2, 2), jnp.float32).at[:, 0].set(4.0)
+        kd = jnp.full((5, 2, 2), 10.0, jnp.float32)
+        T_new = tracer_vertdiff(T, h, kd, 1e6)
+        np.testing.assert_allclose(np.asarray(T_new), 1.0, rtol=0.05)
+
+
+class TestRegistry:
+    def test_register_stack_roundtrip(self):
+        reg = TracerRegistry()
+        reg.register("T", "degC", "Potential Temperature")
+        reg.register("S", "ppt", "Salinity")
+        with pytest.raises(ValueError):
+            reg.register("T")
+        d = {"T": jnp.ones((2, 3, 3)), "S": 2.0 * jnp.ones((2, 3, 3))}
+        arr = reg.stack(d)
+        assert arr.shape == (2, 2, 3, 3)
+        back = reg.unstack(arr)
+        assert float(back["S"][0, 0, 0]) == 2.0
+        reg.lock()
+        with pytest.raises(RuntimeError):
+            reg.register("age")
