@@ -94,9 +94,40 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                           vhtr=jnp.zeros_like(state.vhtr))
 
     # --- column physics (step_MOM_thermo -> diabatic) ---------------------
+    # boundary-layer + shear mixing feed the diabatic solve as extra
+    # interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
+    kd_extra = None
+    if p.diabatic.boundary_layer_scheme == "KPP":
+        from mom6_tpu.physics.vertical.kpp import kpp_diffusivity
+        taux = forcing.mech.taux if forcing.mech.taux is not None else \
+            jnp.zeros_like(G.mask2dT)
+        tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
+            jnp.zeros_like(G.mask2dT)
+        kd_bl, _ = kpp_diffusivity(state.h, state.u, state.v, state.T,
+                                   state.S, G, GV, eos, taux, tauy,
+                                   forcing.buoy.heat_flux)
+        kd_extra = kd_bl
+    elif p.diabatic.boundary_layer_scheme == "EPBL":
+        from mom6_tpu.physics.vertical.epbl import epbl_diffusivity
+        taux = forcing.mech.taux if forcing.mech.taux is not None else \
+            jnp.zeros_like(G.mask2dT)
+        tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
+            jnp.zeros_like(G.mask2dT)
+        kd_bl, _ = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
+                                    taux, tauy, forcing.buoy.heat_flux)
+        kd_extra = kd_bl
+    if p.diabatic.use_shear_mixing:
+        from mom6_tpu.physics.vertical.shear_mixing import (
+            ShearMixingParams, shear_mixing_kd)
+        kd_sh = shear_mixing_kd(state.h, state.u, state.v, state.T, state.S,
+                                G, GV, eos,
+                                ShearMixingParams(scheme=p.diabatic.shear_scheme))
+        kd_extra = kd_sh if kd_extra is None else kd_extra + kd_sh
+
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
     T, S, kd, _ = diabatic_ale(state.T, state.S, state.h, forcing.buoy,
-                               dt_therm, G, GV, p.diabatic)
+                               dt_therm, G, GV, p.diabatic,
+                               kd_extra=kd_extra)
     state = state.replace(T=T, S=S)
 
     # --- ALE regrid + remap ----------------------------------------------

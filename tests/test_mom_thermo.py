@@ -78,3 +78,40 @@ def test_adiabatic_mode_matches_plain_dynamics():
     s2 = jax.jit(lambda s: step_dynamics_split_rk2(s, mech, G, GV, dynp))(state)
     np.testing.assert_allclose(np.asarray(s1.h), np.asarray(s2.h), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u), atol=1e-8)
+
+
+def test_thermo_gyre_with_kpp_and_shear():
+    """Full mixing suite active inside step_mom: KPP boundary layer +
+    LMD94 shear mixing feeding the diabatic solve."""
+    G, GV, state, params, forcing = thermo_gyre(nx=12, ny=12, nz=6,
+                                                dt=1800.0,
+                                                n_dyn_per_thermo=2)
+    params = params._replace(
+        diabatic=params.diabatic._replace(boundary_layer_scheme="KPP",
+                                          use_shear_mixing=True))
+
+    @jax.jit
+    def cycle(s):
+        return step_mom(s, forcing, G, GV, params)
+
+    for _ in range(6):
+        state = cycle(state)
+    T = np.asarray(state.T)
+    assert np.isfinite(T).all()
+    assert T.max() <= 21.0 and T.min() >= 3.0
+    assert np.asarray(state.h).min() > 0.0
+
+
+def test_thermo_gyre_with_epbl():
+    G, GV, state, params, forcing = thermo_gyre(nx=12, ny=12, nz=6,
+                                                dt=1800.0)
+    params = params._replace(
+        diabatic=params.diabatic._replace(boundary_layer_scheme="EPBL"))
+
+    @jax.jit
+    def cycle(s):
+        return step_mom(s, forcing, G, GV, params)
+
+    for _ in range(4):
+        state = cycle(state)
+    assert np.isfinite(np.asarray(state.T)).all()

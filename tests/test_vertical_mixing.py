@@ -1,0 +1,125 @@
+"""Vertical mixing suite tests: KPP boundary layer, shear mixing, ePBL."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.grid.vertical import build_layered_vgrid
+from mom6_tpu.eos import get_eos
+from mom6_tpu.physics.vertical.kpp import KPPParams, kpp_diffusivity
+from mom6_tpu.physics.vertical.shear_mixing import (ShearMixingParams,
+                                                    richardson_number,
+                                                    shear_mixing_kd)
+from mom6_tpu.physics.vertical.epbl import EPBLParams, epbl_diffusivity
+
+
+def setup(nz=10, mixed_layer=False):
+    G = build_cartesian_grid(8, 8, 100.0, 100.0, max_depth=1000.0,
+                             cyclic_x=True, reentrant_y=True,
+                             dtype=jnp.float32)
+    GV = build_layered_vgrid(nz)
+    eos = get_eos("WRIGHT")
+    dz = 1000.0 / nz
+    h = jnp.full((nz, 8, 8), dz, jnp.float32)
+    zc = np.cumsum(np.full(nz, dz)) - dz / 2
+    if mixed_layer:
+        # near-neutral upper ocean over a thermocline: the boundary layer
+        # then spans several model interfaces
+        T0 = np.where(zc < 300.0, 16.0, 16.0 - 0.02 * (zc - 300.0))
+    else:
+        T0 = 4.0 + 16.0 * np.exp(-zc / 300.0)
+    T = jnp.asarray(np.broadcast_to(T0[:, None, None], (nz, 8, 8)),
+                    jnp.float32)
+    S = jnp.full((nz, 8, 8), 35.0, jnp.float32)
+    return G, GV, eos, h, T, S
+
+
+class TestKPP:
+    def test_stronger_wind_deeper_bld(self):
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
+        u = jnp.zeros_like(h)
+        v = jnp.zeros_like(h)
+        z = jnp.zeros((8, 8), jnp.float32)
+        kd1, hbl1 = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                    z + 0.05, z, None)
+        kd2, hbl2 = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                    z + 0.8, z, None)
+        assert float(hbl2.mean()) > float(hbl1.mean())
+        assert float(kd2.max()) > float(kd1.max())
+        assert float(kd1.min()) >= 0.0
+
+    def test_cooling_deepens_bld(self):
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
+        u = v = jnp.zeros_like(h)
+        z = jnp.zeros((8, 8), jnp.float32)
+        tau = z + 0.1
+        _, hbl_neutral = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                         tau, z, None)
+        _, hbl_cool = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                      tau, z, z - 500.0)  # strong cooling
+        assert float(hbl_cool.mean()) > float(hbl_neutral.mean())
+
+    def test_kd_shape_and_bounds(self):
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
+        u = v = jnp.zeros_like(h)
+        z = jnp.zeros((8, 8), jnp.float32)
+        kd, hbl = kpp_diffusivity(h, u, v, T, S, G, GV, eos, z + 0.2, z, None)
+        assert kd.shape == (26, 8, 8)
+        k = np.asarray(kd)
+        assert (k >= 0.0).all() and k.max() < 1.0
+        assert np.allclose(k[0], 0.0) and np.allclose(k[-1], 0.0)
+
+
+class TestShear:
+    def test_richardson_number(self):
+        G, GV, eos, h, T, S = setup(nz=5)
+        # strong shear -> low Ri
+        u = jnp.zeros_like(h).at[0].set(1.0)
+        v = jnp.zeros_like(h)
+        ri = richardson_number(h, u, v, T, S, GV, eos)
+        assert ri.shape == (4, 8, 8)
+        assert float(ri[0].mean()) < float(ri[-1].mean())
+
+    def test_lmd94_cutoff(self):
+        G, GV, eos, h, T, S = setup(nz=5)
+        u_sheared = jnp.zeros_like(h).at[0].set(5.0)
+        kd_shear = shear_mixing_kd(h, u_sheared, jnp.zeros_like(h), T, S,
+                                   G, GV, eos)
+        kd_calm = shear_mixing_kd(h, jnp.zeros_like(h), jnp.zeros_like(h),
+                                  T, S, G, GV, eos)
+        assert float(kd_shear.max()) > 1e-4
+        assert float(kd_calm.max()) < 1e-6  # stratified, no shear
+
+    def test_pp81(self):
+        G, GV, eos, h, T, S = setup(nz=5)
+        u = jnp.zeros_like(h).at[0].set(1.0)
+        kd = shear_mixing_kd(h, u, jnp.zeros_like(h), T, S, G, GV, eos,
+                             ShearMixingParams(scheme="PP81"))
+        assert float(kd.max()) > 0.0
+
+
+class TestEPBL:
+    def test_wind_scaling(self):
+        G, GV, eos, h, T, S = setup()
+        z = jnp.zeros((8, 8), jnp.float32)
+        kd1, mld1 = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.05, z, None)
+        kd2, mld2 = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.8, z, None)
+        assert float(mld2.mean()) > float(mld1.mean())
+
+    def test_convection_deepens(self):
+        G, GV, eos, h, T, S = setup()
+        z = jnp.zeros((8, 8), jnp.float32)
+        _, mld_n = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.1, z, None)
+        _, mld_c = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.1, z,
+                                    z - 800.0)
+        assert float(mld_c.mean()) > float(mld_n.mean())
+
+    def test_bounds(self):
+        G, GV, eos, h, T, S = setup()
+        z = jnp.zeros((8, 8), jnp.float32)
+        kd, mld = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.3, z, z - 100.0)
+        k = np.asarray(kd)
+        assert (k >= 0).all() and k.max() <= 0.1 + 1e-6
+        m = np.asarray(mld)
+        assert (m >= 1.0).all() and (m <= 1000.0).all()
