@@ -46,7 +46,10 @@ class MOMParams(NamedTuple):
     eos_name: str = "WRIGHT"
     diabatic: DiabaticParams = DiabaticParams()
     ale: ALEParams = ALEParams(mode=LAYER)
-    hor_visc: Optional[HorViscParams] = None
+    hor_visc: Optional["HorViscParams"] = None
+    gm: Optional["GMParams"] = None               # thickness diffusion
+    mlrestrat: Optional["MLRestratParams"] = None
+    meke: Optional["MEKEParams"] = None
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
 
@@ -71,6 +74,41 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     if p.hor_visc is not None:
         def hv_fn(u, v, h):
             return horizontal_viscosity(u, v, h, G, p.hor_visc)
+
+    # --- lateral eddy parameterizations acting on h (the
+    # thickness_diffuse_first path, MOM.F90:1226-1278) -----------------------
+    dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+    if p.thermo_enabled and p.gm is not None:
+        from mom6_tpu.physics.lateral.meke import (gm_pe_release,
+                                                   meke_diffusivity,
+                                                   step_meke)
+        from mom6_tpu.physics.lateral.thickness_diffuse import \
+            thickness_diffuse
+        khth_2d = None
+        if p.meke is not None and state.E_meke is not None:
+            khth_2d = p.gm.khth + meke_diffusivity(state.E_meke, p.meke)
+        h_gm, uhd, vhd = thickness_diffuse(state.h, G, GV, dt_therm, p.gm,
+                                           khth_2d=khth_2d,
+                                           T=state.T, S=state.S, eos=eos)
+        if p.meke is not None and state.E_meke is not None:
+            src = gm_pe_release(state.h, uhd, vhd, G, GV)
+            e_new = step_meke(state.E_meke, src, state.h, G, dt_therm,
+                              p.meke)
+            state = state.replace(E_meke=e_new)
+        state = state.replace(h=h_gm,
+                              uhtr=state.uhtr + dt_therm * uhd,
+                              vhtr=state.vhtr + dt_therm * vhd)
+    if p.thermo_enabled and p.mlrestrat is not None:
+        from mom6_tpu.diagnostics.mld import diagnose_mld
+        from mom6_tpu.physics.lateral.mixed_layer_restrat import \
+            mixedlayer_restrat
+        mld = diagnose_mld(state.h, state.T, state.S, G, GV, eos)
+        h_mlr, uh_m, vh_m = mixedlayer_restrat(state.h, state.T, state.S,
+                                               mld, G, GV, eos, dt_therm,
+                                               p.mlrestrat)
+        state = state.replace(h=h_mlr,
+                              uhtr=state.uhtr + dt_therm * uh_m,
+                              vhtr=state.vhtr + dt_therm * vh_m)
 
     h_before_dyn = state.h
 

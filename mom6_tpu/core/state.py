@@ -36,6 +36,7 @@ class OceanState:
     vh: Optional[jnp.ndarray] = None
     uhtr: Optional[jnp.ndarray] = None
     vhtr: Optional[jnp.ndarray] = None
+    E_meke: Optional[jnp.ndarray] = None   # (ny, nx) eddy energy [m2 s-2]
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

@@ -1,0 +1,163 @@
+"""Lateral parameterization suite tests: GM thickness diffusion, VarMix,
+wave speed, MEKE, mixed-layer restratification, isopycnal slopes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.grid.vertical import build_layered_vgrid
+from mom6_tpu.eos import get_eos
+from mom6_tpu.core.isopycnal_slopes import isopycnal_slopes
+from mom6_tpu.diagnostics.wave_speed import wave_speed_wkb
+from mom6_tpu.physics.lateral.lateral_mixing_coeffs import (
+    VarMixParams, resolution_function)
+from mom6_tpu.physics.lateral.thickness_diffuse import (GMParams,
+                                                        thickness_diffuse)
+from mom6_tpu.physics.lateral.meke import (MEKEParams, meke_diffusivity,
+                                           step_meke)
+from mom6_tpu.physics.lateral.mixed_layer_restrat import (MLRestratParams,
+                                                          mixedlayer_restrat)
+
+
+def setup(nx=16, ny=16, nz=4):
+    G = build_cartesian_grid(nx, ny, 400.0, 400.0, max_depth=2000.0,
+                             cyclic_x=True, reentrant_y=True, f0=1e-4,
+                             dtype=jnp.float32)
+    GV = build_layered_vgrid(nz)
+    eos = get_eos("WRIGHT")
+    return G, GV, eos
+
+
+class TestGM:
+    def test_flattens_interface_bump_conserving(self):
+        G, GV, eos = setup()
+        nz = 4
+        h = np.full((nz, 16, 16), 500.0)
+        # interior interface bump: layer 1 thin / layer 2 thick at center
+        bump = 100.0 * np.exp(-((np.arange(16) - 8) ** 2)[None, :] / 8.0
+                              - ((np.arange(16) - 8) ** 2)[:, None] / 8.0)
+        h[1] -= bump
+        h[2] += bump
+        h = jnp.asarray(h, jnp.float32)
+        var0 = float(jnp.var(h[1]))
+        vol0 = float(np.asarray(jnp.sum(h, 0), np.float64).sum())
+        h_new, uhd, vhd = thickness_diffuse(h, G, GV, 3600.0,
+                                            GMParams(khth=1000.0))
+        var1 = float(jnp.var(h_new[1]))
+        vol1 = float(np.asarray(jnp.sum(h_new, 0), np.float64).sum())
+        assert var1 < var0                       # interfaces flatten
+        assert abs(vol1 - vol0) / vol0 < 1e-6    # column volume conserved
+        # per-column volume conserved too (streamfunction form)
+        col_diff = np.abs(np.asarray(jnp.sum(h_new - h, 0)))
+        assert col_diff.max() < 1e-3
+
+    def test_flat_interfaces_no_flux(self):
+        G, GV, eos = setup()
+        h = jnp.full((4, 16, 16), 500.0, jnp.float32)
+        h_new, uhd, vhd = thickness_diffuse(h, G, GV, 3600.0, GMParams())
+        assert float(jnp.max(jnp.abs(uhd))) < 1e-6
+        np.testing.assert_allclose(np.asarray(h_new), 500.0, rtol=1e-6)
+
+
+class TestWaveSpeedVarMix:
+    def test_wave_speed_increases_with_stratification(self):
+        G, GV, eos = setup()
+        nz = 8
+        h = jnp.full((nz, 16, 16), 250.0, jnp.float32)
+        zc = np.cumsum(np.full(nz, 250.0)) - 125.0
+        T_weak = jnp.asarray(np.broadcast_to(
+            (10.0 - 0.001 * zc)[:, None, None], (nz, 16, 16)), jnp.float32)
+        T_strong = jnp.asarray(np.broadcast_to(
+            (20.0 - 0.008 * zc)[:, None, None], (nz, 16, 16)), jnp.float32)
+        S = jnp.full((nz, 16, 16), 35.0, jnp.float32)
+        c_weak = wave_speed_wkb(h, T_weak, S, G, GV, eos)
+        c_strong = wave_speed_wkb(h, T_strong, S, G, GV, eos)
+        assert float(c_strong.mean()) > float(c_weak.mean()) > 0.0
+        # typical ocean c1 is O(1-3 m/s)
+        assert 0.1 < float(c_strong.mean()) < 10.0
+
+    def test_resolution_function_limits(self):
+        G, GV, eos = setup()
+        c1 = jnp.full((16, 16), 2.0, jnp.float32)
+        f = jnp.full((16, 16), 1e-4, jnp.float32)
+        res_coarse = resolution_function(c1, f, G)        # dx=25km vs Ld=20km
+        f_small = jnp.full((16, 16), 1e-6, jnp.float32)   # Ld huge
+        res_fine = resolution_function(c1, f_small, G)
+        assert float(res_fine.mean()) < float(res_coarse.mean())
+        r = np.asarray(res_coarse)
+        assert (r >= 0).all() and (r <= 1).all()
+
+
+class TestIsoSlopes:
+    def test_flat_isopycnals_zero_slope(self):
+        G, GV, eos = setup()
+        nz = 4
+        h = jnp.full((nz, 16, 16), 500.0, jnp.float32)
+        zc = np.cumsum(np.full(nz, 500.0)) - 250.0
+        T = jnp.asarray(np.broadcast_to((15.0 - 0.005 * zc)[:, None, None],
+                                        (nz, 16, 16)), jnp.float32)
+        S = jnp.full((nz, 16, 16), 35.0, jnp.float32)
+        sx, sy = isopycnal_slopes(h, T, S, G, GV, eos)
+        assert float(jnp.max(jnp.abs(sx))) < 1e-6
+
+    def test_tilted_density_gives_slope(self):
+        G, GV, eos = setup()
+        nz = 4
+        h = jnp.full((nz, 16, 16), 500.0, jnp.float32)
+        zc = np.cumsum(np.full(nz, 500.0)) - 250.0
+        x = np.arange(16)
+        T0 = (15.0 - 0.005 * zc)[:, None, None] + 0.01 * x[None, None, :]
+        T = jnp.asarray(np.broadcast_to(T0, (nz, 16, 16)), jnp.float32)
+        S = jnp.full((nz, 16, 16), 35.0, jnp.float32)
+        sx, sy = isopycnal_slopes(h, T, S, G, GV, eos)
+        s = np.asarray(sx)
+        # slope = -(drho/dx)/(drho/dz); warmer east = lighter east =>
+        # isopycnals deepen eastward: sign and reasonable magnitude
+        assert np.abs(s[1:3, 4:12, 4:12]).min() > 1e-7
+        assert np.abs(s).max() <= 0.01 + 1e-9
+
+
+class TestMEKE:
+    def test_energy_budget(self):
+        G, GV, eos = setup()
+        h = jnp.full((4, 16, 16), 500.0, jnp.float32)
+        E0 = jnp.zeros((16, 16), jnp.float32)
+        src = jnp.full((16, 16), 1e-7, jnp.float32)
+        E1 = step_meke(E0, src, h, G, 3600.0)
+        assert float(E1.mean()) > 0.0
+        # without source, E decays
+        E2 = step_meke(E1, jnp.zeros_like(src), h, G, 1e6,
+                       MEKEParams(damping=1e-5))
+        assert float(E2.mean()) < float(E1.mean())
+        kh = meke_diffusivity(E1)
+        assert float(kh.min()) >= 0.0 and float(kh.max()) <= 2000.0
+
+
+class TestMLRestrat:
+    def test_restratification_lowers_pe_and_conserves(self):
+        G, GV, eos = setup()
+        nz = 6
+        h = jnp.full((nz, 16, 16), 50.0, jnp.float32)  # 300 m of ML-ish water
+        x = np.arange(16)
+        # a buoyancy front in the upper layers
+        T0 = np.broadcast_to(16.0 + 0.2 * x[None, None, :], (nz, 16, 16)).copy()
+        T = jnp.asarray(T0, jnp.float32)
+        S = jnp.full((nz, 16, 16), 35.0, jnp.float32)
+        mld = jnp.full((16, 16), 150.0, jnp.float32)
+        h_new, uh, vh = mixedlayer_restrat(h, T, S, mld, G, GV, eos, 3600.0)
+        # volume conserved per column
+        col_diff = np.abs(np.asarray(jnp.sum(h_new - h, 0)))
+        assert col_diff.max() < 1e-3
+        # transports confined to the mixed layer (top 3 of 6 layers)
+        u = np.asarray(uh)
+        assert np.abs(u[:3]).max() > 0.0
+        assert np.abs(u[4:]).max() <= np.abs(u[:3]).max() * 0.2 + 1e-6
+
+    def test_no_front_no_transport(self):
+        G, GV, eos = setup()
+        h = jnp.full((4, 16, 16), 100.0, jnp.float32)
+        T = jnp.full((4, 16, 16), 15.0, jnp.float32)
+        S = jnp.full((4, 16, 16), 35.0, jnp.float32)
+        mld = jnp.full((16, 16), 200.0, jnp.float32)
+        _, uh, vh = mixedlayer_restrat(h, T, S, mld, G, GV, eos, 3600.0)
+        assert float(jnp.max(jnp.abs(uh))) < 1e-4

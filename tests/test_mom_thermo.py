@@ -115,3 +115,37 @@ def test_thermo_gyre_with_epbl():
     for _ in range(4):
         state = cycle(state)
     assert np.isfinite(np.asarray(state.T)).all()
+
+
+def test_thermo_gyre_full_suite():
+    """GM + MEKE + mixed-layer restrat + KPP all active in step_mom."""
+    import jax.numpy as jnp
+    from mom6_tpu.physics.lateral.thickness_diffuse import GMParams
+    from mom6_tpu.physics.lateral.meke import MEKEParams
+    from mom6_tpu.physics.lateral.mixed_layer_restrat import MLRestratParams
+
+    G, GV, state, params, forcing = thermo_gyre(nx=12, ny=12, nz=6,
+                                                dt=1800.0,
+                                                n_dyn_per_thermo=2)
+    params = params._replace(
+        gm=GMParams(khth=500.0),
+        meke=MEKEParams(),
+        mlrestrat=MLRestratParams(),
+        diabatic=params.diabatic._replace(boundary_layer_scheme="KPP"))
+    state = state.replace(E_meke=jnp.zeros((12, 12), jnp.float32))
+
+    @jax.jit
+    def cycle(s):
+        return step_mom(s, forcing, G, GV, params)
+
+    area = np.asarray(G.areaT, np.float64)
+    vol0 = (np.asarray(state.h, np.float64) * area).sum()
+    for _ in range(6):
+        state = cycle(state)
+    h = np.asarray(state.h, np.float64)
+    assert np.isfinite(h).all() and h.min() > 0
+    assert np.isfinite(np.asarray(state.T)).all()
+    assert np.isfinite(np.asarray(state.E_meke)).all()
+    assert float(np.asarray(state.E_meke).min()) >= 0.0
+    vol1 = (h * area).sum()
+    assert abs(vol1 - vol0) / vol0 < 1e-4
