@@ -82,6 +82,23 @@ def vertvisc(u, h_face, coeffs: ViscCoeffs, dt: float,
     return _solve(rhs, h_face, coeffs, dt)
 
 
+def limit_velocity(u, v, dt, G, *, cfl_trunc: float = 0.25):
+    """CFL truncation (vertvisc_limit_vel, MOM_vert_friction.F90:2929):
+    velocities exceeding ``cfl_trunc`` of the advective CFL are clipped —
+    numerical-fault containment, the run continues (SURVEY.md §5.3).
+
+    Returns (u_lim, v_lim, n_trunc) where n_trunc counts clipped points
+    (the PointAccel "truncation dossier" hook)."""
+    import jax.numpy as jnp
+    u_max = cfl_trunc / (dt * jnp.maximum(G.IdxCu, 1e-30))
+    v_max = cfl_trunc / (dt * jnp.maximum(G.IdyCv, 1e-30))
+    u_lim = jnp.clip(u, -u_max, u_max)
+    v_lim = jnp.clip(v, -v_max, v_max)
+    n_trunc = (jnp.sum(jnp.abs(u) > u_max).astype(jnp.int32)
+               + jnp.sum(jnp.abs(v) > v_max).astype(jnp.int32))
+    return u_lim, v_lim, n_trunc
+
+
 def vertvisc_remnant(h_face, coeffs: ViscCoeffs, dt: float):
     """Fraction of barotropic forcing remaining after implicit viscosity
     (vertvisc_remnant, MOM_vert_friction.F90:1229)."""
