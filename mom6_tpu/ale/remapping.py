@@ -160,4 +160,12 @@ def remap_column(u0, h0, h1, scheme: str = PPM_H4):
     i_at_z1 = i_k + F
 
     du = i_at_z1[1:] - i_at_z1[:-1]
-    return du / jnp.maximum(h1, _EPS)
+    u1 = du / jnp.maximum(h1, _EPS)
+    # massless target cells (vanished layers over topography) divide f32
+    # roundoff of the cumulative integral by ~0 thickness; bound every
+    # output by the source column's range (harmless for conservation —
+    # the affected cells carry negligible mass, and the clamp is the
+    # monotone bound a valid reconstruction must satisfy anyway)
+    col_min = jnp.min(u0, axis=0, keepdims=True)
+    col_max = jnp.max(u0, axis=0, keepdims=True)
+    return jnp.clip(u1, col_min, col_max)

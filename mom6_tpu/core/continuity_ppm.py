@@ -170,12 +170,19 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
         return uh, u
     rem = visc_rem if visc_rem is not None else jnp.ones_like(u)
 
+    # physical bound on the correction: the barotropic mismatch can demand
+    # unreachable velocities at faces whose layers carry almost no
+    # transport capacity (all-thin columns over topography); MOM6 bounds
+    # the equivalent search range (zonal_flux_adjust's du_max/du_min)
+    du_cap = 0.45 / (dt * jnp.maximum(G.IdxT, 1e-30))
+
     def newton(_, carry):
         du, uh_cur = carry
         err = jnp.sum(uh_cur, axis=0) - uhbt
         _, duhdu_cur = _zonal_flux_layer(u + du * rem, h, h_W, h_E, dt, G)
         denom = jnp.sum(duhdu_cur * rem, axis=0)
         du = du - err / jnp.maximum(denom, 1e-30) * G.mask2dCu
+        du = jnp.clip(du, -du_cap, du_cap)
         uh_new, _ = _zonal_flux_layer(u + du * rem, h, h_W, h_E, dt, G)
         return du, uh_new
 
@@ -193,12 +200,15 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
         return vh, v
     rem = visc_rem if visc_rem is not None else jnp.ones_like(v)
 
+    dv_cap = 0.45 / (dt * jnp.maximum(G.IdyT, 1e-30))
+
     def newton(_, carry):
         dv, vh_cur = carry
         err = jnp.sum(vh_cur, axis=0) - vhbt
         _, dvhdv_cur = _meridional_flux_layer(v + dv * rem, h, h_S, h_N, dt, G)
         denom = jnp.sum(dvhdv_cur * rem, axis=0)
         dv = dv - err / jnp.maximum(denom, 1e-30) * G.mask2dCv
+        dv = jnp.clip(dv, -dv_cap, dv_cap)
         vh_new, _ = _meridional_flux_layer(v + dv * rem, h, h_S, h_N, dt, G)
         return dv, vh_new
 

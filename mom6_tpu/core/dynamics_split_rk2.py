@@ -29,7 +29,8 @@ from mom6_tpu.core.coriolis_adv import SADOURNY75_ENERGY, coriolis_adv
 from mom6_tpu.core.pressure_force import find_eta, pressure_force_montgomery
 from mom6_tpu.core.state import OceanState
 from mom6_tpu.framework.stencil import ip1, jp1
-from mom6_tpu.physics.vertical.vert_friction import (vertvisc, vertvisc_coef,
+from mom6_tpu.physics.vertical.vert_friction import (limit_velocity, vertvisc,
+                                                     vertvisc_coef,
                                                      vertvisc_remnant)
 
 __all__ = ["DynParams", "MechForcing", "step_dynamics_split_rk2"]
@@ -106,6 +107,9 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                   tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
     vp = vertvisc(vp, h_v, cv, dt_pred,
                   tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+    # CFL truncation after the viscous solve (vertvisc_limit_vel,
+    # MOM_vert_friction.F90:2929) — numerical-fault containment
+    up, vp, _ = limit_velocity(up, vp, dt_pred, G)
 
     hp, uh_p, vh_p, up_adj, vp_adj = continuity_ppm(
         up, vp, h, dt_pred, G, GV,
@@ -132,6 +136,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                      tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
     v_new = vertvisc(v_new, h_v, cv, dt,
                      tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+    u_new, v_new, _ = limit_velocity(u_new, v_new, dt, G)
 
     # the flux adjustment only modifies the transports; the prognostic
     # velocities stay u_new (as in the reference's final continuity call)

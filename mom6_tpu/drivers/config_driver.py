@@ -1,0 +1,241 @@
+"""Config-driven model construction: MOM_input -> runnable model.
+
+The glue between the runtime parameter system (framework/config.py) and
+the model builders — the role of MOM6's initialize_MOM parameter reads
+(reference: src/core/MOM.F90:2204 with get_param call sites throughout,
+and src/initialization/*).  Parameter names follow the reference
+(NIGLOBAL, DT, EQN_OF_STATE, THICKNESSDIFFUSE, ...) so a MOM6 user's
+MOM_input carries over; everything is logged to MOM_parameter_doc.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mom6_tpu.ale.ale import ALEParams, LAYER, SIGMA, ZSTAR
+from mom6_tpu.core.barotropic import BTParams, set_dtbt
+from mom6_tpu.core.dynamics_split_rk2 import DynParams, MechForcing
+from mom6_tpu.core.mom import Forcing, MOMParams
+from mom6_tpu.core.state import OceanState, init_state_resting
+from mom6_tpu.framework.config import ParamFile
+from mom6_tpu.grid.grid import Grid, build_cartesian_grid
+from mom6_tpu.grid.vertical import VerticalGrid, build_layered_vgrid
+from mom6_tpu.physics.lateral.hor_visc import HorViscParams
+from mom6_tpu.physics.lateral.thickness_diffuse import GMParams
+from mom6_tpu.physics.vertical.diabatic import (BuoyancyForcing,
+                                                DiabaticParams)
+from mom6_tpu.physics.vertical.set_diffusivity import DiffusivityParams
+
+__all__ = ["build_model_from_params", "ModelSetup"]
+
+
+class ModelSetup(NamedTuple):
+    grid: Grid
+    vgrid: VerticalGrid
+    state: OceanState
+    params: MOMParams
+    forcing: Forcing
+    param_file: ParamFile
+
+
+def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
+    m = "MOM_grid_init"
+    nx = pf.get("NIGLOBAL", int, module=m,
+                desc="Number of points in the x-direction")
+    ny = pf.get("NJGLOBAL", int, module=m)
+    grid_config = pf.get("GRID_CONFIG", str, default="cartesian", module=m)
+    if grid_config not in ("cartesian", "spherical"):
+        raise NotImplementedError(f"GRID_CONFIG={grid_config}")
+    lenlon = pf.get("LENLON", float, default=1000.0, units="km", module=m)
+    lenlat = pf.get("LENLAT", float, default=1000.0, units="km", module=m)
+    max_depth = pf.get("MAXIMUM_DEPTH", float, default=4000.0, units="m",
+                       module=m)
+    min_depth = pf.get("MINIMUM_DEPTH", float, default=0.0, units="m",
+                       module=m)
+    f0 = pf.get("F_0", float, default=0.0, units="s-1", module=m)
+    beta = pf.get("BETA", float, default=0.0, units="m-1 s-1", module=m)
+    topo_config = pf.get("TOPO_CONFIG", str, default="flat", module=m)
+    depth = None
+    if topo_config == "flat":
+        depth = None
+    elif topo_config == "bowl":
+        x = (np.arange(nx) + 0.5) / nx - 0.5
+        y = (np.arange(ny) + 0.5) / ny - 0.5
+        r2 = (2 * x[None, :]) ** 2 + (2 * y[:, None]) ** 2
+        depth = max_depth * (1.0 - 0.8 * r2)
+    elif topo_config == "spoon":
+        x = (np.arange(nx) + 0.5) / nx
+        y = (np.arange(ny) + 0.5) / ny - 0.5
+        depth = max_depth * (1.0 - 0.8 * (2 * y[:, None]) ** 2) * \
+            np.ones((ny, nx))
+    else:
+        raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
+    cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
+    reentrant_y = pf.get("REENTRANT_Y", bool, default=False, module=m)
+    G = build_cartesian_grid(nx, ny, lenlon, lenlat, depth=depth,
+                             max_depth=max_depth, min_depth=min_depth,
+                             f0=f0, beta=beta, cyclic_x=cyclic_x,
+                             reentrant_y=reentrant_y, dtype=dtype)
+    return G, max_depth
+
+
+def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
+                            doc_dir: Optional[str] = None) -> ModelSetup:
+    G, max_depth = _build_grid(pf, dtype)
+
+    m = "MOM_verticalGrid"
+    nz = pf.get("NK", int, module=m, desc="Number of model layers")
+    gv = build_layered_vgrid(
+        nz,
+        g_earth=pf.get("G_EARTH", float, default=9.8, units="m s-2", module=m),
+        rho0=pf.get("RHO_0", float, default=1035.0, units="kg m-3", module=m),
+        gprime_int=pf.get("GINT", float, default=9.8e-3, units="m s-2",
+                          module=m),
+        dtype=dtype)
+
+    m = "MOM"
+    dt = pf.get("DT", float, module=m, units="s", desc="Baroclinic timestep")
+    dt_therm = pf.get("DT_THERM", float, default=dt, units="s", module=m)
+    n_dyn_per_thermo = max(1, int(round(dt_therm / dt)))
+    split = pf.get("SPLIT", bool, default=True, module=m)
+    use_thermo = pf.get("ENABLE_THERMODYNAMICS", bool, default=True,
+                        module=m)
+    eos_name = pf.get("EQN_OF_STATE", str, default="WRIGHT", module=m)
+
+    m = "MOM_barotropic"
+    if split:
+        nstep_auto, _ = set_dtbt(G, gv, max_depth, dt)
+        dtbt_frac = pf.get("DTBT", float, default=-0.98, module=m,
+                           desc="Barotropic step; <0 => fraction of stable")
+        nstep = nstep_auto if dtbt_frac < 0 else max(
+            1, int(np.ceil(dt / dtbt_frac)))
+        bt = BTParams(nstep=nstep, nfilter=max(1, nstep // 8),
+                      bebt=pf.get("BEBT", float, default=0.2, module=m))
+    else:
+        bt = BTParams(nstep=1, nfilter=0)
+
+    m = "MOM_vert_friction"
+    dyn = DynParams(
+        dt=dt, bt=bt,
+        be=pf.get("BE", float, default=0.6, module=m),
+        kv=pf.get("KV", float, default=1e-4, units="m2 s-1", module=m),
+        bottom_drag=pf.get("DRAG_BG_VEL", float, default=0.0, units="m s-1",
+                           module=m) * pf.get("CDRAG", float, default=0.003,
+                                              module=m),
+        cdrag=pf.get("CDRAG", float, default=0.003, module=m))
+
+    m = "MOM_hor_visc"
+    hv = None
+    kh = pf.get("KH", float, default=0.0, units="m2 s-1", module=m)
+    ah = pf.get("AH", float, default=0.0, units="m4 s-1", module=m)
+    smag_lap = pf.get("SMAGORINSKY_KH", bool, default=False, module=m)
+    smag_bi = pf.get("SMAGORINSKY_AH", bool, default=False, module=m)
+    smag_lap_c = pf.get("SMAG_LAP_CONST", float, default=0.15, module=m) \
+        if smag_lap else 0.0
+    smag_bi_c = pf.get("SMAG_BI_CONST", float, default=0.06, module=m) \
+        if smag_bi else 0.0
+    if kh or ah or smag_lap_c or smag_bi_c:
+        hv = HorViscParams(kh=kh, ah=ah, smag_lap_const=smag_lap_c,
+                           smag_bi_const=smag_bi_c, dt=dt)
+
+    m = "MOM_thickness_diffuse"
+    gm = None
+    if pf.get("THICKNESSDIFFUSE", bool, default=False, module=m):
+        gm = GMParams(khth=pf.get("KHTH", float, default=10.0,
+                                  units="m2 s-1", module=m))
+
+    m = "MOM_diabatic_driver"
+    diab = DiabaticParams(
+        diff=DiffusivityParams(
+            kd=pf.get("KD", float, default=1e-5, units="m2 s-1", module=m),
+            kd_min=pf.get("KD_MIN", float, default=0.0, module=m)),
+        boundary_layer_scheme=("KPP" if pf.get("USE_KPP", bool, default=False,
+                                               module=m)
+                               else ("EPBL" if pf.get("ENERGETICS_SFC_PBL",
+                                                      bool, default=False,
+                                                      module=m) else "NONE")),
+        use_shear_mixing=pf.get("USE_CVMIX_SHEAR", bool, default=False,
+                                module=m))
+
+    m = "MOM_ALE"
+    ale = ALEParams(mode=LAYER)
+    if pf.get("USE_REGRIDDING", bool, default=False, module=m):
+        mode = pf.get("REGRIDDING_COORDINATE_MODE", str, default="Z*",
+                      module=m).upper()
+        dz = pf.get_list("ALE_RESOLUTION",
+                         default=[max_depth / nz] * nz, module=m)
+        if mode in ("Z*", "ZSTAR"):
+            ale = ALEParams(mode=ZSTAR, dz_nominal=tuple(dz))
+        elif mode == "SIGMA":
+            ale = ALEParams(mode=SIGMA)
+        else:
+            raise NotImplementedError(f"REGRIDDING_COORDINATE_MODE={mode}")
+
+    params = MOMParams(dyn=dyn, thermo_enabled=use_thermo,
+                       eos_name=eos_name, diabatic=diab, ale=ale,
+                       hor_visc=hv, gm=gm,
+                       n_dyn_per_thermo=n_dyn_per_thermo)
+
+    # -- initial state ----------------------------------------------------
+    m = "MOM_state_initialization"
+    thick_cfg = pf.get("THICKNESS_CONFIG", str, default="uniform", module=m)
+    if thick_cfg != "uniform":
+        raise NotImplementedError(f"THICKNESS_CONFIG={thick_cfg}")
+    state = init_state_resting(G, gv, np.full(nz, max_depth / nz),
+                               dtype=dtype, with_thermo=use_thermo)
+    if use_thermo:
+        t_ref = pf.get("T_REF", float, default=10.0, units="degC", module=m)
+        s_ref = pf.get("S_REF", float, default=35.0, units="ppt", module=m)
+        trange = pf.get("T_RANGE", float, default=0.0, units="degC", module=m)
+        zc = np.cumsum(np.full(nz, max_depth / nz)) - max_depth / nz / 2
+        tprof = t_ref + trange * (0.5 - zc / max_depth)
+        state = state.replace(
+            T=jnp.asarray(np.broadcast_to(tprof[:, None, None],
+                                          state.h.shape), dtype),
+            S=jnp.full(state.h.shape, s_ref, dtype))
+
+    # -- surface forcing (solo-driver analytic configs,
+    #    config_src/drivers/solo_driver/MOM_surface_forcing.F90) -----------
+    m = "MOM_surface_forcing"
+    wind_cfg = pf.get("WIND_CONFIG", str, default="zero", module=m)
+    taux = tauy = None
+    if wind_cfg == "gyres":
+        tau0 = pf.get("TAUX_MAGNITUDE", float, default=0.1, units="Pa",
+                      module=m)
+        y = np.asarray(G.geoLatT) * 1e3
+        ly = pf.get("LENLAT", float, default=1000.0) * 1e3
+        taux = jnp.asarray(-tau0 * np.cos(2 * np.pi * y / ly),
+                           dtype) * G.mask2dCu
+        tauy = jnp.zeros_like(G.mask2dCv)
+    elif wind_cfg == "constant":
+        taux = jnp.full((G.ny, G.nx),
+                        pf.get("CONST_WIND_TAUX", float, default=0.0,
+                               module=m), dtype) * G.mask2dCu
+        tauy = jnp.full((G.ny, G.nx),
+                        pf.get("CONST_WIND_TAUY", float, default=0.0,
+                               module=m), dtype) * G.mask2dCv
+    elif wind_cfg != "zero":
+        raise NotImplementedError(f"WIND_CONFIG={wind_cfg}")
+
+    buoy_cfg = pf.get("BUOY_CONFIG", str, default="zero", module=m)
+    heat = None
+    if buoy_cfg == "NS_heating":
+        q0 = pf.get("HEATING_MAGNITUDE", float, default=50.0, units="W m-2",
+                    module=m)
+        y = np.asarray(G.geoLatT) * 1e3
+        ly = pf.get("LENLAT", float, default=1000.0) * 1e3
+        heat = jnp.asarray(q0 * np.cos(np.pi * y / ly), dtype) * G.mask2dT
+    elif buoy_cfg != "zero":
+        raise NotImplementedError(f"BUOY_CONFIG={buoy_cfg}")
+
+    forcing = Forcing(mech=MechForcing(taux=taux, tauy=tauy),
+                      buoy=BuoyancyForcing(heat_flux=heat))
+
+    if doc_dir:
+        pf.write_doc(doc_dir)
+
+    return ModelSetup(G, gv, state, params, forcing, pf)

@@ -36,6 +36,90 @@ def make_stepper(G, GV, params: DynParams, forces: MechForcing,
     return jax.jit(many_steps, donate_argnums=0)
 
 
+def make_mom_stepper(G, GV, params, forcing, cycles_per_call: int = 1):
+    """Jitted thermo-cycle stepper for the full model (step_mom)."""
+    from mom6_tpu.core.mom import step_mom
+
+    def many(state):
+        def body(s, _):
+            return step_mom(s, forcing, G, GV, params), None
+        state, _ = jax.lax.scan(body, state, None, length=cycles_per_call)
+        return state
+
+    return jax.jit(many, donate_argnums=0)
+
+
+def main(argv=None):
+    """Command-line solo driver (program MOM6 analogue,
+    config_src/drivers/solo_driver/MOM_driver.F90:1): reads MOM_input
+    (+ MOM_override) from a run directory, integrates, writes ocean.stats,
+    MOM_parameter_doc and a restart file."""
+    import argparse
+
+    from mom6_tpu.core.mom import step_mom
+    from mom6_tpu.diagnostics.sum_output import (StatsWriter, compute_stats,
+                                                 format_stats_line)
+    from mom6_tpu.drivers.config_driver import build_model_from_params
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.framework.restart import RestartRegistry
+
+    ap = argparse.ArgumentParser(prog="mom6_tpu.drivers.solo")
+    ap.add_argument("rundir", help="directory containing MOM_input")
+    ap.add_argument("--days", type=float, default=None,
+                    help="override DAYMAX")
+    ap.add_argument("--restart-in", default=None)
+    args = ap.parse_args(argv)
+
+    import os
+    paths = [os.path.join(args.rundir, "MOM_input")]
+    ov = os.path.join(args.rundir, "MOM_override")
+    if os.path.exists(ov):
+        paths.append(ov)
+    pf = ParamFile(paths)
+    setup = build_model_from_params(pf, doc_dir=args.rundir)
+    G, GV, state, params, forcing = (setup.grid, setup.vgrid, setup.state,
+                                     setup.params, setup.forcing)
+    days = pf.get("DAYMAX", float, default=1.0, units="days",
+                  module="MOM_driver")
+    if args.days is not None:
+        days = args.days
+    dt_cycle = params.dyn.dt * params.n_dyn_per_thermo
+    n_cycles = max(1, int(round(days * 86400.0 / dt_cycle)))
+    stats_every = max(1, n_cycles // 20)
+
+    reg = RestartRegistry()
+    fields = ["h", "u", "v", "uh", "vh", "uhtr", "vhtr"]
+    if params.thermo_enabled:
+        fields += ["T", "S"]
+    reg.register_state_attrs(fields)
+    reg.lock()
+    t0 = 0.0
+    if args.restart_in:
+        state, t0, _ = reg.restore_state(args.restart_in, state)
+
+    stepper = make_mom_stepper(G, GV, params, forcing,
+                               cycles_per_call=stats_every)
+    writer = StatsWriter(os.path.join(args.rundir, "ocean.stats"))
+    start = time.time()
+    for c in range(n_cycles // stats_every):
+        state = stepper(state)
+        jax.block_until_ready(state.h)
+        step = (c + 1) * stats_every
+        tdays = (t0 + step * dt_cycle) / 86400.0
+        s = compute_stats(state, G, GV, params.dyn.dt)
+        writer.write(step, tdays, s)
+        print(format_stats_line(step, tdays, s))
+    elapsed = time.time() - start
+    reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
+                     time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles)
+    sypd = (n_cycles * dt_cycle / max(elapsed, 1e-9)) / 365.0
+    print(f"run complete: {days} days in {elapsed:.1f}s ({sypd:.1f} SYPD)")
+    unused = pf.unused_params()
+    if unused:
+        print("WARNING: unused parameters:", ", ".join(unused))
+    return state
+
+
 def run_segment(state, G, GV, params: DynParams, forces: MechForcing, *,
                 n_steps: int, stats_interval: int = 10,
                 stats_path: Optional[str] = None, verbose: bool = False):
@@ -58,3 +142,7 @@ def run_segment(state, G, GV, params: DynParams, forces: MechForcing, *,
             print(format_stats_line(step, tdays, s))
     elapsed = time.time() - t0
     return state, elapsed
+
+
+if __name__ == "__main__":
+    main()

@@ -43,10 +43,18 @@ def _strains(u, v, G):
 
 
 def _stress_accel(h, str_xx, str_xy, G):
-    """Thickness-weighted divergence of the deviatoric stress tensor."""
-    h_q = 0.25 * ((h + ip1(h)) + (jp1(h) + ip1(jp1(h))))
-    h_u = jnp.maximum(0.5 * (h + ip1(h)), 1e-10)
-    h_v = jnp.maximum(0.5 * (h + jp1(h)), 1e-10)
+    """Thickness-weighted divergence of the deviatoric stress tensor.
+
+    h at corners is the HARMONIC mean of the 4 surrounding cells (as the
+    reference does): if any neighbor is a vanished layer the corner stress
+    carries negligible thickness, so dividing by the (floored) face
+    thickness cannot manufacture huge accelerations at thin layers over
+    topography."""
+    eps = 1e-10
+    h_q = 4.0 / (1.0 / (h + eps) + 1.0 / (ip1(h) + eps)
+                 + 1.0 / (jp1(h) + eps) + 1.0 / (ip1(jp1(h)) + eps))
+    h_u = jnp.maximum(0.5 * (h + ip1(h)), 1e-3)
+    h_v = jnp.maximum(0.5 * (h + jp1(h)), 1e-3)
     fx = ((ip1(h * str_xx) - h * str_xx) * G.IdxCu
           + (h_q * str_xy - jm1(h_q * str_xy)) * G.IdyCu)
     fy = (-(jp1(h * str_xx) - h * str_xx) * G.IdyCv

@@ -77,6 +77,17 @@ def thickness_diffuse(h, G, GV, dt, p: GMParams, *, khth_2d=None,
     uhd = G.dyCu * (psi_u_full[1:] - psi_u_full[:-1]) * G.mask2dCu
     vhd = G.dxCv * (psi_v_full[1:] - psi_v_full[:-1]) * G.mask2dCv
 
+    # streamfunction limiting (role of the reference's bounded
+    # streamfunction): scale back transports that would evacuate a thin
+    # layer within dt — vital for vanished layers over topography
+    vol = h * G.areaT
+    out_u = jnp.maximum(uhd, 0.0) + jnp.maximum(-im1(uhd), 0.0)
+    out_v = jnp.maximum(vhd, 0.0) + jnp.maximum(-jm1(vhd), 0.0)
+    r = jnp.minimum(1.0, 0.25 * vol / jnp.maximum(dt * (out_u + out_v),
+                                                  1e-30))
+    uhd = uhd * jnp.where(uhd > 0.0, r, ip1(r))
+    vhd = vhd * jnp.where(vhd > 0.0, r, jp1(r))
+
     h_new = h - dt * G.IareaT * ((uhd - im1(uhd)) + (vhd - jm1(vhd)))
     h_new = jnp.maximum(h_new, GV.angstrom)
     return h_new, uhd, vhd

@@ -50,6 +50,10 @@ def vertvisc_coef(h_face, kv: float, *, bottom_drag: float = 0.0,
     """
     dz_int = 0.5 * (h_face[:-1] + h_face[1:])          # interfaces 2..nz
     a_int = kv / jnp.maximum(dz_int, _H_EPS)
+    # f32 conditioning cap, cf. tracers/vert_diff.py: keep coupling/mass
+    # ratios resolvable while still locking massless layers to neighbors
+    a_cap = 1e4 * jnp.minimum(h_face[:-1], h_face[1:]).clip(_H_EPS) / 3600.0
+    a_int = jnp.minimum(a_int, a_cap)
     zeros = jnp.zeros_like(h_face[:1])
     a_above = jnp.concatenate([zeros, a_int], axis=0)  # no stress through surface (explicit wind)
     r = bottom_drag

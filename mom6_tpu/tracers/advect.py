@@ -60,6 +60,24 @@ def _plm_edge_y(T, mask):
     return T - 0.5 * slp, T + 0.5 * slp      # (T_S, T_N)
 
 
+def _limit_outflow_x(uh, vol):
+    """Scale face transports by the donor cell's availability so no cell is
+    evacuated below 10% of its volume in one sweep (the positivity role of
+    the reference's domore iteration, with static control flow).  Critical
+    for vanished layers over topography."""
+    outflow = jnp.maximum(uh, 0.0) + jnp.maximum(-im1(uh), 0.0)
+    r = jnp.minimum(1.0, 0.9 * vol / jnp.maximum(outflow, _H_MIN))
+    r_donor = jnp.where(uh > 0.0, r, ip1(r))
+    return uh * r_donor
+
+
+def _limit_outflow_y(vh, vol):
+    outflow = jnp.maximum(vh, 0.0) + jnp.maximum(-jm1(vh), 0.0)
+    r = jnp.minimum(1.0, 0.9 * vol / jnp.maximum(outflow, _H_MIN))
+    r_donor = jnp.where(vh > 0.0, r, jp1(r))
+    return vh * r_donor
+
+
 def _sweep_x(T, h, uh, G):
     """One x sweep moving volume ``uh`` [m3] with upwind-PLM tracer edges.
 
@@ -69,6 +87,7 @@ def _sweep_x(T, h, uh, G):
     T_W, T_E = _plm_edge_x(T, mask)
     # CFL fraction of the donor cell swept out
     vol = h * G.areaT
+    uh = _limit_outflow_x(uh, vol)
     cfl_p = uh / jnp.maximum(vol, _H_MIN)          # u > 0, donor i
     cfl_m = -uh / jnp.maximum(ip1(vol), _H_MIN)    # u < 0, donor i+1
     # mean tracer of the swept region (PLM average over the CFL wedge)
@@ -89,6 +108,7 @@ def _sweep_y(T, h, vh, G):
     mask = G.mask2dT
     T_S, T_N = _plm_edge_y(T, mask)
     vol = h * G.areaT
+    vh = _limit_outflow_y(vh, vol)
     cfl_p = vh / jnp.maximum(vol, _H_MIN)
     cfl_m = -vh / jnp.maximum(jp1(vol), _H_MIN)
     T_up_p = T_N + 0.5 * cfl_p[None] * (T_S - T_N)

@@ -27,11 +27,18 @@ def tracer_vertdiff(T, h, kd_int, dt, *, sfc_flux: Optional[jnp.ndarray] = None)
     [conc * m / s]."""
     dz_int = 0.5 * (h[:-1] + h[1:])
     a_int = kd_int[1:-1] / jnp.maximum(dz_int, _H_EPS)   # (nz-1, ny, nx)
+    # conditioning cap: the Thomas recursion in f32 loses the diagonal when
+    # coupling/mass exceeds ~1e7 (massless layers + strong Kd), yielding
+    # solutions OUTSIDE the input range.  1e4x the smaller neighboring
+    # mass-rate still homogenizes a thin layer within one step (a*dt/h=1e4)
+    # while keeping the solve exact to ~1e-3.
+    hdt = jnp.maximum(h, _H_EPS) / dt
+    a_cap = 1e4 * jnp.minimum(hdt[:-1], hdt[1:])
+    a_int = jnp.minimum(a_int, a_cap)
     zeros = jnp.zeros_like(h[:1])
     a_above = jnp.concatenate([zeros, a_int], axis=0)
     a_below = jnp.concatenate([a_int, zeros], axis=0)
 
-    hdt = jnp.maximum(h, _H_EPS) / dt
     b = hdt + a_above + a_below
     a = -a_above
     c = jnp.concatenate([-a_below[:-1], zeros], axis=0)
