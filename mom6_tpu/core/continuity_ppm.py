@@ -176,18 +176,21 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
     # the equivalent search range (zonal_flux_adjust's du_max/du_min)
     du_cap = 0.45 / (dt * jnp.maximum(G.IdxT, 1e-30))
 
+    # one flux+derivative evaluation per iteration (the derivative from the
+    # current iterate is reused for the next update — secant-like, same
+    # convergence in practice at half the cost)
     def newton(_, carry):
-        du, uh_cur = carry
+        du, uh_cur, duhdu_cur = carry
         err = jnp.sum(uh_cur, axis=0) - uhbt
-        _, duhdu_cur = _zonal_flux_layer(u + du * rem, h, h_W, h_E, dt, G)
         denom = jnp.sum(duhdu_cur * rem, axis=0)
         du = du - err / jnp.maximum(denom, 1e-30) * G.mask2dCu
         du = jnp.clip(du, -du_cap, du_cap)
-        uh_new, _ = _zonal_flux_layer(u + du * rem, h, h_W, h_E, dt, G)
-        return du, uh_new
+        uh_new, duhdu_new = _zonal_flux_layer(u + du * rem, h, h_W, h_E,
+                                              dt, G)
+        return du, uh_new, duhdu_new
 
     du0 = jnp.zeros_like(uhbt)
-    du, uh = jax.lax.fori_loop(0, _N_NEWTON, newton, (du0, uh))
+    du, uh, _ = jax.lax.fori_loop(0, _N_NEWTON, newton, (du0, uh, duhdu))
     return uh, u + du * rem
 
 
@@ -203,17 +206,17 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
     dv_cap = 0.45 / (dt * jnp.maximum(G.IdyT, 1e-30))
 
     def newton(_, carry):
-        dv, vh_cur = carry
+        dv, vh_cur, dvhdv_cur = carry
         err = jnp.sum(vh_cur, axis=0) - vhbt
-        _, dvhdv_cur = _meridional_flux_layer(v + dv * rem, h, h_S, h_N, dt, G)
         denom = jnp.sum(dvhdv_cur * rem, axis=0)
         dv = dv - err / jnp.maximum(denom, 1e-30) * G.mask2dCv
         dv = jnp.clip(dv, -dv_cap, dv_cap)
-        vh_new, _ = _meridional_flux_layer(v + dv * rem, h, h_S, h_N, dt, G)
-        return dv, vh_new
+        vh_new, dvhdv_new = _meridional_flux_layer(v + dv * rem, h, h_S, h_N,
+                                                   dt, G)
+        return dv, vh_new, dvhdv_new
 
     dv0 = jnp.zeros_like(vhbt)
-    dv, vh = jax.lax.fori_loop(0, _N_NEWTON, newton, (dv0, vh))
+    dv, vh, _ = jax.lax.fori_loop(0, _N_NEWTON, newton, (dv0, vh, dvhdv))
     return vh, v + dv * rem
 
 

@@ -45,6 +45,10 @@ class DynParams(NamedTuple):
     cdrag: float = 0.0           # quadratic bottom drag coefficient
     coriolis_scheme: str = SADOURNY75_ENERGY
     continuity_monotonic: bool = False
+    # damp velocities at faces whose thinner neighbor is massless (vanished
+    # layers below topography in ALE mode): such momentum is meaningless
+    # and otherwise leaks into massive layers via the KE gradient
+    massless_h: float = 1e-3     # [m]; 0 disables
 
 
 class MechForcing(NamedTuple):
@@ -56,6 +60,14 @@ def _face_thickness(h, G):
     h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
     h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
     return h_u, h_v
+
+
+def _massless_ramp(h, G, h0: float):
+    """Per-face factors ~1 where both neighbors have mass, ~0 where the
+    thinner neighbor is vanished."""
+    hu = jnp.minimum(h, ip1(h))
+    hv = jnp.minimum(h, jp1(h))
+    return hu / (hu + h0), hv / (hv + h0)
 
 
 def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
@@ -110,6 +122,9 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     # CFL truncation after the viscous solve (vertvisc_limit_vel,
     # MOM_vert_friction.F90:2929) — numerical-fault containment
     up, vp, _ = limit_velocity(up, vp, dt_pred, G)
+    if p.massless_h > 0.0:
+        ru, rv = _massless_ramp(h, G, p.massless_h)
+        up, vp = up * ru, vp * rv
 
     hp, uh_p, vh_p, up_adj, vp_adj = continuity_ppm(
         up, vp, h, dt_pred, G, GV,
@@ -137,6 +152,9 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     v_new = vertvisc(v_new, h_v, cv, dt,
                      tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
     u_new, v_new, _ = limit_velocity(u_new, v_new, dt, G)
+    if p.massless_h > 0.0:
+        ru, rv = _massless_ramp(h, G, p.massless_h)
+        u_new, v_new = u_new * ru, v_new * rv
 
     # the flux adjustment only modifies the transports; the prognostic
     # velocities stay u_new (as in the reference's final continuity call)

@@ -45,45 +45,143 @@ def find_eta(h, G):
     return jnp.sum(h, axis=0) - G.bathyT
 
 
+# Boole's rule weights for 5-point quadrature over 4 equal intervals
+_BOOLE = (7.0 / 90.0, 32.0 / 90.0, 12.0 / 90.0, 32.0 / 90.0, 7.0 / 90.0)
+_H_NEGLECT = 1e-10
+
+
+def _dpa_column(T, S, e_t, e_b, g, rho0, eos):
+    """Pressure-anomaly change and its in-layer integral for columns with
+    layer-constant T/S (the PCM form of int_density_dz,
+    MOM_density_integrals.F90): 5-point Boole quadrature of
+    g*(rho(T,S,p(z)) - rho0) over [e_b, e_t].
+
+    Returns (dpa [Pa], intz_dpa [Pa m]): dpa = pa(e_b) - pa(e_t) and
+    intz_dpa = int over the layer of (pa(z) - pa(e_t)) dz."""
+    dz = e_t - e_b
+    gxrho = g * rho0
+    # 5 sample heights from the top of the layer downward
+    rho5 = []
+    for n in range(5):
+        z_n = e_t - (n / 4.0) * dz
+        p_n = -gxrho * z_n
+        rho5.append(eos.density(T, S, p_n, rho_ref=rho0))
+    dpa = (g * dz) * sum(w * r for w, r in zip(_BOOLE, rho5))
+    # pa(z) - pa(e_t) at the 5 points by cumulative Simpson/trapezoid
+    pa_rel = [jnp.zeros_like(dpa)]
+    for n in range(1, 5):
+        inc = (g * dz / 8.0) * (rho5[n - 1] + rho5[n])   # trapezoid, dz/4
+        pa_rel.append(pa_rel[-1] + inc)
+    intz = dz * sum(w * p for w, p in zip(_BOOLE, pa_rel))
+    return dpa, intz
+
+
+def _dpa_face(T_l, S_l, T_r, S_r, et_l, eb_l, et_r, eb_r,
+              dpa_l, dpa_r, bathy_l, bathy_r, g, rho0, eos):
+    """x-integral of the pressure-anomaly change through a layer along a
+    face: the end points reuse the column integrals (exact telescoping at
+    rest); 3 interior positions interpolate properties and geometry and
+    are Boole-combined.  Tracer interpolation is MASS WEIGHTED toward the
+    thicker column when one side's layer lies below the other side's
+    bathymetry (the hWght scheme of int_density_dz,
+    MOM_density_integrals.F90:276-305) — the against-topography guard."""
+    eps = _H_NEGLECT
+    hL = (et_l - eb_l) + eps
+    hR = (et_r - eb_r) + eps
+    hwght = jnp.maximum(0.0, jnp.maximum(-bathy_l - et_r, -bathy_r - et_l))
+    hwght = hwght * ((hL - hR) / (hL + hR)) ** 2
+    iden = 1.0 / (hwght * (hR + hL) + hL * hR)
+    hwt_ll = (hwght * hL + hR * hL) * iden
+    hwt_lr = (hwght * hR) * iden
+    hwt_rr = (hwght * hR + hR * hL) * iden
+    hwt_rl = (hwght * hL) * iden
+
+    total = _BOOLE[0] * dpa_l + _BOOLE[4] * dpa_r
+    for m in (1, 2, 3):
+        w = m / 4.0
+        wt_l, wt_r = 1.0 - w, w
+        wtt_l = wt_l * hwt_ll + wt_r * hwt_rl
+        wtt_r = wt_l * hwt_lr + wt_r * hwt_rr
+        T_m = wtt_l * T_l + wtt_r * T_r
+        S_m = wtt_l * S_l + wtt_r * S_r
+        et_m = wt_l * et_l + wt_r * et_r
+        eb_m = wt_l * eb_l + wt_r * eb_r
+        dpa_m, _ = _dpa_column(T_m, S_m, et_m, eb_m, g, rho0, eos)
+        total = total + _BOOLE[m] * dpa_m
+    return total
+
+
 def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None) -> PressureForceOut:
-    """Boussinesq pressure force with a full equation of state.
+    """Boussinesq finite-volume (contact-force) pressure gradient with a
+    full equation of state — the analytically-integrated Adcroft form of
+    MOM6's PressureForce_FV_Bouss (reference:
+    src/core/MOM_PressureForce_FV.F90:947; density integrals from
+    MOM_density_integrals.F90 via 5-point Boole quadrature).
 
-    Role of MOM6's PressureForce_FV_Bouss (reference:
-    src/core/MOM_PressureForce_FV.F90:947 with the density integrals of
-    MOM_density_integrals.F90).  This round uses the layer-mean
-    pressure/geopotential ("contact-force") form
+    Per layer k at a u face:
 
-        PFu_k = -(1/rho0) d(pbar_k)/dx  -  g (rho_k/rho0) d(zbar_k)/dx
+      PFu = [ (pa_i h_i + intz_i) - (pa_{i+1} h_{i+1} + intz_{i+1})
+              + (h_{i+1} - h_i) intx_pa(K)
+              - (e_{i+1,K+1} - e_{i,K+1}) intx_dpa(k) ]
+            * 2 / (rho0 dx (h_i + h_{i+1}))
 
-    with hydrostatic interface pressures accumulated from the EOS density
-    at layer-mean pressure; the analytically integrated Adcroft quadrature
-    (int_density_dz) is the planned upgrade for steep-topography accuracy.
+    where pa is the pressure anomaly relative to the rho0 hydrostatic
+    profile, intz its in-layer vertical integral, and intx_pa/intx_dpa its
+    integrals along the face.  This form is exact for a resting stratified
+    state over arbitrary topography up to quadrature error.
     """
     g = GV.g_earth
     rho0 = GV.rho0
-    # interface heights, positive up
+    # interface heights, positive up: e[K] for K=0..nz (bottom = -bathy)
     csum_below = jnp.cumsum(h[::-1], axis=0)[::-1]
-    e_top = csum_below - G.bathyT[None]            # top interface of layer k
-    zbar = e_top - 0.5 * h                          # layer centers
-    # first pass: pressure from a reference profile, then EOS once
-    p_guess = rho0 * g * jnp.maximum(-zbar, 0.0)
-    rho = rho0 + eos.density(T, S, p_guess, rho_ref=rho0)
-    # hydrostatic interface pressures
-    dp = g * rho * h
-    p_top = jnp.cumsum(jnp.concatenate([jnp.zeros_like(dp[:1]), dp[:-1]],
-                                       axis=0), axis=0)
+    e = jnp.concatenate([csum_below, jnp.zeros_like(h[:1])], axis=0) \
+        - G.bathyT[None]                                 # (nz+1, ny, nx)
+
+    e_t, e_b = e[:-1], e[1:]
+    dpa, intz_dpa = _dpa_column(T, S, e_t, e_b, g, rho0, eos)
+
+    # pa at interfaces: pa(surface) = g*rho0*e1 (+ p_surf), then accumulate
+    pa_top = g * rho0 * e[0]
     if p_surf is not None:
-        p_top = p_top + p_surf[None]
-    pbar = p_top + 0.5 * dp
-    rho_u = 0.5 * (rho + ip1(rho))
-    pfu = (-(ip1(pbar) - pbar) * G.IdxCu / rho0
-           - g * (rho_u / rho0) * (ip1(zbar) - zbar) * G.IdxCu)
-    rho_v = 0.5 * (rho + jp1(rho))
-    pfv = (-(jp1(pbar) - pbar) * G.IdyCv / rho0
-           - g * (rho_v / rho0) * (jp1(zbar) - zbar) * G.IdyCv)
+        pa_top = pa_top + p_surf
+    pa = jnp.concatenate([pa_top[None],
+                          pa_top[None] + jnp.cumsum(dpa, axis=0)], axis=0)
+
+    i_rho0 = 1.0 / rho0
+
+    def pf_dir(roll_fn, idx_metric, mask_face):
+        T_r, S_r = roll_fn(T), roll_fn(S)
+        et_r, eb_r = roll_fn(e_t), roll_fn(e_b)
+        intx_dpa = _dpa_face(T, S, T_r, S_r, e_t, e_b, et_r, eb_r,
+                             dpa, roll_fn(dpa),
+                             G.bathyT[None], roll_fn(G.bathyT)[None],
+                             g, rho0, eos)
+        # x-integral of pa along interfaces: surface from the linear mean,
+        # deeper interfaces by accumulating intx_dpa
+        intx_pa_top = 0.5 * (pa[0] + roll_fn(pa[0]))
+        intx_pa = jnp.concatenate(
+            [intx_pa_top[None],
+             intx_pa_top[None] + jnp.cumsum(intx_dpa, axis=0)], axis=0)
+        h_r = roll_fn(h)
+        pf = (((pa[:-1] * h + intz_dpa)
+               - (roll_fn(pa[:-1]) * h_r + roll_fn(intz_dpa)))
+              + ((h_r - h) * intx_pa[:-1]
+                 - (roll_fn(e_b) - e_b) * intx_dpa)) \
+            * (2.0 * i_rho0 * idx_metric) / ((h + h_r) + _H_NEGLECT)
+        # suppress acceleration of massless faces (layers vanished below
+        # topography in ALE mode): their PGF is geometrically ill-defined
+        # and their momentum is meaningless; viscosity keeps them slaved
+        # to the layers above
+        hmin = jnp.minimum(h, h_r)
+        ramp = hmin / (hmin + 1e-3)
+        return pf * ramp * mask_face
+
+    pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)
+    pfv = pf_dir(jp1, G.IdyCv, G.mask2dCv)
+
     pbce = jnp.broadcast_to(jnp.asarray(g, h.dtype), h.shape).astype(h.dtype)
-    eta = e_top[0]
-    return PressureForceOut(pfu * G.mask2dCu, pfv * G.mask2dCv, pbce, eta)
+    eta = e[0]
+    return PressureForceOut(pfu, pfv, pbce, eta)
 
 
 def pressure_force_montgomery(h, G, GV) -> PressureForceOut:

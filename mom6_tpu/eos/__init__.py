@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict
 
-from mom6_tpu.eos import linear, wright
+from mom6_tpu.eos import linear, roquet, wright
 
 __all__ = ["EOS", "get_eos"]
 
@@ -41,9 +41,10 @@ def _register(name: str, mod) -> None:
 
 _register("LINEAR", linear)
 _register("WRIGHT", wright)
+_register("ROQUET_RHO", roquet)
 
 _PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "UNESCO", "TEOS10",
-            "ROQUET_RHO", "ROQUET_SPV", "JACKETT06")
+            "ROQUET_SPV", "JACKETT06")
 
 
 def get_eos(name: str) -> EOS:

@@ -139,3 +139,40 @@ class TestEOS:
         rho = float(eos.density(jnp.float32(10.0), jnp.float32(35.0),
                                 jnp.float32(0.0)))
         assert rho == pytest.approx(1000.0 - 2.0 + 28.0)
+
+
+class TestRoquet:
+    def test_reference_value(self):
+        """Roquet et al. (2015) check value: rho(CT=10, SA=30, p=1e7 Pa)
+        should be near 1027.45 kg/m3 (paper's check: 1027.45140 for the
+        rho anomaly form evaluated at these inputs)."""
+        eos = get_eos("ROQUET_RHO")
+        rho = float(eos.density(np.float64(10.0), np.float64(30.0),
+                                np.float64(1.0e7)))
+        assert abs(rho - 1027.45140) < 0.01
+
+    def test_surface_values_sane(self):
+        eos = get_eos("ROQUET_RHO")
+        rho = float(eos.density(np.float64(10.0), np.float64(35.16504),
+                                np.float64(0.0)))
+        assert 1026.0 < rho < 1028.5
+
+    def test_derivs_fd(self):
+        eos = get_eos("ROQUET_RHO")
+        T, S, p = np.float64(8.0), np.float64(35.0), np.float64(2e7)
+        dT, dS = eos.density_derivs(T, S, p)
+        eps = 1e-5
+        fd_T = (float(eos.density(T+eps, S, p)) - float(eos.density(T-eps, S, p))) / (2*eps)
+        fd_S = (float(eos.density(T, S+eps, p)) - float(eos.density(T, S-eps, p))) / (2*eps)
+        np.testing.assert_allclose(float(dT), fd_T, rtol=1e-6)
+        np.testing.assert_allclose(float(dS), fd_S, rtol=1e-6)
+        assert dT < 0 and dS > 0
+
+    def test_agrees_with_wright(self):
+        """Two independent EOS fits should agree to ~0.1 kg/m3 over the
+        oceanographic range (different T variables, so allow slack)."""
+        w = get_eos("WRIGHT"); r = get_eos("ROQUET_RHO")
+        for T, S, p in [(2.0, 34.7, 3e7), (15.0, 35.5, 0.0), (25.0, 36.0, 1e6)]:
+            rw = float(w.density(np.float64(T), np.float64(S), np.float64(p)))
+            rr = float(r.density(np.float64(T), np.float64(S), np.float64(p)))
+            assert abs(rw - rr) < 0.5, (T, S, p, rw, rr)
