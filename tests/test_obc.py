@@ -1,0 +1,84 @@
+"""Open boundary condition tests: Flather radiation lets gravity waves
+leave; closed walls reflect them (energy comparison)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.grid.vertical import build_layered_vgrid
+from mom6_tpu.core.state import init_state_resting
+from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
+                                              step_dynamics_split_rk2)
+from mom6_tpu.core.barotropic import BTParams, set_dtbt
+from mom6_tpu.core.open_boundary import OBCSegment, apply_obc, build_obc
+
+
+def setup_wave(nx=32, ny=8):
+    G = build_cartesian_grid(nx, ny, 320.0, 80.0, max_depth=100.0,
+                             f0=0.0, reentrant_y=True, dtype=jnp.float32)
+    GV = build_layered_vgrid(1)
+    state = init_state_resting(G, GV, [100.0])
+    # an eta bump in the middle radiating outward
+    x = np.arange(nx)
+    bump = 0.5 * np.exp(-((x - nx / 2.0) ** 2) / 8.0)
+    h = np.asarray(state.h) + bump[None, None, :]
+    state = state.replace(h=jnp.asarray(h, jnp.float32))
+    dt = 100.0
+    nstep, _ = set_dtbt(G, GV, 100.0, dt)
+    params = DynParams(dt=dt, bt=BTParams(nstep=nstep, nfilter=2), kv=0.0)
+    return G, GV, state, params
+
+
+def wave_energy(state, G, GV):
+    h = np.asarray(state.h, np.float64)
+    eta = h.sum(0) - np.asarray(G.bathyT, np.float64)
+    u = np.asarray(state.u, np.float64)
+    area = np.asarray(G.areaT, np.float64)
+    pe = 0.5 * GV.rho0 * GV.g_earth * (eta ** 2 * area).sum()
+    ke = 0.5 * GV.rho0 * (h * u * u * area).sum()
+    return pe + ke
+
+
+def test_flather_radiates_waves_out():
+    G, GV, state, params = setup_wave()
+    obc = build_obc([OBCSegment(edge="E"), OBCSegment(edge="W")],
+                    G.ny, G.nx)
+
+    step = jax.jit(lambda s: apply_obc(
+        step_dynamics_split_rk2(s, MechForcing(), G, GV, params),
+        obc, G, GV, params.dt))
+    step_closed = jax.jit(lambda s: step_dynamics_split_rk2(
+        s, MechForcing(), G, GV, params))
+
+    e0 = wave_energy(state, G, GV)
+    s_open, s_closed = state, state
+    # wave crossing time: domain 320km at c=31 m/s ~ 2.8h; run 3h
+    for _ in range(108):
+        s_open = step(s_open)
+        s_closed = step_closed(s_closed)
+    e_open = wave_energy(s_open, G, GV)
+    e_closed = wave_energy(s_closed, G, GV)
+    # the open domain lost most of the wave energy; closed kept much more
+    assert e_open < 0.3 * e0, (e_open / e0)
+    assert e_open < 0.5 * e_closed
+    assert np.isfinite(np.asarray(s_open.h)).all()
+
+
+def test_obc_tracer_nudging():
+    G, GV, state, params = setup_wave()
+    state = state.replace(T=jnp.full(state.h.shape, 10.0, jnp.float32),
+                          S=jnp.full(state.h.shape, 35.0, jnp.float32))
+    obc = build_obc([OBCSegment(edge="E", T_ext=15.0, S_ext=36.0,
+                                nudge_timescale=100.0)], G.ny, G.nx)
+    s = apply_obc(state, obc, G, GV, dt=100.0)
+    T = np.asarray(s.T)
+    # boundary cell pulled halfway (w=1): (10+15)/2
+    np.testing.assert_allclose(T[:, :, -1], 12.5, rtol=1e-5)
+    np.testing.assert_allclose(T[:, :, 10], 10.0, rtol=1e-6)
+
+
+def test_obc_masks_compile():
+    obc = build_obc([OBCSegment(edge="N", lo=2, hi=6)], 8, 8)
+    m = np.asarray(obc.mask_v)
+    assert m[-2, 2:6].sum() == 4 and m.sum() == 4
