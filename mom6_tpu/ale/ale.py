@@ -14,7 +14,8 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from mom6_tpu.ale.regridding import build_sigma_grid, build_zstar_grid
+from mom6_tpu.ale.regridding import (build_rho_grid, build_sigma_grid,
+                                     build_zstar_grid)
 from mom6_tpu.ale.remapping import PPM_H4, remap_column
 from mom6_tpu.framework.stencil import ip1, jp1
 
@@ -23,13 +24,16 @@ __all__ = ["ALEParams", "ale_regrid_remap"]
 LAYER = "LAYER"
 ZSTAR = "ZSTAR"
 SIGMA = "SIGMA"
+RHO = "RHO"
 
 
 class ALEParams(NamedTuple):
     mode: str = ZSTAR
     dz_nominal: tuple = ()         # nominal z* thicknesses (nz,)
+    rho_targets: tuple = ()        # RHO-mode target densities (nz,)
     scheme: str = PPM_H4
     min_thickness: float = 1e-10
+    eos_name: str = "WRIGHT"       # for RHO mode
 
 
 def ale_regrid_remap(state, G, GV, p: ALEParams,
@@ -44,6 +48,12 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
                                  p.min_thickness)
     elif p.mode == SIGMA:
         h_new = build_sigma_grid(h, min_thickness=p.min_thickness)
+    elif p.mode == RHO:
+        from mom6_tpu.eos import get_eos
+        h_new = build_rho_grid(h, state.T, state.S, GV,
+                               get_eos(p.eos_name),
+                               jnp.asarray(p.rho_targets, h.dtype),
+                               min_thickness=p.min_thickness)
     else:
         raise ValueError(f"unknown ALE mode {p.mode}")
     h_new = jnp.where(G.mask2dT[None] > 0.5, h_new, h)

@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_zstar_grid", "build_sigma_grid", "uniform_dz_profile"]
+__all__ = ["build_zstar_grid", "build_sigma_grid", "build_rho_grid",
+           "uniform_dz_profile"]
 
 
 def uniform_dz_profile(nz: int, max_depth: float) -> np.ndarray:
@@ -63,3 +64,48 @@ def build_sigma_grid(h, sigma_fractions=None, nz: int = None,
     else:
         frac = jnp.asarray(sigma_fractions, h.dtype)
     return jnp.maximum(frac[:, None, None] * col[None], min_thickness)
+
+
+def build_rho_grid(h, T, S, GV, eos, rho_targets, *,
+                   min_thickness: float = 1e-10, p_ref: float = 2e7):
+    """Isopycnal-target grid (RHO mode of regridding_main; coord_rho.F90):
+    interface k moves to the depth where the column's (monotonicized)
+    potential density referenced to ``p_ref`` equals the target interface
+    density 0.5*(Rlay[k-1] + Rlay[k]).
+
+    Piecewise-linear inversion of the (rho, z) profile with the same
+    branchless fractional-segment machinery as the remap core; interfaces
+    clamp to [0, column depth] so column sums are preserved exactly."""
+    import jax
+
+    nz = h.shape[0]
+    rho_t = jnp.asarray(rho_targets, h.dtype)
+    rho_int_t = 0.5 * (rho_t[:-1] + rho_t[1:])          # (nz-1,) targets
+
+    z_c = jnp.cumsum(h, axis=0) - 0.5 * h               # center depths
+    rho_c = GV.rho0 + eos.density(T, S, jnp.full_like(T, p_ref),
+                                  rho_ref=GV.rho0)
+    rho_mono = jax.lax.cummax(rho_c, axis=0)            # enforce stability
+
+    col = jnp.sum(h, axis=0)
+    # invert rho(z): for each target, z = interpolated crossing depth
+    r_lo = jnp.concatenate([rho_mono[:1], rho_mono[:-1]], 0)
+    z_lo = jnp.concatenate([jnp.zeros_like(z_c[:1]), z_c[:-1]], 0)
+    seg = z_c - z_lo
+
+    def depth_of(rho_target):
+        frac = jnp.clip((rho_target - r_lo)
+                        / jnp.maximum(rho_mono - r_lo, 1e-12), 0.0, 1.0)
+        frac = jnp.where(rho_mono - r_lo < 1e-12,
+                         jnp.where(r_lo < rho_target, 1.0, 0.0), frac)
+        return jnp.sum(seg * frac, axis=0)
+
+    z_int = jnp.stack([depth_of(rho_int_t[k]) for k in range(nz - 1)])
+    z_int = jnp.clip(z_int, 0.0, col[None])
+    # enforce monotone interfaces
+    z_int = jax.lax.cummax(z_int, axis=0)
+    z_full = jnp.concatenate([jnp.zeros_like(col[None]), z_int,
+                              col[None]], axis=0)
+    h_new = jnp.maximum(z_full[1:] - z_full[:-1], min_thickness)
+    scale = col / jnp.maximum(jnp.sum(h_new, axis=0), 1e-30)
+    return h_new * scale[None]

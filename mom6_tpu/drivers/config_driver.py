@@ -16,7 +16,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from mom6_tpu.ale.ale import ALEParams, LAYER, SIGMA, ZSTAR
+from mom6_tpu.ale.ale import ALEParams, LAYER, RHO, SIGMA, ZSTAR
 from mom6_tpu.core.barotropic import BTParams, set_dtbt
 from mom6_tpu.core.dynamics_split_rk2 import DynParams, MechForcing
 from mom6_tpu.core.mom import Forcing, MOMParams
@@ -148,6 +148,23 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         gm = GMParams(khth=pf.get("KHTH", float, default=10.0,
                                   units="m2 s-1", module=m))
 
+    m = "MOM_MEKE"
+    meke = None
+    if pf.get("USE_MEKE", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.meke import MEKEParams
+        meke = MEKEParams(
+            damping=pf.get("MEKE_DAMPING", float, default=1e-6, module=m),
+            ke_coeff=pf.get("MEKE_KHCOEFF", float, default=0.2, module=m))
+
+    m = "MOM_mixed_layer_restrat"
+    mlr = None
+    if pf.get("MIXEDLAYER_RESTRAT", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.mixed_layer_restrat import \
+            MLRestratParams
+        mlr = MLRestratParams(
+            fox_kemper_coef=pf.get("FOX_KEMPER_ML_RESTRAT_COEF", float,
+                                   default=0.0625, module=m))
+
     m = "MOM_diabatic_driver"
     diab = DiabaticParams(
         diff=DiffusivityParams(
@@ -172,12 +189,17 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             ale = ALEParams(mode=ZSTAR, dz_nominal=tuple(dz))
         elif mode == "SIGMA":
             ale = ALEParams(mode=SIGMA)
+        elif mode == "RHO":
+            rlay = pf.get_list("ALE_RHO_TARGETS",
+                               default=list(np.asarray(gv.Rlay)), module=m)
+            ale = ALEParams(mode=RHO, rho_targets=tuple(rlay),
+                            eos_name=eos_name)
         else:
             raise NotImplementedError(f"REGRIDDING_COORDINATE_MODE={mode}")
 
     params = MOMParams(dyn=dyn, thermo_enabled=use_thermo,
                        eos_name=eos_name, diabatic=diab, ale=ale,
-                       hor_visc=hv, gm=gm,
+                       hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
                        n_dyn_per_thermo=n_dyn_per_thermo)
 
     # -- initial state ----------------------------------------------------
@@ -187,6 +209,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         raise NotImplementedError(f"THICKNESS_CONFIG={thick_cfg}")
     state = init_state_resting(G, gv, np.full(nz, max_depth / nz),
                                dtype=dtype, with_thermo=use_thermo)
+    if meke is not None:
+        state = state.replace(E_meke=jnp.zeros((G.ny, G.nx), dtype))
     if use_thermo:
         t_ref = pf.get("T_REF", float, default=10.0, units="degC", module=m)
         s_ref = pf.get("S_REF", float, default=35.0, units="ppt", module=m)

@@ -176,3 +176,57 @@ class TestRoquet:
             rw = float(w.density(np.float64(T), np.float64(S), np.float64(p)))
             rr = float(r.density(np.float64(T), np.float64(S), np.float64(p)))
             assert abs(rw - rr) < 0.5, (T, S, p, rw, rr)
+
+
+class TestRhoRegrid:
+    def test_isopycnal_targets(self):
+        """After a rho regrid, layer densities should land near Rlay."""
+        import jax.numpy as jnp
+        from mom6_tpu.ale.regridding import build_rho_grid
+        from mom6_tpu.ale.remapping import remap_column, PPM_H4
+        from mom6_tpu.grid.vertical import build_layered_vgrid
+        eos = get_eos("LINEAR")
+        nz = 8
+        GV = build_layered_vgrid(nz)
+        h = jnp.full((nz, 4, 4), 250.0, jnp.float32)
+        zc = np.cumsum(np.full(nz, 250.0)) - 125.0
+        T = jnp.asarray(np.broadcast_to((18.0 - 0.006 * zc)[:, None, None],
+                                        (nz, 4, 4)), jnp.float32)
+        S = jnp.full((nz, 4, 4), 35.0, jnp.float32)
+        # targets spanning the column's density range (linear EOS, sigma-0)
+        rho_prof = 1000.0 - 0.2 * np.asarray(T)[:, 0, 0] + 0.8 * 35.0
+        targets = np.linspace(rho_prof[0], rho_prof[-1], nz)
+        h_new = build_rho_grid(h, T, S, GV, eos, targets, p_ref=0.0)
+        # column sums preserved
+        np.testing.assert_allclose(np.asarray(jnp.sum(h_new, 0)), 2000.0,
+                                   rtol=1e-5)
+        # remap T onto the new grid; layer densities near the targets
+        T2 = remap_column(T, h, h_new, PPM_H4)
+        rho2 = 1000.0 - 0.2 * np.asarray(T2)[:, 0, 0] + 0.8 * 35.0
+        # interior layers close to target band centers
+        want = 0.5 * (targets[:-1] + targets[1:])
+        got = 0.5 * (rho2[:-1] + rho2[1:])
+        np.testing.assert_allclose(got[2:-2], want[2:-2], atol=0.15)
+
+
+class TestHarmonicAnalysis:
+    def test_recovers_amplitude_phase(self):
+        from mom6_tpu.diagnostics.harmonic_analysis import HarmonicAnalysis
+        from mom6_tpu.physics.lateral.tidal_forcing import CONSTITUENTS
+        ha = HarmonicAnalysis(("M2", "K1"), (3, 3))
+        w_m2 = CONSTITUENTS["M2"].freq
+        w_k1 = CONSTITUENTS["K1"].freq
+        rng = np.random.default_rng(0)
+        for i in range(400):
+            t = i * 1800.0
+            ssh = (0.5 + 1.2 * np.cos(w_m2 * t - 0.7)
+                   + 0.4 * np.cos(w_k1 * t + 0.3)
+                   + 0.01 * rng.standard_normal((3, 3)))
+            ha.accumulate(t, ssh)
+        out = ha.solve()
+        np.testing.assert_allclose(out["mean"], 0.5, atol=0.02)
+        amp, ph = out["M2"]
+        np.testing.assert_allclose(amp, 1.2, atol=0.02)
+        np.testing.assert_allclose(ph, 0.7, atol=0.05)  # cos(wt-p): b=+sin
+        amp1, _ = out["K1"]
+        np.testing.assert_allclose(amp1, 0.4, atol=0.02)

@@ -68,9 +68,25 @@ def test_parameter_doc_written(tmp_path):
 def test_unknown_coordinate_mode_fails_loudly():
     pf = param_file_from_text(
         "NIGLOBAL = 8\nNJGLOBAL = 8\nNK = 2\nDT = 600.0\n"
-        "USE_REGRIDDING = True\nREGRIDDING_COORDINATE_MODE = RHO\n")
+        "USE_REGRIDDING = True\nREGRIDDING_COORDINATE_MODE = HYCOM1\n")
     try:
         build_model_from_params(pf)
-        assert False, "should raise for unimplemented RHO coordinate"
+        assert False, "should raise for unimplemented HYCOM1 coordinate"
     except NotImplementedError:
         pass
+
+
+def test_rho_and_meke_mlr_config():
+    pf = param_file_from_text(
+        "NIGLOBAL = 8\nNJGLOBAL = 8\nNK = 3\nDT = 600.0\n"
+        "USE_REGRIDDING = True\nREGRIDDING_COORDINATE_MODE = RHO\n"
+        "THICKNESSDIFFUSE = True\nUSE_MEKE = True\n"
+        "MIXEDLAYER_RESTRAT = True\nT_RANGE = 8.0\n")
+    st = build_model_from_params(pf)
+    assert st.params.ale.mode == "RHO"
+    assert st.params.meke is not None and st.params.mlrestrat is not None
+    assert st.state.E_meke is not None
+    out = jax.jit(lambda s: step_mom(s, st.forcing, st.grid, st.vgrid,
+                                     st.params))(st.state)
+    assert np.isfinite(np.asarray(out.h)).all()
+    assert np.isfinite(np.asarray(out.T)).all()

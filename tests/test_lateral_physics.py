@@ -161,3 +161,41 @@ class TestMLRestrat:
         mld = jnp.full((16, 16), 200.0, jnp.float32)
         _, uh, vh = mixedlayer_restrat(h, T, S, mld, G, GV, eos, 3600.0)
         assert float(jnp.max(jnp.abs(uh))) < 1e-4
+
+
+class TestWaveSpeedEigen:
+    def test_uniform_stratification_analytic(self):
+        """Uniform N over depth H: c1 = N H / pi exactly (continuum)."""
+        from mom6_tpu.diagnostics.wave_speed import wave_speed
+        G, GV, eos = setup()
+        nz = 20
+        H = 2000.0
+        h = jnp.full((nz, 16, 16), H / nz, jnp.float32)
+        # linear T profile => constant N^2 (linear EOS)
+        eos_lin = get_eos("LINEAR")
+        zc = np.cumsum(np.full(nz, H / nz)) - H / nz / 2
+        dTdz = 0.005
+        T = jnp.asarray(np.broadcast_to((15.0 - dTdz * zc)[:, None, None],
+                                        (nz, 16, 16)), jnp.float32)
+        S = jnp.full((nz, 16, 16), 35.0, jnp.float32)
+        c1 = wave_speed(h, T, S, G, GV, eos_lin)
+        n = np.sqrt(9.8 / 1035.0 * 0.2 * dTdz)
+        want = n * H / np.pi
+        got = float(np.asarray(c1)[8, 8])
+        np.testing.assert_allclose(got, want, rtol=0.02)
+
+    def test_eigen_vs_wkb(self):
+        from mom6_tpu.diagnostics.wave_speed import wave_speed, wave_speed_wkb
+        G, GV, eos = setup()
+        nz = 16
+        h = jnp.full((nz, 16, 16), 2000.0 / nz, jnp.float32)
+        zc = np.cumsum(np.full(nz, 125.0)) - 62.5
+        T = jnp.asarray(np.broadcast_to(
+            (4.0 + 16.0 * np.exp(-zc / 700.0))[:, None, None],
+            (nz, 16, 16)), jnp.float32)
+        S = jnp.full((nz, 16, 16), 35.0, jnp.float32)
+        c_e = float(np.asarray(wave_speed(h, T, S, G, GV, eos))[8, 8])
+        c_w = float(np.asarray(wave_speed_wkb(h, T, S, G, GV, eos))[8, 8])
+        # same ballpark; WKB is the high bound for surface-intensified N
+        assert 0.5 * c_w < c_e < 1.2 * c_w
+        assert 0.5 < c_e < 6.0
