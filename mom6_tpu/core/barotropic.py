@@ -93,8 +93,10 @@ def _coriolis_v(f_q, ubt):
     return -0.5 * (fu_q + im1(fu_q))
 
 
-def _weights(nstep: int, nfilter: int, dtype):
-    """Per-substep averaging weights (MOM6 wt_trans/wt_vel/wt_accel)."""
+def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
+    """Per-substep averaging weights (MOM6 wt_trans/wt_vel/wt_accel) and
+    the alternating update-order parity (inverted when the rotated frame
+    must lead with the other physical direction)."""
     n_tot = nstep + nfilter
     n = np.arange(1, n_tot + 1, dtype=np.float64)
     wt_trans = np.where(n <= nstep, 1.0 / nstep, 0.0)
@@ -103,13 +105,14 @@ def _weights(nstep: int, nfilter: int, dtype):
     else:
         tri = (n == nstep).astype(np.float64)
     wt_vel = tri / tri.sum()
+    parity = (n % 2 == 0) if x_first else (n % 2 == 1)
     return (jnp.asarray(wt_trans, dtype), jnp.asarray(wt_vel, dtype),
-            jnp.asarray((n % 2 == 0).astype(np.int32)))
+            jnp.asarray(parity.astype(np.int32)))
 
 
 def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
            visc_rem_u, visc_rem_v, pbce, eta_PF, dt, G, GV, params: BTParams,
-           taux=None, tauy=None) -> BTOut:
+           taux=None, tauy=None, x_first: bool = True) -> BTOut:
     """One barotropic cycle covering a baroclinic step of length ``dt``."""
     dtype = u_in.dtype
     nstep, nfilter = params.nstep, params.nfilter
@@ -169,7 +172,7 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         pfv = -(jp1(ge) - ge) * G.IdyCv * G.mask2dCv
         return pfu, pfv
 
-    wt_trans, wt_vel, v_first = _weights(nstep, nfilter, dtype)
+    wt_trans, wt_vel, v_first = _weights(nstep, nfilter, dtype, x_first)
 
     def substep(carry, wts):
         ubt, vbt, eta = carry["ubt"], carry["vbt"], carry["eta"]

@@ -225,22 +225,36 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
                    vhbt: Optional[jnp.ndarray] = None,
                    visc_rem_u: Optional[jnp.ndarray] = None,
                    visc_rem_v: Optional[jnp.ndarray] = None,
-                   monotonic=False, simple_2nd=False
+                   monotonic=False, simple_2nd=False, x_first: bool = True
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                               jnp.ndarray, jnp.ndarray]:
     """Directionally-split thickness update (continuity_PPM,
-    MOM_continuity_PPM.F90:86).  Returns (h_new, uh, vh, u_adj, v_adj).
+    MOM_continuity_PPM.F90:86).  ``x_first`` is the FIRST_DIRECTION
+    parameter of the reference (adjusted by the rotation machinery so
+    quarter-turned runs sweep the same physical direction first).
+    Returns (h_new, uh, vh, u_adj, v_adj).
     """
     h_min = GV.angstrom
-    uh, u_adj = zonal_mass_flux(u, h, dt, G, uhbt=uhbt, visc_rem=visc_rem_u,
-                                monotonic=monotonic, simple_2nd=simple_2nd,
-                                h_min=h_min)
-    h_x = h - dt * G.IareaT * (uh - im1(uh))
-    h_x = jnp.maximum(h_x, h_min)
-    vh, v_adj = meridional_mass_flux(v, h_x, dt, G, vhbt=vhbt,
-                                     visc_rem=visc_rem_v,
-                                     monotonic=monotonic,
-                                     simple_2nd=simple_2nd, h_min=h_min)
-    h_new = h_x - dt * G.IareaT * (vh - jm1(vh))
-    h_new = jnp.maximum(h_new, h_min)
+    if x_first:
+        uh, u_adj = zonal_mass_flux(u, h, dt, G, uhbt=uhbt,
+                                    visc_rem=visc_rem_u,
+                                    monotonic=monotonic,
+                                    simple_2nd=simple_2nd, h_min=h_min)
+        h_x = jnp.maximum(h - dt * G.IareaT * (uh - im1(uh)), h_min)
+        vh, v_adj = meridional_mass_flux(v, h_x, dt, G, vhbt=vhbt,
+                                         visc_rem=visc_rem_v,
+                                         monotonic=monotonic,
+                                         simple_2nd=simple_2nd, h_min=h_min)
+        h_new = jnp.maximum(h_x - dt * G.IareaT * (vh - jm1(vh)), h_min)
+    else:
+        vh, v_adj = meridional_mass_flux(v, h, dt, G, vhbt=vhbt,
+                                         visc_rem=visc_rem_v,
+                                         monotonic=monotonic,
+                                         simple_2nd=simple_2nd, h_min=h_min)
+        h_y = jnp.maximum(h - dt * G.IareaT * (vh - jm1(vh)), h_min)
+        uh, u_adj = zonal_mass_flux(u, h_y, dt, G, uhbt=uhbt,
+                                    visc_rem=visc_rem_u,
+                                    monotonic=monotonic,
+                                    simple_2nd=simple_2nd, h_min=h_min)
+        h_new = jnp.maximum(h_y - dt * G.IareaT * (uh - im1(uh)), h_min)
     return h_new, uh, vh, u_adj, v_adj

@@ -49,6 +49,7 @@ class DynParams(NamedTuple):
     # layers below topography in ALE mode): such momentum is meaningless
     # and otherwise leaks into massive layers via the KE gradient
     massless_h: float = 1e-3     # [m]; 0 disables
+    x_first: bool = True         # FIRST_DIRECTION of the split sweeps
 
 
 class MechForcing(NamedTuple):
@@ -97,7 +98,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     # continuity fluxes of the initial state (for btstep's uhbt0)
     _, uh_in, vh_in, _, _ = continuity_ppm(
-        u, v, h, dt, G, GV, monotonic=p.continuity_monotonic)
+        u, v, h, dt, G, GV, monotonic=p.continuity_monotonic, x_first=p.x_first)
 
     # ---- predictor -----------------------------------------------------------
     pf = pf_fn(h, state)
@@ -111,7 +112,8 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     bt1 = btstep(u, v, eta, u_bc, v_bc, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
-                 dt_pred, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy)
+                 dt_pred, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
+                 x_first=p.x_first)
 
     up = (u + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
     vp = (v + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
@@ -130,7 +132,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         up, vp, h, dt_pred, G, GV,
         uhbt=bt1.uhbt_av, vhbt=bt1.vhbt_av,
         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
-        monotonic=p.continuity_monotonic)
+        monotonic=p.continuity_monotonic, x_first=p.x_first)
 
     # ---- corrector ------------------------------------------------------------
     pf2 = pf_fn(hp, state)
@@ -143,7 +145,8 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     bt2 = btstep(u, v, eta, u_bc2, v_bc2, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf2.pbce, pf2.eta_PF,
-                 dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy)
+                 dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
+                 x_first=p.x_first)
 
     u_new = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
     v_new = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
@@ -162,7 +165,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         u_new, v_new, h, dt, G, GV,
         uhbt=bt2.uhbt_av, vhbt=bt2.vhbt_av,
         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
-        monotonic=p.continuity_monotonic)
+        monotonic=p.continuity_monotonic, x_first=p.x_first)
 
     uhtr = state.uhtr + dt * uh if state.uhtr is not None else None
     vhtr = state.vhtr + dt * vh if state.vhtr is not None else None
