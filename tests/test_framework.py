@@ -151,3 +151,21 @@ class TestTridiag:
             M = np.diag(b[:, j]) + np.diag(a[1:, j], -1) + np.diag(c[:-1, j], 1)
             want = np.linalg.solve(M, d[:, j])
             np.testing.assert_allclose(x[:, j], want, rtol=2e-5)
+
+
+class TestPallasTridiag:
+    def test_matches_scan_on_any_backend(self):
+        """On CPU this exercises the fallback path; on TPU the kernel."""
+        from mom6_tpu.framework.pallas_tridiag import tridiag_solve_opt
+        rng = np.random.default_rng(7)
+        nz, ny, nx = 10, 12, 20
+        a = jnp.asarray(rng.uniform(0.1, 1.0, (nz, ny, nx)), jnp.float32
+                        ).at[0].set(0.0)
+        c = jnp.asarray(rng.uniform(0.1, 1.0, (nz, ny, nx)), jnp.float32
+                        ).at[-1].set(0.0)
+        b = 2.0 + a + c
+        d = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+        x_ref = tridiag_solve(a, b, c, d)
+        x_opt = tridiag_solve_opt(a, b, c, d)
+        np.testing.assert_allclose(np.asarray(x_opt), np.asarray(x_ref),
+                                   atol=1e-6)
