@@ -112,6 +112,15 @@ def main(argv=None):
     elapsed = time.time() - start
     reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
                      time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles)
+    # chksum_diag-style fingerprint of the final state (the second half of
+    # the regression oracle, SURVEY.md §4)
+    from mom6_tpu.framework.checksums import chksum_line
+    wet = None
+    with open(os.path.join(args.rundir, "chksum_diag"), "w") as f:
+        for name in fields:
+            val = getattr(state, name)
+            if val is not None:
+                f.write(chksum_line(name, jax.device_get(val)) + "\n")
     sypd = (n_cycles * dt_cycle / max(elapsed, 1e-9)) / 365.0
     print(f"run complete: {days} days in {elapsed:.1f}s ({sypd:.1f} SYPD)")
     unused = pf.unused_params()

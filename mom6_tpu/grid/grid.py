@@ -22,7 +22,7 @@ import numpy as np
 from mom6_tpu.framework.pytree import pytree_dataclass, static
 from mom6_tpu.framework import constants
 
-__all__ = ["Grid", "build_cartesian_grid"]
+__all__ = ["Grid", "build_cartesian_grid", "build_spherical_grid"]
 
 
 @pytree_dataclass
@@ -160,4 +160,79 @@ def build_cartesian_grid(
         geoLatT=J(np.broadcast_to(y_t[:, None], (ny, nx)) / 1e3),
         geoLonBu=J(np.broadcast_to(x_q[None, :], (ny, nx)) / 1e3),
         geoLatBu=J(np.broadcast_to(y_q[:, None], (ny, nx)) / 1e3),
+    )
+
+
+def build_spherical_grid(
+    nx: int,
+    ny: int,
+    west_lon_deg: float,
+    south_lat_deg: float,
+    len_lon_deg: float,
+    len_lat_deg: float,
+    *,
+    depth: Optional[np.ndarray] = None,
+    max_depth: float = 4000.0,
+    min_depth: float = 0.0,
+    cyclic_x: bool = False,
+    radius: float = constants.EARTH_RADIUS,
+    omega: float = constants.OMEGA,
+    dtype=jnp.float32,
+) -> Grid:
+    """Uniform spherical (lat-lon) grid with full metric terms and
+    Coriolis 2*Omega*sin(lat) (GRID_CONFIG="spherical" of
+    src/initialization/MOM_grid_initialize.F90: set_grid_metrics_spherical).
+    """
+    dlon = len_lon_deg / nx
+    dlat = len_lat_deg / ny
+    lon_q = west_lon_deg + dlon * (np.arange(nx) + 1.0)
+    lat_q = south_lat_deg + dlat * (np.arange(ny) + 1.0)
+    lon_t = lon_q - 0.5 * dlon
+    lat_t = lat_q - 0.5 * dlat
+    d2r = np.pi / 180.0
+
+    def dx_at(lat_deg):
+        return radius * np.cos(np.asarray(lat_deg) * d2r) * dlon * d2r
+
+    dy = radius * dlat * d2r
+    ones = np.ones((ny, nx))
+    dxT = np.broadcast_to(dx_at(lat_t)[:, None], (ny, nx)).copy()
+    dyT = ones * dy
+    dxCu = dxT.copy()                         # u at same latitude as T
+    dyCu = dyT.copy()
+    dxCv = np.broadcast_to(dx_at(lat_q)[:, None], (ny, nx)).copy()
+    dyCv = dyT.copy()
+    dxBu = dxCv.copy()
+    dyBu = dyT.copy()
+
+    if depth is None:
+        depth = np.full((ny, nx), max_depth)
+    depth = np.asarray(depth, dtype=np.float64)
+    mask_t = (depth > max(min_depth, 0.0)).astype(np.float64)
+    depth = depth * mask_t
+    mu, mv, mq = _face_masks(mask_t, cyclic_x, False)
+
+    f_q = 2.0 * omega * np.sin(np.asarray(lat_q) * d2r)
+    f_q = np.broadcast_to(f_q[:, None], (ny, nx)).copy()
+
+    def J(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    area = dxT * dyT
+    area_bu = dxBu * dyBu
+    return Grid(
+        nx=nx, ny=ny, cyclic_x=cyclic_x, reentrant_y=False,
+        dxT=J(dxT), dyT=J(dyT), areaT=J(area), IareaT=J(1.0 / area),
+        IdxT=J(1.0 / dxT), IdyT=J(1.0 / dyT),
+        dxCu=J(dxCu), dyCu=J(dyCu), IdxCu=J(1.0 / dxCu), IdyCu=J(1.0 / dyCu),
+        dxCv=J(dxCv), dyCv=J(dyCv), IdxCv=J(1.0 / dxCv), IdyCv=J(1.0 / dyCv),
+        dxBu=J(dxBu), dyBu=J(dyBu), areaBu=J(area_bu),
+        IareaBu=J(1.0 / area_bu),
+        mask2dT=J(mask_t), mask2dCu=J(mu), mask2dCv=J(mv), mask2dBu=J(mq),
+        CoriolisBu=J(f_q),
+        bathyT=J(depth),
+        geoLonT=J(np.broadcast_to(lon_t[None, :], (ny, nx))),
+        geoLatT=J(np.broadcast_to(lat_t[:, None], (ny, nx))),
+        geoLonBu=J(np.broadcast_to(lon_q[None, :], (ny, nx))),
+        geoLatBu=J(np.broadcast_to(lat_q[:, None], (ny, nx))),
     )
