@@ -96,3 +96,18 @@ class TestStochastic:
         dv = np.asarray(v - v0)[0]
         div = (du - np.roll(du, 1, -1)) + (dv - np.roll(dv, 1, -2))
         assert np.abs(div).max() < 1e-5 * max(np.abs(du).max(), 1e-9)
+
+class TestODAIncupd:
+    def test_ramped_application_and_remap(self):
+        from mom6_tpu.physics.oda_incupd import (IncrementalUpdate,
+                                                 apply_oda_increments)
+        G, GV, state, params, forcing = thermo_gyre(nx=8, ny=8, nz=4)
+        # increments on a finer 8-level grid
+        h_inc = jnp.full((8, 8, 8), 3000.0 / 8, jnp.float32)
+        dT = jnp.full((8, 8, 8), 2.0, jnp.float32)
+        inc = IncrementalUpdate(dT=dT, h_inc=h_inc, ramp_seconds=7200.0)
+        s = state
+        for _ in range(4):   # 4 x 1800 s = the full ramp
+            s = apply_oda_increments(s, inc, 1800.0, G)
+        dT_applied = np.asarray(s.T) - np.asarray(state.T)
+        np.testing.assert_allclose(dT_applied, 2.0, rtol=1e-5)
