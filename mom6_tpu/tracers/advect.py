@@ -13,7 +13,9 @@ Differences from the Fortran:
   the stored transports are exhausted, the transports are split into
   ``n_sub`` equal sub-sweeps with a static count chosen from the advective
   CFL bound (jit-friendly; same monotonicity guarantees);
-* flux-limited PLM (monotone) reconstruction; PPM:H3 planned.
+* schemes: monotone flux-limited PLM and PPM:H3 (3rd-order edge estimates
+  with CW84 monotonization, the reference's default) — the flux is the
+  exact integral of the reconstruction over the CFL wedge.
 
 Mass consistency: thickness is updated alongside the tracers with the same
 transports, so a uniform tracer stays exactly uniform.
@@ -28,9 +30,11 @@ import jax.numpy as jnp
 
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
-__all__ = ["advect_tracers"]
+__all__ = ["advect_tracers", "PLM", "PPM_H3"]
 
 _H_MIN = 1e-10
+PLM = "PLM"
+PPM_H3 = "PPM:H3"
 
 
 def _plm_edge_x(T, mask):
@@ -45,6 +49,33 @@ def _plm_edge_x(T, mask):
     slp = jnp.where(d_p * d_m > 0.0,
                     jnp.sign(slp) * jnp.minimum(jnp.abs(slp), lim), 0.0)
     return T - 0.5 * slp, T + 0.5 * slp      # (T_W, T_E)
+
+
+def _ppmh3_edges(T, mask, shift_m, shift_p):
+    """PPM:H3 edge values (3rd-order 3-point estimates, CW84-limited) —
+    the reference's default tracer reconstruction
+    (MOM_tracer_advect_schemes.F90).  Returns (T_left, T_right) edges in
+    the sweep direction."""
+    Tm = shift_m(T)
+    Tp = shift_p(T)
+    mm, mp = shift_m(mask), shift_p(mask)
+    Tm = mm * Tm + (1.0 - mm) * T
+    Tp = mp * Tp + (1.0 - mp) * T
+    one6 = 1.0 / 6.0
+    aL = one6 * (5.0 * T + 2.0 * Tm - Tp)
+    aR = one6 * (5.0 * T + 2.0 * Tp - Tm)
+    # bound by neighbors then monotonize (CW84)
+    aL = jnp.clip(aL, jnp.minimum(Tm, T), jnp.maximum(Tm, T))
+    aR = jnp.clip(aR, jnp.minimum(Tp, T), jnp.maximum(Tp, T))
+    not_mono = (aR - T) * (T - aL) <= 0.0
+    diff = aR - aL
+    fac = 6.0 * diff * (T - 0.5 * (aR + aL))
+    d2 = diff * diff
+    aL2 = jnp.where(fac > d2, 3.0 * T - 2.0 * aR, aL)
+    aR2 = jnp.where(fac < -d2, 3.0 * T - 2.0 * aL, aR)
+    aL2 = jnp.where(not_mono, T, aL2)
+    aR2 = jnp.where(not_mono, T, aR2)
+    return aL2, aR2
 
 
 def _plm_edge_y(T, mask):
@@ -78,21 +109,30 @@ def _limit_outflow_y(vh, vol):
     return vh * r_donor
 
 
-def _sweep_x(T, h, uh, G):
-    """One x sweep moving volume ``uh`` [m3] with upwind-PLM tracer edges.
+def _sweep_x(T, h, uh, G, scheme=PLM):
+    """One x sweep moving volume ``uh`` [m3] with upwind reconstructed
+    tracer edges (PLM or PPM:H3).
 
     ``T``: (n_tr, nz, ny, nx); ``h``: (nz, ny, nx) volume-consistent
     thickness; ``uh`` thickness transport for this sweep [m3]."""
     mask = G.mask2dT
-    T_W, T_E = _plm_edge_x(T, mask)
+    if scheme == PPM_H3:
+        T_W, T_E = _ppmh3_edges(T, mask, im1, ip1)
+    else:
+        T_W, T_E = _plm_edge_x(T, mask)
     # CFL fraction of the donor cell swept out
     vol = h * G.areaT
     uh = _limit_outflow_x(uh, vol)
     cfl_p = uh / jnp.maximum(vol, _H_MIN)          # u > 0, donor i
     cfl_m = -uh / jnp.maximum(ip1(vol), _H_MIN)    # u < 0, donor i+1
-    # mean tracer of the swept region (PLM average over the CFL wedge)
-    T_up_p = T_E + 0.5 * cfl_p[None] * (T_W - T_E)
-    T_up_m = ip1(T_W) + 0.5 * cfl_m[None] * (ip1(T_E) - ip1(T_W))
+    # mean tracer of the swept region: exact integral of the parabola over
+    # the CFL wedge (curv = 0 reduces to the PLM mean)
+    curv = (T_W + T_E) - 2.0 * T
+    T_up_p = T_E + cfl_p[None] * (0.5 * (T_W - T_E)
+                                  + curv * (cfl_p[None] - 1.5))
+    cm = cfl_m[None]
+    T_up_m = ip1(T_W) + cm * (0.5 * (ip1(T_E) - ip1(T_W))
+                              + ip1(curv) * (cm - 1.5))
     T_face = jnp.where(uh[None] > 0.0, T_up_p,
                        jnp.where(uh[None] < 0.0, T_up_m,
                                  0.5 * (T_E + ip1(T_W))))
@@ -104,15 +144,22 @@ def _sweep_x(T, h, uh, G):
     return jnp.where(mask[None, None] > 0.5, T_new, T), h_new
 
 
-def _sweep_y(T, h, vh, G):
+def _sweep_y(T, h, vh, G, scheme=PLM):
     mask = G.mask2dT
-    T_S, T_N = _plm_edge_y(T, mask)
+    if scheme == PPM_H3:
+        T_S, T_N = _ppmh3_edges(T, mask, jm1, jp1)
+    else:
+        T_S, T_N = _plm_edge_y(T, mask)
     vol = h * G.areaT
     vh = _limit_outflow_y(vh, vol)
     cfl_p = vh / jnp.maximum(vol, _H_MIN)
     cfl_m = -vh / jnp.maximum(jp1(vol), _H_MIN)
-    T_up_p = T_N + 0.5 * cfl_p[None] * (T_S - T_N)
-    T_up_m = jp1(T_S) + 0.5 * cfl_m[None] * (jp1(T_N) - jp1(T_S))
+    curv = (T_S + T_N) - 2.0 * T
+    T_up_p = T_N + cfl_p[None] * (0.5 * (T_S - T_N)
+                                  + curv * (cfl_p[None] - 1.5))
+    cm = cfl_m[None]
+    T_up_m = jp1(T_S) + cm * (0.5 * (jp1(T_N) - jp1(T_S))
+                              + jp1(curv) * (cm - 1.5))
     T_face = jnp.where(vh[None] > 0.0, T_up_p,
                        jnp.where(vh[None] < 0.0, T_up_m,
                                  0.5 * (T_N + jp1(T_S))))
@@ -124,7 +171,8 @@ def _sweep_y(T, h, vh, G):
     return jnp.where(mask[None, None] > 0.5, T_new, T), h_new
 
 
-def advect_tracers(T, h_prev, uhtr, vhtr, G, *, n_sub: int = 2
+def advect_tracers(T, h_prev, uhtr, vhtr, G, *, n_sub: int = 2,
+                   scheme: str = PPM_H3
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Advect stacked tracers with accumulated transports.
 
@@ -143,14 +191,14 @@ def advect_tracers(T, h_prev, uhtr, vhtr, G, *, n_sub: int = 2
 
         def xy(ops):
             T, h = ops
-            T, h = _sweep_x(T, h, uh_s, G)
-            T, h = _sweep_y(T, h, vh_s, G)
+            T, h = _sweep_x(T, h, uh_s, G, scheme)
+            T, h = _sweep_y(T, h, vh_s, G, scheme)
             return T, h
 
         def yx(ops):
             T, h = ops
-            T, h = _sweep_y(T, h, vh_s, G)
-            T, h = _sweep_x(T, h, uh_s, G)
+            T, h = _sweep_y(T, h, vh_s, G, scheme)
+            T, h = _sweep_x(T, h, uh_s, G, scheme)
             return T, h
 
         T, h = jax.lax.cond(xy_first, xy, yx, (T, h))

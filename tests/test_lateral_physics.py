@@ -199,3 +199,30 @@ class TestWaveSpeedEigen:
         # same ballpark; WKB is the high bound for surface-intensified N
         assert 0.5 * c_w < c_e < 1.2 * c_w
         assert 0.5 < c_e < 6.0
+
+
+class TestZannaBolton:
+    def test_rest_state_zero(self):
+        from mom6_tpu.physics.lateral.zanna_bolton import zanna_bolton_accel
+        G, GV, eos = setup()
+        z = jnp.zeros((2, 16, 16), jnp.float32)
+        h = jnp.full((2, 16, 16), 500.0, jnp.float32)
+        du, dv = zanna_bolton_accel(z, z, h, G)
+        assert float(jnp.max(jnp.abs(du))) == 0.0
+
+    def test_momentum_conserved_and_quadratic(self):
+        from mom6_tpu.physics.lateral.zanna_bolton import zanna_bolton_accel
+        G, GV, eos = setup()
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(0.1 * rng.standard_normal((2, 16, 16)), jnp.float32)
+        v = jnp.asarray(0.1 * rng.standard_normal((2, 16, 16)), jnp.float32)
+        h = jnp.full((2, 16, 16), 500.0, jnp.float32)
+        du1, dv1 = zanna_bolton_accel(u, v, h, G)
+        du2, dv2 = zanna_bolton_accel(2.0 * u, 2.0 * v, h, G)
+        # quadratic in velocity
+        np.testing.assert_allclose(np.asarray(du2), 4.0 * np.asarray(du1),
+                                   rtol=1e-4, atol=1e-12)
+        # momentum conserved (flux form, flat h, periodic)
+        tot = abs(float(np.asarray(du1, np.float64).sum()))
+        scale = float(np.abs(np.asarray(du1, np.float64)).sum()) + 1e-30
+        assert tot < 1e-4 * scale

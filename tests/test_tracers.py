@@ -136,3 +136,27 @@ class TestRegistry:
         reg.lock()
         with pytest.raises(RuntimeError):
             reg.register("age")
+
+
+class TestPPMH3:
+    def test_monotone_and_sharper_than_plm(self):
+        from mom6_tpu.tracers.advect import advect_tracers, PLM, PPM_H3
+        G = setup()
+        h = jnp.full((1, 16, 16), 100.0, jnp.float32)
+        # advect a square wave one full revolution around the periodic domain
+        uhtr_1cell = 6250.0 * 100.0 * 6250.0
+        T0 = np.zeros((1, 1, 16, 16), np.float32)
+        T0[..., 5:9] = 1.0
+        res = {}
+        for scheme in (PLM, PPM_H3):
+            T = jnp.asarray(T0)
+            for _ in range(16):  # 16 one-cell displacements = full loop
+                T, _ = advect_tracers(T, h, jnp.full((1,16,16), uhtr_1cell,
+                                                     jnp.float32),
+                                      jnp.zeros((1,16,16), jnp.float32),
+                                      G, n_sub=2, scheme=scheme)
+            t = np.asarray(T)[0, 0]
+            assert t.min() >= -1e-5 and t.max() <= 1.0 + 1e-5  # monotone
+            # error vs the initial square wave
+            res[scheme] = np.abs(t - T0[0, 0]).sum()
+        assert res[PPM_H3] < res[PLM]  # higher order = less smearing
