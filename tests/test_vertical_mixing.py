@@ -123,3 +123,43 @@ class TestEPBL:
         assert (k >= 0).all() and k.max() <= 0.1 + 1e-6
         m = np.asarray(mld)
         assert (m >= 1.0).all() and (m <= 1000.0).all()
+
+
+class TestKappaShear:
+    def _sheared(self, u_top=1.0, nz=10):
+        G, GV, eos, h, T, S = setup(nz=nz, mixed_layer=True)
+        u = jnp.zeros_like(h).at[0:2].set(u_top)
+        v = jnp.zeros_like(h)
+        return G, GV, eos, h, T, S, u, v
+
+    def test_mixing_only_when_supercritical(self):
+        from mom6_tpu.physics.vertical.kappa_shear import kappa_shear
+        G, GV, eos, h, T, S, u, v = self._sheared(u_top=2.0)
+        kd, tke = kappa_shear(h, u, v, T, S, G, GV, eos)
+        assert float(kd.max()) > 1e-5        # strong shear mixes
+        kd0, _ = kappa_shear(h, jnp.zeros_like(u), v, T, S, G, GV, eos)
+        assert float(kd0.max()) < 1e-8       # no shear, no mixing
+
+    def test_self_limitation(self):
+        """The JHL property: at marginal supercriticality the feedback
+        iterations REDUCE the diffusivity relative to the no-feedback
+        estimate (the mixing consumes its own source) — unlike the
+        instantaneous Ri closures."""
+        from mom6_tpu.physics.vertical.kappa_shear import (KappaShearParams,
+                                                           kappa_shear)
+        G, GV, eos, h, T, S = setup(nz=10, mixed_layer=False)
+        u = jnp.zeros_like(h).at[0].set(2.0)   # Ri just below critical
+        v = jnp.zeros_like(h)
+        kd_fb, _ = kappa_shear(h, u, v, T, S, G, GV, eos,
+                               KappaShearParams(n_iter=6), dt=36000.0)
+        kd_no, _ = kappa_shear(h, u, v, T, S, G, GV, eos,
+                               KappaShearParams(n_iter=0), dt=36000.0)
+        assert float(kd_fb.max()) < 0.8 * float(kd_no.max())
+        assert float(kd_fb.min()) >= 0.0
+
+    def test_subcritical_silent(self):
+        from mom6_tpu.physics.vertical.kappa_shear import kappa_shear
+        G, GV, eos, h, T, S = setup(nz=10, mixed_layer=False)
+        u = jnp.zeros_like(h).at[0].set(0.6)   # Ri ~ 1.7 > critical
+        kd, _ = kappa_shear(h, u, jnp.zeros_like(h), T, S, G, GV, eos)
+        assert float(kd.max()) == 0.0
