@@ -155,11 +155,17 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                                     taux, tauy, forcing.buoy.heat_flux)
         kd_extra = kd_bl
     if p.diabatic.use_shear_mixing:
-        from mom6_tpu.physics.vertical.shear_mixing import (
-            ShearMixingParams, shear_mixing_kd)
-        kd_sh = shear_mixing_kd(state.h, state.u, state.v, state.T, state.S,
-                                G, GV, eos,
-                                ShearMixingParams(scheme=p.diabatic.shear_scheme))
+        if p.diabatic.shear_scheme == "JHL":
+            from mom6_tpu.physics.vertical.kappa_shear import kappa_shear
+            kd_sh, _ = kappa_shear(state.h, state.u, state.v, state.T,
+                                   state.S, G, GV, eos,
+                                   dt=p.dyn.dt * p.n_dyn_per_thermo)
+        else:
+            from mom6_tpu.physics.vertical.shear_mixing import (
+                ShearMixingParams, shear_mixing_kd)
+            kd_sh = shear_mixing_kd(
+                state.h, state.u, state.v, state.T, state.S, G, GV, eos,
+                ShearMixingParams(scheme=p.diabatic.shear_scheme))
         kd_extra = kd_sh if kd_extra is None else kd_extra + kd_sh
 
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo

@@ -175,8 +175,13 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                else ("EPBL" if pf.get("ENERGETICS_SFC_PBL",
                                                       bool, default=False,
                                                       module=m) else "NONE")),
-        use_shear_mixing=pf.get("USE_CVMIX_SHEAR", bool, default=False,
-                                module=m))
+        use_shear_mixing=(pf.get("USE_CVMIX_SHEAR", bool, default=False,
+                                 module=m)
+                          or pf.get("USE_JACKSON_PARAM", bool, default=False,
+                                    module=m)),
+        shear_scheme=("JHL" if pf.get("USE_JACKSON_PARAM", bool,
+                                      default=False, module=m)
+                      else "LMD94"))
 
     m = "MOM_ALE"
     ale = ALEParams(mode=LAYER)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict
 
-from mom6_tpu.eos import linear, roquet, wright
+from mom6_tpu.eos import linear, roquet, unesco, wright
 
 __all__ = ["EOS", "get_eos"]
 
@@ -42,8 +42,9 @@ def _register(name: str, mod) -> None:
 _register("LINEAR", linear)
 _register("WRIGHT", wright)
 _register("ROQUET_RHO", roquet)
+_register("UNESCO", unesco)
 
-_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "UNESCO", "TEOS10",
+_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "TEOS10",
             "ROQUET_SPV", "JACKETT06")
 
 

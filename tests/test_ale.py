@@ -230,3 +230,27 @@ class TestHarmonicAnalysis:
         np.testing.assert_allclose(ph, 0.7, atol=0.05)  # cos(wt-p): b=+sin
         amp1, _ = out["K1"]
         np.testing.assert_allclose(amp1, 0.4, atol=0.02)
+
+
+class TestUNESCO:
+    def test_check_value(self):
+        """Jackett & McDougall (1995) check: rho(3C, 35.5 PSU, 300 bar)
+        = 1041.83267 kg/m3."""
+        eos = get_eos("UNESCO")
+        rho = float(eos.density(np.float64(3.0), np.float64(35.5),
+                                np.float64(3.0e7)))
+        assert abs(rho - 1041.83267) < 0.01
+
+    def test_surface_check(self):
+        eos = get_eos("UNESCO")
+        # UNESCO surface check: rho(5, 0, 0) = 999.96675
+        rho = float(eos.density(np.float64(5.0), np.float64(0.0),
+                                np.float64(0.0)))
+        assert abs(rho - 999.96675) < 0.01
+
+    def test_agrees_with_wright_and_roquet(self):
+        u = get_eos("UNESCO"); w = get_eos("WRIGHT")
+        for T, S, p in [(2.0, 34.7, 3e7), (15.0, 35.5, 0.0)]:
+            ru = float(u.density(np.float64(T), np.float64(S), np.float64(p)))
+            rw = float(w.density(np.float64(T), np.float64(S), np.float64(p)))
+            assert abs(ru - rw) < 0.5
