@@ -100,6 +100,19 @@ def main(argv=None):
     stepper = make_mom_stepper(G, GV, params, forcing,
                                cycles_per_call=stats_every)
     writer = StatsWriter(os.path.join(args.rundir, "ocean.stats"))
+
+    # gridded time-mean diagnostics through the mediator (diag_table role)
+    from mom6_tpu.framework.diag_mediator import DiagMediator
+    import numpy as np
+    dm = DiagMediator()
+    diag_ids = {}
+    diag_fields = ["h", "u", "v"] + (["T", "S"] if params.thermo_enabled
+                                     else [])
+    for name in diag_fields:
+        diag_ids[name] = dm.register_diag_field("ocean_model", name,
+                                                time_avg=True)
+    id_ssh = dm.register_diag_field("ocean_model", "SSH", units="m")
+
     start = time.time()
     for c in range(n_cycles // stats_every):
         state = stepper(state)
@@ -109,13 +122,18 @@ def main(argv=None):
         s = compute_stats(state, G, GV, params.dyn.dt)
         writer.write(step, tdays, s)
         print(format_stats_line(step, tdays, s))
+        for name in diag_fields:
+            dm.post_data(diag_ids[name], jax.device_get(getattr(state, name)))
+        dm.post_data(id_ssh, np.asarray(jax.device_get(state.h)).sum(0)
+                     - np.asarray(jax.device_get(G.bathyT)))
+    dm.flush(os.path.join(args.rundir, "ocean_diags.nc"),
+             time_seconds=t0 + n_cycles * dt_cycle)
     elapsed = time.time() - start
     reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
                      time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles)
     # chksum_diag-style fingerprint of the final state (the second half of
     # the regression oracle, SURVEY.md §4)
     from mom6_tpu.framework.checksums import chksum_line
-    wet = None
     with open(os.path.join(args.rundir, "chksum_diag"), "w") as f:
         for name in fields:
             val = getattr(state, name)

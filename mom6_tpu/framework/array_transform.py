@@ -67,7 +67,6 @@ def rotate_state(state: OceanState) -> OceanState:
 def rotate_grid(G):
     """Rotate the grid container (swaps x/y metrics appropriately)."""
     rs = rotate_scalar
-    u_from_v = lambda a: -0.0 * a  # placeholder, metrics are positive
     # metric lengths: dx' = dy, dy' = dx at the mapped locations
     dxT = rs(G.dyT); dyT = rs(G.dxT)
     m_u, m_v = rotate_uv(G.mask2dCu, G.mask2dCv)

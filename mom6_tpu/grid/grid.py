@@ -154,7 +154,7 @@ def build_cartesian_grid(
         dxCv=J(dxT), dyCv=J(dyT), IdxCv=J(1.0 / dxT), IdyCv=J(1.0 / dyT),
         dxBu=J(dxT), dyBu=J(dyT), areaBu=J(area), IareaBu=J(1.0 / area),
         mask2dT=J(mask_t), mask2dCu=J(mu), mask2dCv=J(mv), mask2dBu=J(mq),
-        CoriolisBu=J(f_q * mq if False else f_q),
+        CoriolisBu=J(f_q),
         bathyT=J(depth),
         geoLonT=J(np.broadcast_to(x_t[None, :], (ny, nx)) / 1e3),
         geoLatT=J(np.broadcast_to(y_t[:, None], (ny, nx)) / 1e3),

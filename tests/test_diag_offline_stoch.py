@@ -111,3 +111,17 @@ class TestODAIncupd:
             s = apply_oda_increments(s, inc, 1800.0, G)
         dT_applied = np.asarray(s.T) - np.asarray(state.T)
         np.testing.assert_allclose(dT_applied, 2.0, rtol=1e-5)
+
+
+class TestPointAccel:
+    def test_worst_cfl_dossier(self):
+        from mom6_tpu.diagnostics.point_accel import (format_dossier,
+                                                      worst_cfl_dossier)
+        G, GV, state, params, forces = double_gyre(nx=8, ny=8, nz=3)
+        u = jnp.zeros_like(state.u).at[1, 3, 4].set(2.5)
+        st = state.replace(u=u)
+        d = worst_cfl_dossier(st, G, 1200.0)
+        assert (d["component"], d["k"], d["j"], d["i"]) == ("u", 1, 3, 4)
+        assert abs(d["vel"] - 2.5) < 1e-6
+        txt = format_dossier(d)
+        assert "worst CFL" in txt and "h:" in txt
