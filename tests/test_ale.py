@@ -254,3 +254,58 @@ class TestUNESCO:
             ru = float(u.density(np.float64(T), np.float64(S), np.float64(p)))
             rw = float(w.density(np.float64(T), np.float64(S), np.float64(p)))
             assert abs(ru - rw) < 0.5
+
+
+class TestZInit:
+    def test_profile_onto_layers(self):
+        from mom6_tpu.grid.z_init import init_tracer_from_z
+        # data: 10 z-levels of 100 m, linear T(z)
+        z_edges = np.arange(11) * 100.0
+        zc = z_edges[:-1] + 50.0
+        T_data = 20.0 - 0.01 * zc
+        h = jnp.full((5, 4, 4), 200.0, jnp.float32)   # model: 5 x 200 m
+        bathy = jnp.full((4, 4), 1000.0, jnp.float32)
+        T = np.asarray(init_tracer_from_z(z_edges, T_data, h, bathy))
+        want = 20.0 - 0.01 * (np.arange(5) * 200.0 + 100.0)
+        np.testing.assert_allclose(T[:, 2, 2], want, rtol=1e-4)
+
+    def test_shallow_column_truncation(self):
+        from mom6_tpu.grid.z_init import init_tracer_from_z
+        z_edges = np.arange(11) * 100.0
+        T_data = 20.0 - 0.01 * (z_edges[:-1] + 50.0)
+        # a 300 m column: layers of 60 m
+        h = jnp.full((5, 2, 2), 60.0, jnp.float32)
+        bathy = jnp.full((2, 2), 300.0, jnp.float32)
+        T = np.asarray(init_tracer_from_z(z_edges, T_data, h, bathy))
+        # only the top 300 m of data used: T in [17, 20]
+        assert T.min() > 16.9 and T.max() <= 20.0
+
+
+class TestStochEOS:
+    def test_stanley_correction_sign_and_scale(self):
+        from mom6_tpu.eos.stoch_eos import (sgs_t_variance,
+                                            stanley_density_correction)
+        from mom6_tpu.grid.grid import build_cartesian_grid
+        G = build_cartesian_grid(8, 8, 100.0, 100.0, max_depth=1000.0,
+                                 cyclic_x=True, reentrant_y=True)
+        x = np.arange(8)
+        T = jnp.asarray(np.broadcast_to(
+            10.0 + np.sin(2 * np.pi * x / 8)[None, None, :], (2, 8, 8)),
+            jnp.float32)
+        s2 = sgs_t_variance(T, G)
+        assert float(s2.max()) > 0.0
+        eos = get_eos("WRIGHT")
+        corr = stanley_density_correction(
+            jnp.full((2, 8, 8), 10.0), jnp.full((2, 8, 8), 35.0),
+            jnp.zeros((2, 8, 8)), eos, s2)
+        # d2rho/dT2 > 0 for seawater (rho(T) is concave-up in -drho/dT...
+        # thermal expansion grows with T): correction is positive-definite
+        # times variance with the sign of d2rho/dT2
+        c = np.asarray(corr)
+        assert np.isfinite(c).all()
+        assert np.abs(c).max() < 0.1  # small correction, right magnitude
+        # zero variance -> zero correction
+        z = stanley_density_correction(
+            jnp.full((2, 8, 8), 10.0), jnp.full((2, 8, 8), 35.0),
+            jnp.zeros((2, 8, 8)), eos, jnp.zeros((2, 8, 8)))
+        np.testing.assert_allclose(np.asarray(z), 0.0)

@@ -79,3 +79,19 @@ def test_momentum_conservation_uniform_coef_flat_h():
     s = abs(float(np.asarray(du, np.float64).sum()))
     scale = float(np.abs(np.asarray(du, np.float64)).sum()) + 1e-30
     assert s < 1e-4 * scale
+
+
+def test_leith_dissipates_and_scales_with_vorticity_gradient():
+    G = setup()
+    u, v, h = rand_state(G, seed=7)
+    p = HorViscParams(leith_lap_const=1.0, dt=1000.0)
+    du, dv = horizontal_viscosity(u, v, h, G, p)
+    h_u = 0.5 * (h + jnp.roll(h, -1, -1))
+    h_v = 0.5 * (h + jnp.roll(h, -1, -2))
+    work = float(np.asarray(u * du * h_u, np.float64).sum()
+                 + np.asarray(v * dv * h_v, np.float64).sum())
+    assert work < 0.0                      # dissipative
+    du2, _ = horizontal_viscosity(2 * u, 2 * v, h, G, p)
+    # Leith coefficient ~ |grad zeta| => accel ~ cubic in velocity
+    r = float(jnp.max(jnp.abs(du2))) / max(float(jnp.max(jnp.abs(du))), 1e-30)
+    assert 4.0 < r < 16.0
