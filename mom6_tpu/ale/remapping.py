@@ -23,8 +23,6 @@ thicknesses must agree (regridding guarantees this).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

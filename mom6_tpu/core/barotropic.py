@@ -27,7 +27,7 @@ Deviations from the reference in this round (tracked for parity):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

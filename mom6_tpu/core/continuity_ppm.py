@@ -18,7 +18,7 @@ on the updated field, exactly as in the reference.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from mom6_tpu.core.barotropic import BTParams, btcalc, btstep
+from mom6_tpu.core.barotropic import BTParams, btstep
 from mom6_tpu.core.continuity_ppm import continuity_ppm
 from mom6_tpu.core.coriolis_adv import SADOURNY75_ENERGY, coriolis_adv
 from mom6_tpu.core.pressure_force import find_eta, pressure_force_montgomery

@@ -14,9 +14,7 @@ with vertical viscosity applied implicitly at the end.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
-
-import jax.numpy as jnp
+from typing import NamedTuple
 
 from mom6_tpu.core.continuity_ppm import continuity_ppm
 from mom6_tpu.core.coriolis_adv import SADOURNY75_ENERGY, coriolis_adv

@@ -27,12 +27,10 @@ import jax.numpy as jnp
 from mom6_tpu.ale.ale import ALEParams, LAYER, ale_regrid_remap
 from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
                                               step_dynamics_split_rk2)
-from mom6_tpu.core.pressure_force import (pressure_force_fv,
-                                          pressure_force_montgomery)
+from mom6_tpu.core.pressure_force import pressure_force_fv
 from mom6_tpu.core.state import OceanState
 from mom6_tpu.eos import get_eos
-from mom6_tpu.physics.lateral.hor_visc import (HorViscParams,
-                                               horizontal_viscosity)
+from mom6_tpu.physics.lateral.hor_visc import horizontal_viscosity
 from mom6_tpu.physics.vertical.diabatic import (BuoyancyForcing,
                                                 DiabaticParams, diabatic_ale)
 from mom6_tpu.tracers.advect import advect_tracers

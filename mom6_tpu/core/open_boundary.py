@@ -24,7 +24,7 @@ inside, which is equivalent for a one-cell sponge-style open boundary).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from mom6_tpu.framework.pytree import pytree_dataclass, static
+from mom6_tpu.framework.pytree import pytree_dataclass
 
 __all__ = ["OceanState", "init_state_resting"]
 

@@ -7,7 +7,7 @@ speed, thicknesses) and src/core/MOM.F90 extract_surface_state :3954
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,7 @@ online (no storage of the time series), then solve at the end.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

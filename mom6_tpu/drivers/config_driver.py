@@ -10,7 +10,6 @@ MOM_input carries over; everything is logged to MOM_parameter_doc.
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp

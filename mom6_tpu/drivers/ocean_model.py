@@ -9,8 +9,6 @@ The inner step stays purely functional and jitted.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 
 from mom6_tpu.core.mom import Forcing, MOMParams, step_mom

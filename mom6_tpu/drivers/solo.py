@@ -11,7 +11,6 @@ the diagnostics cadence.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -11,7 +11,7 @@ into calling kernels); ``p`` is pressure in Pa.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict
 
 from mom6_tpu.eos import linear, roquet, unesco, wright

@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import numpy as np
-
 __all__ = ["density", "density_derivs", "specific_volume"]
 
 _PA2KB = 1.0e-8

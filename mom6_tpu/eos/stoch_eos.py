@@ -14,8 +14,6 @@ the EOS fit's smoothness, dtype-generic).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
 __all__ = ["sgs_t_variance", "stanley_density_correction"]

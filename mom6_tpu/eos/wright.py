@@ -18,8 +18,6 @@ reference's API surface: calculate_density_derivs etc.).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 __all__ = ["density", "density_derivs", "specific_volume", "compressibility"]
 
 # Wright (1997) reduced-range fit coefficients

@@ -23,8 +23,8 @@ from __future__ import annotations
 import io
 import os
 import re
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
 
 __all__ = ["ParamFile", "param_file_from_text"]
 

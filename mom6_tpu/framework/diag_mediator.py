@@ -22,7 +22,7 @@ jitted segments — the cadence MOM6 itself uses (per diag interval).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np

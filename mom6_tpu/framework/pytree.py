@@ -7,8 +7,6 @@ when changed); everything else is a traced leaf.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 
 __all__ = ["pytree_dataclass", "static", "field"]

@@ -10,7 +10,7 @@ metadata conventions (units, long_name, time axis) follow the reference's
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

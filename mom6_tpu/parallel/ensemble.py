@@ -13,11 +13,10 @@ across chips independently of the spatial decomposition.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["stack_ensemble", "ensemble_step", "member", "ensemble_mean"]
 

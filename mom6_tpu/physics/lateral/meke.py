@@ -12,7 +12,7 @@ One explicit elementwise update per thermo step.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -17,10 +17,9 @@ standard Doodson values.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["TidalConstituent", "CONSTITUENTS", "TidalForcingParams",
            "equilibrium_tide", "scalar_sal"]

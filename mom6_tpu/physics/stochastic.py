@@ -13,7 +13,7 @@ step) alone.  All jit-compatible.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

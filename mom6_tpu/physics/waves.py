@@ -15,7 +15,7 @@ LF17, Langmuir number for KPP/ePBL):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -12,7 +12,7 @@ src/tracer/MOM_tracer_flow_control.F90)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 

@@ -12,8 +12,8 @@ inside the model state; advection/diffusion operate on a single stacked
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List
 
 import jax.numpy as jnp
 
