@@ -169,7 +169,7 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
     T, S, kd, _ = diabatic_ale(state.T, state.S, state.h, forcing.buoy,
                                dt_therm, G, GV, p.diabatic,
-                               kd_extra=kd_extra)
+                               kd_extra=kd_extra, eos=eos)
     state = state.replace(T=T, S=S)
 
     # --- ALE regrid + remap ----------------------------------------------

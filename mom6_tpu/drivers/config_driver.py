@@ -164,11 +164,33 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             fox_kemper_coef=pf.get("FOX_KEMPER_ML_RESTRAT_COEF", float,
                                    default=0.0625, module=m))
 
+    m = "MOM_tidal_mixing"
+    tidal = None
+    if pf.get("INT_TIDE_DISSIPATION", bool, default=False, module=m):
+        from mom6_tpu.physics.vertical.tidal_mixing import TidalMixingParams
+        tidal = TidalMixingParams(
+            profile=pf.get("INT_TIDE_PROFILE", str, default="STLAURENT_02",
+                           module=m).upper(),
+            int_tide_decay_scale=pf.get("INT_TIDE_DECAY_SCALE", float,
+                                        default=500.0, units="m", module=m),
+            mu_itides=pf.get("MU_ITIDES", float, default=0.2, module=m),
+            gamma_itides=pf.get("GAMMA_ITIDES", float, default=0.3333,
+                                module=m),
+            kappa_h2_factor=pf.get("KAPPA_H2_FACTOR", float, default=0.85,
+                                   module=m),
+            utide=pf.get("UTIDE", float, default=0.0, units="m s-1",
+                         module=m),
+            h2=pf.get("TIDAL_ROUGHNESS_H2", float, default=100.0,
+                      units="m2", module=m),
+            kd_max=pf.get("KD_MAX_ITIDES", float, default=50e-4,
+                          units="m2 s-1", module=m))
+
     m = "MOM_diabatic_driver"
     diab = DiabaticParams(
         diff=DiffusivityParams(
             kd=pf.get("KD", float, default=1e-5, units="m2 s-1", module=m),
-            kd_min=pf.get("KD_MIN", float, default=0.0, module=m)),
+            kd_min=pf.get("KD_MIN", float, default=0.0, module=m),
+            tidal=tidal),
         boundary_layer_scheme=("KPP" if pf.get("USE_KPP", bool, default=False,
                                                module=m)
                                else ("EPBL" if pf.get("ENERGETICS_SFC_PBL",

@@ -44,11 +44,12 @@ class DiabaticParams(NamedTuple):
 
 def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
                  p: DiabaticParams, kd_extra: Optional[jnp.ndarray] = None,
-                 extra_tracers: Optional[jnp.ndarray] = None):
+                 extra_tracers: Optional[jnp.ndarray] = None, eos=None):
     """One thermodynamic step of column physics.
 
     Returns (T_new, S_new, kd, extra_tracers_new)."""
-    kd = set_diffusivity(h, G, GV, p.diff, kd_extra=kd_extra)
+    kd = set_diffusivity(h, G, GV, p.diff, kd_extra=kd_extra,
+                         T=T, S=S, eos=eos)
 
     # surface fluxes -> top-layer tendencies, expressed as tracer fluxes
     # [conc m s-1] for the implicit solve (applyBoundaryFluxesInOut role)

@@ -7,7 +7,8 @@ src/parameterizations/vertical/MOM_set_diffusivity.F90:243 with find_N2
 * a constant background (KD),
 * optional Bryan-Lewis-style depth profile (MOM_bkgnd_mixing),
 * shear-driven mixing (kappa-shear / CVMix LMD94 — see kappa_shear.py),
-* BBL-drag and tidal contributions (planned).
+* tidal dissipation (St Laurent / Polzin — see tidal_mixing.py),
+* BBL-drag contributions (planned).
 
 Also provides ``find_n2``: the squared buoyancy frequency at interfaces,
 needed by KPP/shear mixing/GM."""
@@ -32,6 +33,7 @@ class DiffusivityParams(NamedTuple):
     bl_kd_deep: float = 1.3e-4     # abyssal value
     bl_depth: float = 2500.0       # transition depth [m]
     bl_width: float = 300.0        # transition width [m]
+    tidal: Optional["TidalMixingParams"] = None  # INT_TIDE_DISSIPATION
 
 
 def find_n2(h, T, S, G, GV, eos, p_ref: float = 2e7):
@@ -48,11 +50,15 @@ def find_n2(h, T, S, G, GV, eos, p_ref: float = 2e7):
 
 
 def set_diffusivity(h, G, GV, p: DiffusivityParams,
-                    kd_extra: Optional[jnp.ndarray] = None):
+                    kd_extra: Optional[jnp.ndarray] = None,
+                    T=None, S=None, eos=None):
     """Total interface diffusivity (nz+1, ny, nx) [m2 s-1]."""
     nz = h.shape[0]
     shape = (nz + 1,) + h.shape[1:]
     kd = jnp.full(shape, p.kd, h.dtype)
+    if p.tidal is not None and T is not None and eos is not None:
+        from mom6_tpu.physics.vertical.tidal_mixing import tidal_mixing_kd
+        kd = kd + tidal_mixing_kd(h, T, S, G, GV, eos, p.tidal)
     if p.bryan_lewis:
         # depth of each interface below the surface
         z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
