@@ -130,8 +130,22 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                           vhtr=jnp.zeros_like(state.vhtr))
 
     # --- column physics (step_MOM_thermo -> diabatic) ---------------------
-    # boundary-layer + shear mixing feed the diabatic solve as extra
-    # interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
+    if p.diabatic.boundary_layer_scheme == "BULKML":
+        # layered (isopycnal) mode: bulk mixed layer + diffusive
+        # entrainment; no ALE regrid afterwards
+        from mom6_tpu.physics.vertical.diabatic import diabatic_layered
+        taux = forcing.mech.taux if forcing.mech.taux is not None else \
+            jnp.zeros_like(G.mask2dT)
+        tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
+            jnp.zeros_like(G.mask2dT)
+        dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+        h_n, T, S, u_n, v_n, _ = diabatic_layered(
+            state.T, state.S, state.h, state.u, state.v, forcing.buoy,
+            taux, tauy, dt_therm, G, GV, p.diabatic, eos)
+        return state.replace(h=h_n, T=T, S=S, u=u_n, v=v_n)
+
+    # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
+    # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
     kd_extra = None
     if p.diabatic.boundary_layer_scheme == "KPP":
         from mom6_tpu.physics.vertical.kpp import kpp_diffusivity

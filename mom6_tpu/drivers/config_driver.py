@@ -185,14 +185,30 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             kd_max=pf.get("KD_MAX_ITIDES", float, default=50e-4,
                           units="m2 s-1", module=m))
 
+    m = "MOM_bulk_mixed_layer"
+    bulkml = None
+    use_bml = pf.get("BULKMIXEDLAYER", bool, default=False, module=m)
+    if use_bml:
+        from mom6_tpu.physics.vertical.bulk_mixed_layer import BulkMLParams
+        bulkml = BulkMLParams(
+            nkml=pf.get("NKML", int, default=2, module=m),
+            nkbl=pf.get("NKBL", int, default=2, module=m),
+            mstar=pf.get("MSTAR", float, default=1.2, module=m),
+            bulk_ri_ml=pf.get("BULK_RI_ML", float, default=0.8, module=m),
+            tke_decay=pf.get("TKE_DECAY", float, default=2.5, module=m),
+            hmix_min=pf.get("HMIX_MIN", float, default=2.0, units="m",
+                            module=m))
+
     m = "MOM_diabatic_driver"
     diab = DiabaticParams(
         diff=DiffusivityParams(
             kd=pf.get("KD", float, default=1e-5, units="m2 s-1", module=m),
             kd_min=pf.get("KD_MIN", float, default=0.0, module=m),
             tidal=tidal),
-        boundary_layer_scheme=("KPP" if pf.get("USE_KPP", bool, default=False,
-                                               module=m)
+        bulkml=bulkml,
+        boundary_layer_scheme=("BULKML" if use_bml
+                               else "KPP" if pf.get("USE_KPP", bool,
+                                                    default=False, module=m)
                                else ("EPBL" if pf.get("ENERGETICS_SFC_PBL",
                                                       bool, default=False,
                                                       module=m) else "NONE")),
@@ -279,6 +295,10 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         y = np.asarray(G.geoLatT) * 1e3
         ly = pf.get("LENLAT", float, default=1000.0) * 1e3
         heat = jnp.asarray(q0 * np.cos(np.pi * y / ly), dtype) * G.mask2dT
+    elif buoy_cfg == "const":
+        q0 = pf.get("SENSIBLE_HEAT_FLUX", float, default=0.0,
+                    units="W m-2", module=m)
+        heat = jnp.full((G.ny, G.nx), q0, dtype) * G.mask2dT
     elif buoy_cfg != "zero":
         raise NotImplementedError(f"BUOY_CONFIG={buoy_cfg}")
 

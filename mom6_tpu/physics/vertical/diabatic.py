@@ -23,7 +23,8 @@ from mom6_tpu.physics.vertical.set_diffusivity import (DiffusivityParams,
                                                        set_diffusivity)
 from mom6_tpu.tracers.vert_diff import tracer_vertdiff
 
-__all__ = ["BuoyancyForcing", "DiabaticParams", "diabatic_ale"]
+__all__ = ["BuoyancyForcing", "DiabaticParams", "diabatic_ale",
+           "diabatic_layered"]
 
 
 class BuoyancyForcing(NamedTuple):
@@ -37,9 +38,12 @@ class BuoyancyForcing(NamedTuple):
 class DiabaticParams(NamedTuple):
     diff: DiffusivityParams = DiffusivityParams()
     cp: float = 3925.0
-    boundary_layer_scheme: str = "NONE"   # NONE | KPP | EPBL
+    boundary_layer_scheme: str = "NONE"   # NONE | KPP | EPBL | BULKML
     use_shear_mixing: bool = False
     shear_scheme: str = "LMD94"
+    # layered-mode (BULKML) options
+    bulkml: Optional["BulkMLParams"] = None
+    entrain: Optional["EntrainDiffusiveParams"] = None
 
 
 def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
@@ -75,3 +79,58 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
     T_new, S_new = out[0], out[1]
     extra_new = out[n_state:] if extra_tracers is not None else None
     return T_new, S_new, kd, extra_new
+
+
+def diabatic_layered(T, S, h, u, v, forcing: BuoyancyForcing, taux, tauy,
+                     dt, G, GV, p: DiabaticParams, eos):
+    """Legacy (non-ALE) diabatic sequence: bulk mixed layer + diffusive
+    entrainment between isopycnal layers (the layered branch of
+    MOM_diabatic_driver.F90:diabatic, calling bulkmixedlayer then
+    entrainment_diffusive).  Velocities are conservatively remapped to
+    the post-entrainment grid (the ea/eb velocity update of
+    MOM_vert_friction.F90:vertvisc_remnant role).
+
+    Returns (h_new, T_new, S_new, u_new, v_new, h_ml)."""
+    from mom6_tpu.ale.remapping import remap_column
+    from mom6_tpu.framework.stencil import ip1, jp1
+    from mom6_tpu.physics.vertical.bulk_mixed_layer import (BulkMLParams,
+                                                            bulkmixedlayer)
+    from mom6_tpu.physics.vertical.entrain_diffusive import (
+        EntrainDiffusiveParams, entrainment_diffusive)
+
+    bml = p.bulkml if p.bulkml is not None else BulkMLParams()
+    ent = p.entrain if p.entrain is not None else EntrainDiffusiveParams()
+
+    # surface fluxes into the top layer (applyBoundaryFluxesInOut role)
+    q = forcing.heat_flux if forcing.heat_flux is not None else \
+        jnp.zeros_like(G.mask2dT)
+    if forcing.sw_flux is not None:
+        q = q + forcing.sw_flux
+    dT0 = q * dt / (GV.rho0 * p.cp * jnp.maximum(h[0], 1e-3))
+    T = T.at[0].add(dT0 * G.mask2dT)
+    if forcing.salt_flux is not None:
+        S = S.at[0].add(forcing.salt_flux * dt
+                        / jnp.maximum(h[0], 1e-3) * G.mask2dT)
+
+    # bulk mixed layer
+    tau_mag = jnp.sqrt(taux ** 2 + tauy ** 2)
+    ustar = jnp.sqrt(tau_mag / GV.rho0)
+    drho_dT, _ = eos.density_derivs(T[0], S[0], jnp.zeros((), T.dtype))
+    # buoyancy LOSS [m2 s-3]: positive when cooling (q < 0, drho_dT < 0)
+    buoy_loss = (bml.g_accel * drho_dT * q) / (GV.rho0 ** 2 * p.cp)
+    h_old = h
+    h, T, S, hml = bulkmixedlayer(h, u, v, T, S, G, GV, eos, dt, ustar,
+                                  buoy_loss, bml)
+
+    # interior diapycnal mixing as entrainment
+    kd = set_diffusivity(h, G, GV, p.diff, T=T, S=S, eos=eos)
+    h, T, S, _, _ = entrainment_diffusive(h, T, S, G, GV, kd, dt, ent)
+
+    # velocity remap to the new grid (momentum-conserving)
+    h_u_old = 0.5 * (h_old + ip1(h_old))
+    h_u_new = 0.5 * (h + ip1(h))
+    u_new = remap_column(u, h_u_old, h_u_new) * G.mask2dCu
+    h_v_old = 0.5 * (h_old + jp1(h_old))
+    h_v_new = 0.5 * (h + jp1(h))
+    v_new = remap_column(v, h_v_old, h_v_new) * G.mask2dCv
+    return h, T, S, u_new, v_new, hml
