@@ -14,8 +14,9 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from mom6_tpu.ale.regridding import (build_rho_grid, build_sigma_grid,
-                                     build_zstar_grid)
+from mom6_tpu.ale.regridding import (AdaptParams, build_adaptive_grid,
+                                     build_hycom1_grid, build_rho_grid,
+                                     build_sigma_grid, build_zstar_grid)
 from mom6_tpu.ale.remapping import PPM_H4, remap_column
 from mom6_tpu.framework.stencil import ip1, jp1
 
@@ -25,15 +26,25 @@ LAYER = "LAYER"
 ZSTAR = "ZSTAR"
 SIGMA = "SIGMA"
 RHO = "RHO"
+HYCOM1 = "HYCOM1"
+ADAPTIVE = "ADAPTIVE"
 
 
 class ALEParams(NamedTuple):
     mode: str = ZSTAR
     dz_nominal: tuple = ()         # nominal z* thicknesses (nz,)
-    rho_targets: tuple = ()        # RHO-mode target densities (nz,)
+    rho_targets: tuple = ()        # RHO/HYCOM1 target densities (nz,)
     scheme: str = PPM_H4
     min_thickness: float = 1e-10
-    eos_name: str = "WRIGHT"       # for RHO mode
+    eos_name: str = "WRIGHT"       # for RHO/HYCOM1/ADAPTIVE modes
+    # ADAPTIVE-mode constants (MOM_regridding ADAPT_* defaults)
+    adapt_time_ratio: float = 0.1
+    adapt_zoom_depth: float = 200.0
+    adapt_zoom_coeff: float = 0.2
+    adapt_buoy_coeff: float = 0.8
+    adapt_alpha: float = 1.0
+    adapt_drho0: float = 0.5
+    adapt_do_min: bool = False
 
 
 def ale_regrid_remap(state, G, GV, p: ALEParams,
@@ -54,6 +65,26 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
                                get_eos(p.eos_name),
                                jnp.asarray(p.rho_targets, h.dtype),
                                min_thickness=p.min_thickness)
+    elif p.mode == HYCOM1:
+        from mom6_tpu.eos import get_eos
+        h_new = build_hycom1_grid(h, state.T, state.S, GV,
+                                  get_eos(p.eos_name),
+                                  jnp.asarray(p.rho_targets, h.dtype),
+                                  jnp.asarray(p.dz_nominal, h.dtype),
+                                  min_thickness=p.min_thickness)
+    elif p.mode == ADAPTIVE:
+        from mom6_tpu.eos import get_eos
+        ap = AdaptParams(time_ratio=p.adapt_time_ratio,
+                         zoom_depth=p.adapt_zoom_depth,
+                         zoom_coeff=p.adapt_zoom_coeff,
+                         buoy_coeff=p.adapt_buoy_coeff,
+                         alpha=p.adapt_alpha, drho0=p.adapt_drho0,
+                         do_min=p.adapt_do_min)
+        h_new = build_adaptive_grid(
+            h, state.T, state.S, G, GV, get_eos(p.eos_name), ap,
+            dz_nominal=(jnp.asarray(p.dz_nominal, h.dtype)
+                        if p.dz_nominal else None),
+            min_thickness=p.min_thickness)
     else:
         raise ValueError(f"unknown ALE mode {p.mode}")
     h_new = jnp.where(G.mask2dT[None] > 0.5, h_new, h)

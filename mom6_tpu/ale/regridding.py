@@ -9,7 +9,11 @@ Implemented modes:
                e_k = eta - z*_k * (D + eta) / D (collapses over topography);
 * ``SIGMA``  — terrain following: e_k = eta - sigma_k * (D + eta);
 * ``RHO``    — target isopycnals (interpolate the column's density profile
-               onto prescribed Rlay targets) — planned;
+               onto prescribed Rlay targets);
+* ``HYCOM1`` — hybrid: isopycnal interface positions pushed down to at
+               least a nominal z* grid (coord_hycom.F90:build_hycom1_column);
+* ``ADAPTIVE`` — interfaces relax toward neutral-density flatness with a
+               smoothing grid diffusion (coord_adapt.F90:build_adapt_column);
 * ``LAYER``  — no regridding (pure layered mode).
 
 All modes return new thicknesses h_new with the same column sums as the
@@ -23,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["build_zstar_grid", "build_sigma_grid", "build_rho_grid",
+           "build_hycom1_grid", "build_adaptive_grid", "AdaptParams",
            "uniform_dz_profile"]
 
 
@@ -103,6 +108,145 @@ def build_rho_grid(h, T, S, GV, eos, rho_targets, *,
     z_int = jnp.stack([depth_of(rho_int_t[k]) for k in range(nz - 1)])
     z_int = jnp.clip(z_int, 0.0, col[None])
     # enforce monotone interfaces
+    z_int = jax.lax.cummax(z_int, axis=0)
+    z_full = jnp.concatenate([jnp.zeros_like(col[None]), z_int,
+                              col[None]], axis=0)
+    h_new = jnp.maximum(z_full[1:] - z_full[:-1], min_thickness)
+    scale = col / jnp.maximum(jnp.sum(h_new, axis=0), 1e-30)
+    return h_new * scale[None]
+
+
+def build_hycom1_grid(h, T, S, GV, eos, rho_targets, dz_nominal, *,
+                      min_thickness: float = 1e-10, p_ref: float = 2e7):
+    """HYCOM1 hybrid coordinate (coord_hycom.F90:build_hycom1_column):
+    place interfaces at the isopycnal target positions (same inversion as
+    RHO mode), then sweep down enforcing that each interface is at least
+    as deep as the nominal stretched-z* grid:
+        z_k = min( max(z_rho_k, z*_k), bottom )
+    so the upper ocean stays z-like at the prescribed resolution while
+    the stratified interior follows isopycnals."""
+    import jax
+
+    dz = jnp.asarray(dz_nominal, h.dtype)
+    col = jnp.sum(h, axis=0)
+    h_rho = build_rho_grid(h, T, S, GV, eos, rho_targets,
+                           min_thickness=min_thickness, p_ref=p_ref)
+    z_rho = jnp.cumsum(h_rho, axis=0)                    # (nz, ny, nx)
+    # nominal z* interfaces, stretched by the column height over the
+    # nominal total (reference: stretching = z_col(nz+1)/depth)
+    z_nom = jnp.cumsum(dz)[:, None, None] * (
+        col / jnp.maximum(jnp.sum(dz), 1e-30))[None]
+    z_int = jnp.minimum(jnp.maximum(z_rho[:-1], z_nom[:-1]), col[None])
+    z_int = jax.lax.cummax(z_int, axis=0)
+    z_full = jnp.concatenate([jnp.zeros_like(col[None]), z_int,
+                              col[None]], axis=0)
+    h_new = jnp.maximum(z_full[1:] - z_full[:-1], min_thickness)
+    scale = col / jnp.maximum(jnp.sum(h_new, axis=0), 1e-30)
+    return h_new * scale[None]
+
+
+class AdaptParams:
+    """Static adaptive-coordinate constants (MOM_regridding.F90:676-692
+    defaults)."""
+    def __init__(self, time_ratio=0.1, zoom_depth=200.0, zoom_coeff=0.2,
+                 buoy_coeff=0.8, alpha=1.0, drho0=0.5, do_min=False):
+        self.time_ratio = time_ratio
+        self.zoom_depth = zoom_depth
+        self.zoom_coeff = zoom_coeff
+        self.buoy_coeff = buoy_coeff
+        self.alpha = alpha
+        self.drho0 = drho0
+        self.do_min = do_min
+
+
+def build_adaptive_grid(h, T, S, G, GV, eos, p: AdaptParams = None, *,
+                        dz_nominal=None, min_thickness: float = 1e-10):
+    """ADAPTIVE coordinate (coord_adapt.F90:build_adapt_column):
+
+    1. each interior interface moves toward horizontal neutral-density
+       flatness: dh = del2(sigma) * hbar / (drho/dz), where del2 is the
+       4-neighbour horizontal Laplacian of interface density, limited to
+       half the upwind layer thickness times ``alpha``;
+    2. interface positions are smoothed by an implicit vertical grid
+       diffusion whose diffusivity combines near-surface zooming,
+       stratification attraction, and a uniform background;
+    3. optionally (do_min) interfaces are pushed down to a nominal z*
+       floor.
+
+    All columns solve at once: the horizontal stencil is roll-based and
+    the implicit smoothing reuses the framework Thomas solver."""
+    import jax
+
+    from mom6_tpu.framework.solvers import tridiag_solve
+    from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+
+    if p is None:
+        p = AdaptParams()
+    nz = h.shape[0]
+    dtype = h.dtype
+    col = jnp.sum(h, axis=0)
+    z = jnp.concatenate([jnp.zeros_like(col[None]),
+                         jnp.cumsum(h, axis=0)], axis=0)   # (nz+1,) down
+
+    # interface T/S (mean of bounding layers; ends copy the end layers)
+    tI = jnp.concatenate([T[:1], 0.5 * (T[:-1] + T[1:]), T[-1:]], axis=0)
+    sI = jnp.concatenate([S[:1], 0.5 * (S[:-1] + S[1:]), S[-1:]], axis=0)
+    p0 = jnp.zeros((), dtype)
+    a_full, b_full = eos.density_derivs(tI, sI, p0)        # (nz+1, ny, nx)
+
+    # horizontal Laplacian of interface density via masked neighbour sums
+    def contrib(shift, face_mask):
+        dT = shift(tI) - tI
+        dS = shift(sI) - sI
+        return face_mask[None] * (a_full * dT + b_full * dS)
+
+    # face masks: east/west use mask2dCu at the cell's faces, north/south
+    # mask2dCv; a land neighbour contributes nothing
+    mCu, mCv = G.mask2dCu, G.mask2dCv
+    del2 = (contrib(ip1, mCu) + contrib(im1, im1(mCu))
+            + contrib(jp1, mCv) + contrib(jm1, jm1(mCv)))
+
+    # vertical density jump across each interior interface
+    drho_v = a_full[1:-1] * (T[1:] - T[:-1]) + b_full[1:-1] * (S[1:] - S[:-1])
+    hbar = 0.5 * (h[:-1] + h[1:])
+    dh = del2[1:-1] * hbar / jnp.maximum(drho_v, 1e-10)
+    # limit: no more than alpha/2 of the upwind layer, Nyquist-safe
+    h_up = jnp.where(dh > 0, h[1:], h[:-1])
+    dh = jnp.sign(dh) * jnp.minimum(jnp.abs(dh), 0.5 * h_up) * (0.5 * p.alpha)
+    z_next = z.at[1:-1].add(dh)
+
+    # grid diffusivity per layer (coord_adapt.F90:1040-1060 analogue)
+    drdz = jnp.maximum(
+        (0.5 * (a_full[:-1] + a_full[1:]) * (tI[1:] - tI[:-1])
+         + 0.5 * (b_full[:-1] + b_full[1:]) * (sI[1:] - sI[:-1]))
+        / jnp.maximum(z_next[1:] - z_next[:-1], 1e-6), 0.0)
+    z_mid = 0.5 * (z_next[:-1] + z_next[1:])
+    depth = jnp.maximum(col, 1.0)[None]
+    k_grid = (p.time_ratio * nz ** 2 * depth) * (
+        p.zoom_coeff / (p.zoom_depth + z_mid)
+        + p.buoy_coeff * drdz / p.drho0
+        + max(1.0 - p.zoom_coeff - p.buoy_coeff, 0.0) / depth)
+
+    # implicit smoothing of interior interfaces (Dirichlet ends):
+    # (1 + kG[k-1] + kG[k]) z_k - kG[k-1] z_{k-1} - kG[k] z_{k+1} = rhs_k
+    kg_up = k_grid[:-1]          # couples interface k to k-1 (layer above)
+    kg_dn = k_grid[1:]           # couples interface k to k+1
+    b_diag = 1.0 + kg_up + kg_dn
+    rhs = z_next[1:-1]
+    # fold the fixed boundary interfaces into the RHS
+    rhs = rhs.at[0].add(kg_up[0] * z_next[0])
+    rhs = rhs.at[-1].add(kg_dn[-1] * z_next[-1])
+    a_sub = -kg_up.at[0].set(0.0)
+    c_sup = -kg_dn.at[-1].set(0.0)
+    z_int = tridiag_solve(a_sub, b_diag, c_sup, rhs)
+
+    if p.do_min and dz_nominal is not None:
+        dz = jnp.asarray(dz_nominal, dtype)
+        z_nom = jnp.cumsum(dz)[:-1, None, None] * (
+            col / jnp.maximum(jnp.sum(dz), 1e-30))[None]
+        z_int = jnp.maximum(z_int, z_nom)
+
+    z_int = jnp.clip(z_int, 0.0, col[None])
     z_int = jax.lax.cummax(z_int, axis=0)
     z_full = jnp.concatenate([jnp.zeros_like(col[None]), z_int,
                               col[None]], axis=0)

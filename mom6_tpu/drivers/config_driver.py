@@ -236,6 +236,30 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                default=list(np.asarray(gv.Rlay)), module=m)
             ale = ALEParams(mode=RHO, rho_targets=tuple(rlay),
                             eos_name=eos_name)
+        elif mode == "HYCOM1":
+            from mom6_tpu.ale.ale import HYCOM1
+            rlay = pf.get_list("ALE_RHO_TARGETS",
+                               default=list(np.asarray(gv.Rlay)), module=m)
+            ale = ALEParams(mode=HYCOM1, rho_targets=tuple(rlay),
+                            dz_nominal=tuple(dz), eos_name=eos_name)
+        elif mode == "ADAPTIVE":
+            from mom6_tpu.ale.ale import ADAPTIVE
+            ale = ALEParams(
+                mode=ADAPTIVE, dz_nominal=tuple(dz), eos_name=eos_name,
+                adapt_time_ratio=pf.get("ADAPT_TIME_RATIO", float,
+                                        default=0.1, module=m),
+                adapt_zoom_depth=pf.get("ADAPT_ZOOM_DEPTH", float,
+                                        default=200.0, units="m", module=m),
+                adapt_zoom_coeff=pf.get("ADAPT_ZOOM_COEFF", float,
+                                        default=0.2, module=m),
+                adapt_buoy_coeff=pf.get("ADAPT_BUOY_COEFF", float,
+                                        default=0.8, module=m),
+                adapt_alpha=pf.get("ADAPT_ALPHA", float, default=1.0,
+                                   module=m),
+                adapt_drho0=pf.get("ADAPT_DRHO0", float, default=0.5,
+                                   units="kg m-3", module=m),
+                adapt_do_min=pf.get("ADAPT_DO_MIN_DEPTH", bool,
+                                    default=False, module=m))
         else:
             raise NotImplementedError(f"REGRIDDING_COORDINATE_MODE={mode}")
 
