@@ -68,10 +68,10 @@ def test_parameter_doc_written(tmp_path):
 def test_unknown_coordinate_mode_fails_loudly():
     pf = param_file_from_text(
         "NIGLOBAL = 8\nNJGLOBAL = 8\nNK = 2\nDT = 600.0\n"
-        "USE_REGRIDDING = True\nREGRIDDING_COORDINATE_MODE = HYCOM1\n")
+        "USE_REGRIDDING = True\nREGRIDDING_COORDINATE_MODE = HYBGEN\n")
     try:
         build_model_from_params(pf)
-        assert False, "should raise for unimplemented HYCOM1 coordinate"
+        assert False, "should raise for unimplemented HYBGEN coordinate"
     except NotImplementedError:
         pass
 
