@@ -48,6 +48,7 @@ class MOMParams(NamedTuple):
     gm: Optional["GMParams"] = None               # thickness diffusion
     mlrestrat: Optional["MLRestratParams"] = None
     meke: Optional["MEKEParams"] = None
+    obc: Optional["OBCParams"] = None             # open boundaries
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
 
@@ -111,8 +112,13 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     h_before_dyn = state.h
 
     def dyn_body(st, _):
-        return step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
-                                       pf_fn=pf_fn, hv_fn=hv_fn), None
+        out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
+                                      pf_fn=pf_fn, hv_fn=hv_fn)
+        if p.obc is not None:
+            from mom6_tpu.core.open_boundary import apply_obc
+            out = apply_obc(out, p.obc, G, GV, p.dyn.dt,
+                            u_old=st.u, v_old=st.v)
+        return out, None
 
     state, _ = jax.lax.scan(dyn_body, state, None,
                             length=p.n_dyn_per_thermo)

@@ -1,25 +1,35 @@
 """Open boundary conditions.
 
 TPU-native re-design of MOM6's segment OBC system (reference:
-src/core/MOM_open_boundary.F90:41-60, 490: OBC_SEGMENT_xxx strings,
-Flather/Orlanski radiation, nudging, tracer reservoirs).
+src/core/MOM_open_boundary.F90:41-60, 490: OBC_SEGMENT_xxx strings;
+radiation_open_bdry_conds :2486-2545 for the Orlanski/oblique update,
+Flather, gradient, nudging, tracer reservoirs).
 
 Design: a segment is an edge strip (N/S/E/W plus an index range) carrying
 exterior data (eta, normal velocity, T, S).  Instead of the reference's
 per-segment pointer lists, each segment compiles to dense (ny, nx) masks
 and data arrays once at init; application is branchless masked arithmetic:
 
-* Flather radiation on the barotropic normal flow:
+* FLATHER radiation on the barotropic normal flow:
     u_b = u_ext +- sqrt(g/D) (eta - eta_ext)
   applied to every layer's boundary face (radiates the external mode);
+* ORLANSKI baroclinic radiation: the outward phase speed is diagnosed
+  from interior differences, rx = clip(dhdt/dhdx), and the boundary
+  value follows  u_B <- (u_B + rx u_{B-1}) / (1 + rx)
+  (reference :2486-2499, with OBC_RAD_VEL_WT = 1 so no rx memory);
+* OBLIQUE radiation: adds the upwinded tangential phase speed ry with
+  the cff = dhdx^2 + dhdy^2 normalization (reference :2506-2534);
+* GRADIENT: zero-gradient extrapolation u_B <- u_{B-1};
 * optional relaxation (nudging) of tracers toward exterior values on the
   boundary strip with a specified timescale.
 
-The grid must be built with the corresponding edge faces unmasked:
-``open_edges`` of build_cartesian_grid... round 1: OBC unmasks the faces
-itself by operating on the last interior face (the wall face stays
-masked; the Flather update writes the layer velocities at the face just
-inside, which is equivalent for a one-cell sponge-style open boundary).
+All radiation schemes need the PREVIOUS step's velocities for dhdt: pass
+``u_old``/``v_old`` to ``apply_obc`` (rx falls back to 0 — a clamped
+boundary — when they are omitted).
+
+Round 1 geometry: OBC operates on the last interior face (the wall face
+stays masked; the update writes the layer velocities at the face just
+inside, equivalent for a one-cell open boundary strip).
 """
 
 from __future__ import annotations
@@ -29,7 +39,14 @@ from typing import List, NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+
 __all__ = ["OBCSegment", "OBCParams", "build_obc", "apply_obc"]
+
+FLATHER = "FLATHER"
+ORLANSKI = "ORLANSKI"
+OBLIQUE = "OBLIQUE"
+GRADIENT = "GRADIENT"
 
 
 class OBCSegment(NamedTuple):
@@ -41,11 +58,12 @@ class OBCSegment(NamedTuple):
     T_ext: Optional[float] = None
     S_ext: Optional[float] = None
     nudge_timescale: float = 3600.0
+    scheme: str = FLATHER          # FLATHER | ORLANSKI | OBLIQUE | GRADIENT
 
 
 class OBCParams(NamedTuple):
     # dense compiled masks/data (built by build_obc)
-    mask_u: jnp.ndarray            # (ny, nx) 1 on zonal OBC faces
+    mask_u: jnp.ndarray            # (ny, nx) 1 on zonal FLATHER faces
     mask_v: jnp.ndarray
     sign_u: jnp.ndarray            # +1 at an east boundary, -1 at west
     sign_v: jnp.ndarray
@@ -56,36 +74,54 @@ class OBCParams(NamedTuple):
     T_ext: Optional[jnp.ndarray] = None
     S_ext: Optional[jnp.ndarray] = None
     inv_tau: Optional[jnp.ndarray] = None
+    # radiation-scheme faces (Orlanski / oblique / gradient); the sign
+    # arrays double as the interior-direction selectors
+    mask_u_rad: Optional[jnp.ndarray] = None
+    mask_v_rad: Optional[jnp.ndarray] = None
+    mask_u_obl: Optional[jnp.ndarray] = None
+    mask_v_obl: Optional[jnp.ndarray] = None
+    mask_u_grad: Optional[jnp.ndarray] = None
+    mask_v_grad: Optional[jnp.ndarray] = None
+    rx_max: float = 1.0            # CFL cap on the diagnosed phase speed
 
 
 def build_obc(segments: List[OBCSegment], ny: int, nx: int,
               dtype=jnp.float32) -> OBCParams:
     """Compile segment specs into dense masks (init-time, host-side)."""
     mu = np.zeros((ny, nx)); mv = np.zeros((ny, nx))
+    mur = np.zeros((ny, nx)); mvr = np.zeros((ny, nx))
+    muo = np.zeros((ny, nx)); mvo = np.zeros((ny, nx))
+    mug = np.zeros((ny, nx)); mvg = np.zeros((ny, nx))
     su = np.zeros((ny, nx)); sv = np.zeros((ny, nx))
     eta = np.zeros((ny, nx)); ue = np.zeros((ny, nx)); ve = np.zeros((ny, nx))
     mc = np.zeros((ny, nx))
     te = np.zeros((ny, nx)); se = np.zeros((ny, nx))
     itau = np.zeros((ny, nx))
     any_ts = False
+    pick_u = {FLATHER: mu, ORLANSKI: mur, OBLIQUE: muo, GRADIENT: mug}
+    pick_v = {FLATHER: mv, ORLANSKI: mvr, OBLIQUE: mvo, GRADIENT: mvg}
     for seg in segments:
+        sch = seg.scheme.upper()
+        if sch not in pick_u:
+            raise ValueError(f"OBC scheme {seg.scheme!r}: expected one of "
+                             f"{sorted(pick_u)}")
         hi = seg.hi if seg.hi >= 0 else (nx if seg.edge in "NS" else ny)
         if seg.edge == "E":
             sl = (slice(seg.lo, hi), -2)     # last interior u face
             cell = (slice(seg.lo, hi), -1)
-            mu[sl] = 1.0; su[sl] = 1.0; ue[sl] = seg.vel_ext
+            pick_u[sch][sl] = 1.0; su[sl] = 1.0; ue[sl] = seg.vel_ext
         elif seg.edge == "W":
             sl = (slice(seg.lo, hi), 0)
             cell = (slice(seg.lo, hi), 0)
-            mu[sl] = 1.0; su[sl] = -1.0; ue[sl] = seg.vel_ext
+            pick_u[sch][sl] = 1.0; su[sl] = -1.0; ue[sl] = seg.vel_ext
         elif seg.edge == "N":
             sl = (-2, slice(seg.lo, hi))
             cell = (-1, slice(seg.lo, hi))
-            mv[sl] = 1.0; sv[sl] = 1.0; ve[sl] = seg.vel_ext
+            pick_v[sch][sl] = 1.0; sv[sl] = 1.0; ve[sl] = seg.vel_ext
         elif seg.edge == "S":
             sl = (0, slice(seg.lo, hi))
             cell = (0, slice(seg.lo, hi))
-            mv[sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
+            pick_v[sch][sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
         else:
             raise ValueError(f"bad OBC edge {seg.edge}")
         mc[cell] = 1.0
@@ -97,16 +133,70 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
             se[cell] = seg.S_ext
 
     J = lambda a: jnp.asarray(a, dtype)
+    opt = lambda a: J(a) if a.any() else None
     return OBCParams(mask_u=J(mu), mask_v=J(mv), sign_u=J(su), sign_v=J(sv),
                      eta_ext=J(eta), uvel_ext=J(ue), vvel_ext=J(ve),
                      mask_cell=J(mc),
                      T_ext=J(te) if any_ts else None,
                      S_ext=J(se) if any_ts else None,
-                     inv_tau=J(itau))
+                     inv_tau=J(itau),
+                     mask_u_rad=opt(mur), mask_v_rad=opt(mvr),
+                     mask_u_obl=opt(muo), mask_v_obl=opt(mvo),
+                     mask_u_grad=opt(mug), mask_v_grad=opt(mvg))
 
 
-def apply_obc(state, obc: OBCParams, G, GV, dt):
-    """Apply Flather radiation + tracer nudging after a dynamics step."""
+def _radiate_normal(w, w_old, sign, mask_rad, mask_obl, mask_grad,
+                    shift_in_pos, shift_in_neg, tshift_m, tshift_p,
+                    rx_max):
+    """Orlanski / oblique / gradient update of the normal velocity on the
+    compiled radiation faces (vectorized form of
+    MOM_open_boundary.F90:2486-2545).  ``shift_in_pos`` steps one cell
+    toward the interior on sign>0 edges (E/N), ``shift_in_neg`` on
+    sign<0 edges; ``tshift_m/p`` are the tangential shifts."""
+    s3 = sign[None]
+    nb1 = jnp.where(s3 > 0, shift_in_pos(w), shift_in_neg(w))
+    nb2 = jnp.where(s3 > 0, shift_in_pos(shift_in_pos(w)),
+                    shift_in_neg(shift_in_neg(w)))
+    if w_old is None:
+        dhdt = jnp.zeros_like(w)
+    else:
+        nb1_old = jnp.where(s3 > 0, shift_in_pos(w_old),
+                            shift_in_neg(w_old))
+        dhdt = nb1_old - nb1                     # old - new (ref :2486)
+    dhdx = nb1 - nb2
+    out = w
+    if mask_rad is not None:
+        ratio = dhdt * dhdx / (dhdx * dhdx + 1e-20)
+        rx = jnp.clip(jnp.where(dhdt * dhdx > 0.0, ratio, 0.0),
+                      0.0, rx_max)
+        w_rad = (w + rx * nb1) / (1.0 + rx)
+        out = out * (1.0 - mask_rad)[None] + (mask_rad[None] * w_rad)
+    if mask_obl is not None:
+        gj_m = nb1 - tshift_m(nb1)
+        gj_p = tshift_p(nb1) - nb1
+        ssel = dhdt * (gj_m + gj_p)
+        dhdy = jnp.where(ssel > 0.0, gj_m,
+                         jnp.where(ssel < 0.0, gj_p, 0.0))
+        dhdt0 = jnp.where(dhdt * dhdx < 0.0, 0.0, dhdt)
+        cff = jnp.maximum(dhdx * dhdx + dhdy * dhdy, 1e-20)
+        rx = jnp.minimum(dhdt0 * dhdx, cff * rx_max)
+        ry = jnp.clip(dhdt0 * dhdy, -cff, cff)
+        bj_m = w - tshift_m(w)
+        bj_p = tshift_p(w) - w
+        w_obl = (cff * w + rx * nb1
+                 - (jnp.maximum(ry, 0.0) * bj_m
+                    + jnp.minimum(ry, 0.0) * bj_p)) / (cff + rx)
+        out = out * (1.0 - mask_obl)[None] + (mask_obl[None] * w_obl)
+    if mask_grad is not None:
+        out = out * (1.0 - mask_grad)[None] + (mask_grad[None] * nb1)
+    return out
+
+
+def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
+    """Apply radiation (Flather / Orlanski / oblique / gradient) + tracer
+    nudging after a dynamics step.  ``u_old``/``v_old`` are the previous
+    step's velocities, needed to diagnose the outward phase speed for the
+    Orlanski and oblique schemes (omitting them clamps those faces)."""
     h = state.h
     eta = jnp.sum(h, axis=0) - G.bathyT
     d = jnp.maximum(G.bathyT, 1.0)
@@ -117,6 +207,18 @@ def apply_obc(state, obc: OBCParams, G, GV, dt):
     v_fl = obc.vvel_ext + obc.sign_v * c_fac * (eta - obc.eta_ext)
     u = state.u * (1.0 - obc.mask_u)[None] + (obc.mask_u * u_fl)[None]
     v = state.v * (1.0 - obc.mask_v)[None] + (obc.mask_v * v_fl)[None]
+
+    # baroclinic radiation schemes on their compiled faces
+    if (obc.mask_u_rad is not None or obc.mask_u_obl is not None
+            or obc.mask_u_grad is not None):
+        u = _radiate_normal(u, u_old, obc.sign_u, obc.mask_u_rad,
+                            obc.mask_u_obl, obc.mask_u_grad,
+                            im1, ip1, jm1, jp1, obc.rx_max)
+    if (obc.mask_v_rad is not None or obc.mask_v_obl is not None
+            or obc.mask_v_grad is not None):
+        v = _radiate_normal(v, v_old, obc.sign_v, obc.mask_v_rad,
+                            obc.mask_v_obl, obc.mask_v_grad,
+                            jm1, jp1, im1, ip1, obc.rx_max)
 
     # the outermost cell row is the exterior reservoir: clamp its surface
     # height to the exterior value (the open boundary is non-conservative

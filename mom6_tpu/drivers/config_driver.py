@@ -263,10 +263,32 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         else:
             raise NotImplementedError(f"REGRIDDING_COORDINATE_MODE={mode}")
 
+    # -- open boundary segments (MOM_open_boundary role) -------------------
+    # OBC_SEGMENT_00n = "EDGE=E,SCHEME=ORLANSKI[,ETA=..][,VEL=..]
+    #                    [,TEMP=..][,SALT=..][,TAU=..]"
+    m = "MOM_open_boundary"
+    obc = None
+    n_seg = pf.get("OBC_NUMBER_OF_SEGMENTS", int, default=0, module=m)
+    if n_seg > 0:
+        from mom6_tpu.core.open_boundary import OBCSegment, build_obc
+        segs = []
+        for n in range(1, n_seg + 1):
+            spec = pf.get(f"OBC_SEGMENT_{n:03d}", str, module=m)
+            kv = dict(item.split("=", 1) for item in spec.split(","))
+            segs.append(OBCSegment(
+                edge=kv["EDGE"].strip().upper(),
+                scheme=kv.get("SCHEME", "FLATHER").strip().upper(),
+                eta_ext=float(kv.get("ETA", 0.0)),
+                vel_ext=float(kv.get("VEL", 0.0)),
+                T_ext=float(kv["TEMP"]) if "TEMP" in kv else None,
+                S_ext=float(kv["SALT"]) if "SALT" in kv else None,
+                nudge_timescale=float(kv.get("TAU", 3600.0))))
+        obc = build_obc(segs, G.ny, G.nx, dtype=dtype)
+
     params = MOMParams(dyn=dyn, thermo_enabled=use_thermo,
                        eos_name=eos_name, diabatic=diab, ale=ale,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
-                       n_dyn_per_thermo=n_dyn_per_thermo)
+                       obc=obc, n_dyn_per_thermo=n_dyn_per_thermo)
 
     # -- initial state ----------------------------------------------------
     m = "MOM_state_initialization"

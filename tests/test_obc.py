@@ -82,3 +82,79 @@ def test_obc_masks_compile():
     obc = build_obc([OBCSegment(edge="N", lo=2, hi=6)], 8, 8)
     m = np.asarray(obc.mask_v)
     assert m[-2, 2:6].sum() == 4 and m.sum() == 4
+
+
+def test_orlanski_steady_is_noop():
+    """dhdt = 0 (steady field): the Orlanski update leaves the boundary
+    unchanged (rx = 0)."""
+    G, GV, state, params = setup_wave()
+    obc = build_obc([OBCSegment(edge="E", scheme="ORLANSKI")], G.ny, G.nx)
+    u = jnp.asarray(np.random.RandomState(0).randn(1, G.ny, G.nx),
+                    jnp.float32)
+    st = state.replace(u=u * G.mask2dCu)
+    out = apply_obc(st, obc, G, GV, dt=100.0, u_old=st.u, v_old=st.v)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(st.u),
+                               atol=1e-6)
+
+
+def test_gradient_scheme_copies_interior():
+    G, GV, state, params = setup_wave()
+    obc = build_obc([OBCSegment(edge="E", scheme="GRADIENT")], G.ny, G.nx)
+    u = jnp.asarray(np.arange(G.nx, dtype=np.float32)[None, None]
+                    * np.ones((1, G.ny, 1), np.float32))
+    st = state.replace(u=u)
+    out = apply_obc(st, obc, G, GV, dt=100.0)
+    # boundary face (-2) takes the interior value (-3)
+    np.testing.assert_allclose(np.asarray(out.u)[:, :, -2],
+                               np.asarray(u)[:, :, -3], atol=1e-6)
+
+
+def test_orlanski_diagnoses_phase_speed():
+    """A right-moving linear ramp sampled at two times: the diagnosed
+    rx equals the CFL and the boundary follows the implicit upwind
+    update."""
+    G, GV, state, params = setup_wave()
+    obc = build_obc([OBCSegment(edge="E", scheme="ORLANSKI")], G.ny, G.nx)
+    nx = G.nx
+    r = 0.4                         # CFL of the outgoing signal
+    x = np.arange(nx, dtype=np.float32)
+    u_old = np.broadcast_to(x, (1, G.ny, nx)).copy()
+    u_new = np.broadcast_to(x - r, (1, G.ny, nx)).copy()
+    st = state.replace(u=jnp.asarray(u_new))
+    out = apply_obc(st, obc, G, GV, dt=100.0,
+                    u_old=jnp.asarray(u_old), v_old=st.v)
+    # expected: (u_B + r*u_{B-1})/(1+r) at face -2
+    ub = u_new[0, 2, -2]
+    nb1 = u_new[0, 2, -3]
+    expect = (ub + r * nb1) / (1.0 + r)
+    np.testing.assert_allclose(np.asarray(out.u)[0, 2, -2], expect,
+                               rtol=1e-5)
+
+
+def test_orlanski_radiates_waves_out():
+    """Orlanski on the layer velocities + Flather-free: waves still lose
+    energy vs the closed domain (radiative boundary)."""
+    G, GV, state, params = setup_wave()
+    obc = build_obc([OBCSegment(edge="E", scheme="OBLIQUE"),
+                     OBCSegment(edge="W", scheme="ORLANSKI")],
+                    G.ny, G.nx)
+
+    def step2(s, s_prev_u, s_prev_v):
+        s2 = step_dynamics_split_rk2(s, MechForcing(), G, GV, params)
+        return apply_obc(s2, obc, G, GV, params.dt,
+                         u_old=s_prev_u, v_old=s_prev_v)
+
+    step = jax.jit(step2)
+    step_closed = jax.jit(lambda s: step_dynamics_split_rk2(
+        s, MechForcing(), G, GV, params))
+
+    e0 = wave_energy(state, G, GV)
+    s_open, s_closed = state, state
+    for _ in range(108):
+        u_prev, v_prev = s_open.u, s_open.v
+        s_open = step(s_open, u_prev, v_prev)
+        s_closed = step_closed(s_closed)
+    e_open = wave_energy(s_open, G, GV)
+    e_closed = wave_energy(s_closed, G, GV)
+    assert np.isfinite(np.asarray(s_open.h)).all()
+    assert e_open < e_closed, (e_open, e_closed)
