@@ -19,10 +19,14 @@ pipelines them; an explicit shard_map variant with redundant-compute halos is
 a planned optimization for pod scale.
 
 Deviations from the reference in this round (tracked for parity):
-* linearized transports ``uhbt = Datu * ubt + uhbt0`` (BT_cont response
-  curves of find_uhbt :4610 not yet implemented);
-* no barotropic bottom drag / Rayleigh drag inside the subcycle;
 * triangular time filter instead of MOM6's full wt_vel shapes.
+
+Transports use either the linearized form ``uhbt = Datu * ubt + uhbt0``
+or, when a ``BTCont`` is supplied, the nonlinear response curves built
+from the layer continuity's PPM reconstructions (find_uhbt :4610) —
+offset so the curve agrees with the layer-sum transports at the initial
+velocities.  A linear + quadratic barotropic bottom drag acts implicitly
+inside the subcycle (the lin_drag/bt_drag role).
 """
 
 from __future__ import annotations
@@ -43,6 +47,9 @@ class BTParams(NamedTuple):
     nfilter: int          # extra filter substeps (static)
     bebt: float = 0.2     # backward weighting of eta in the PF [0..1]
     dgeo_de: float = 1.0  # over-relaxation of the surface-height geopotential
+    use_bt_cont: bool = False   # nonlinear transport response curves
+    lin_drag: float = 0.0       # linear barotropic drag piston vel [m s-1]
+    cdrag: float = 0.0          # quadratic drag coefficient (BT Rayleigh)
 
 
 class BTOut(NamedTuple):
@@ -112,8 +119,12 @@ def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
 
 def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
            visc_rem_u, visc_rem_v, pbce, eta_PF, dt, G, GV, params: BTParams,
-           taux=None, tauy=None, x_first: bool = True) -> BTOut:
-    """One barotropic cycle covering a baroclinic step of length ``dt``."""
+           taux=None, tauy=None, x_first: bool = True,
+           bt_cont=None) -> BTOut:
+    """One barotropic cycle covering a baroclinic step of length ``dt``.
+
+    ``bt_cont``: optional BTCont response curves (set_bt_cont) making the
+    barotropic transports consistent with the layer PPM continuity."""
     dtype = u_in.dtype
     nstep, nfilter = params.nstep, params.nfilter
     dtbt = dtype.type(dt / nstep)
@@ -136,8 +147,13 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
 
     # layer-sum transport mismatch (uhbt0): makes the BT continuity agree
     # with the layer continuity at the initial velocities
-    uhbt0 = jnp.sum(uh_in, axis=0) - Datu * ubt_in
-    vhbt0 = jnp.sum(vh_in, axis=0) - Datv * vbt_in
+    if params.use_bt_cont and bt_cont is not None:
+        from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
+        uhbt0 = jnp.sum(uh_in, axis=0) - find_uhbt(ubt_in, bt_cont)
+        vhbt0 = jnp.sum(vh_in, axis=0) - find_vhbt(vbt_in, bt_cont)
+    else:
+        uhbt0 = jnp.sum(uh_in, axis=0) - Datu * ubt_in
+        vhbt0 = jnp.sum(vh_in, axis=0) - Datv * vbt_in
 
     # effective column-mean reduced gravity (gtot of btstep; single value per
     # cell here since our pbce is horizontally local)
@@ -160,8 +176,27 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     cor_ref_u = _coriolis_u(f_q, vbt_in)
     cor_ref_v = _coriolis_v(f_q, ubt_in)
 
-    def transports(ubt, vbt):
-        return Datu * ubt + uhbt0, Datv * vbt + vhbt0
+    if params.use_bt_cont and bt_cont is not None:
+        from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
+
+        def transports(ubt, vbt):
+            return (find_uhbt(ubt, bt_cont) + uhbt0,
+                    find_vhbt(vbt, bt_cont) + vhbt0)
+    else:
+        def transports(ubt, vbt):
+            return Datu * ubt + uhbt0, Datv * vbt + vhbt0
+
+    # implicit barotropic drag rate (bt Rayleigh drag; the lin_drag role
+    # of MOM_barotropic.F90): r = (lin + cdrag |u0|) / H_face
+    if params.lin_drag > 0.0 or params.cdrag > 0.0:
+        rdrag_u = (params.lin_drag + params.cdrag * jnp.abs(ubt_in)) \
+            / jnp.maximum(tot_hu, 1e-3)
+        rdrag_v = (params.lin_drag + params.cdrag * jnp.abs(vbt_in)) \
+            / jnp.maximum(tot_hv, 1e-3)
+        drag_u = 1.0 / (1.0 + dtbt * rdrag_u)
+        drag_v = 1.0 / (1.0 + dtbt * rdrag_v)
+    else:
+        drag_u = drag_v = None
 
     def div_eta(uhbt, vhbt):
         return -G.IareaT * ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt)))
@@ -186,20 +221,30 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         pfu, pfv = pf_anom(eta_w)
 
         # 3. velocity updates, alternating which direction goes first
+        def dragged_u(x):
+            return x * drag_u if drag_u is not None else x
+
+        def dragged_v(x):
+            return x * drag_v if drag_v is not None else x
+
         def u_first_fn(uv):
             ubt0, vbt0 = uv
             cor_u = _coriolis_u(f_q, vbt0) - cor_ref_u
-            ubt1 = (ubt0 + dtbt * (bt_force_u + cor_u + pfu)) * G.mask2dCu
+            ubt1 = dragged_u(ubt0 + dtbt * (bt_force_u + cor_u + pfu)) \
+                * G.mask2dCu
             cor_v = _coriolis_v(f_q, ubt1) - cor_ref_v
-            vbt1 = (vbt0 + dtbt * (bt_force_v + cor_v + pfv)) * G.mask2dCv
+            vbt1 = dragged_v(vbt0 + dtbt * (bt_force_v + cor_v + pfv)) \
+                * G.mask2dCv
             return ubt1, vbt1, cor_u, cor_v
 
         def v_first_fn(uv):
             ubt0, vbt0 = uv
             cor_v = _coriolis_v(f_q, ubt0) - cor_ref_v
-            vbt1 = (vbt0 + dtbt * (bt_force_v + cor_v + pfv)) * G.mask2dCv
+            vbt1 = dragged_v(vbt0 + dtbt * (bt_force_v + cor_v + pfv)) \
+                * G.mask2dCv
             cor_u = _coriolis_u(f_q, vbt1) - cor_ref_u
-            ubt1 = (ubt0 + dtbt * (bt_force_u + cor_u + pfu)) * G.mask2dCu
+            ubt1 = dragged_u(ubt0 + dtbt * (bt_force_u + cor_u + pfu)) \
+                * G.mask2dCu
             return ubt1, vbt1, cor_u, cor_v
 
         ubt, vbt, cor_u, cor_v = jax.lax.cond(vf == 1, v_first_fn, u_first_fn,

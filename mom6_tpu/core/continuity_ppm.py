@@ -18,7 +18,7 @@ on the updated field, exactly as in the reference.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
 __all__ = ["continuity_ppm", "zonal_mass_flux", "meridional_mass_flux",
-           "ppm_reconstruction_x", "ppm_reconstruction_y"]
+           "ppm_reconstruction_x", "ppm_reconstruction_y",
+           "BTCont", "set_bt_cont", "find_uhbt", "find_vhbt"]
 
 _N_NEWTON = 5  # fixed Newton iterations for flux adjustment
 
@@ -258,3 +259,130 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
                                     simple_2nd=simple_2nd, h_min=h_min)
         h_new = jnp.maximum(h_y - dt * G.IareaT * (uh - im1(uh)), h_min)
     return h_new, uh, vh, u_adj, v_adj
+
+
+class BTCont(NamedTuple):
+    """Piecewise transport response curves uhbt(ubt) per face, the
+    BT_cont_type of the reference (MOM_continuity_PPM.F90:set_BT_cont;
+    consumed by MOM_barotropic.F90:find_uhbt :4610).
+
+    For positive (from-the-west) flow through a u face:
+      uhbt(u) = u (FA_W0 + crvW u^2)            for 0 <= u <= uBT_WW
+              = (u - uBT_WW) FA_WW + uh(uBT_WW) for u > uBT_WW
+    and symmetrically with the E fields for negative flow.  The curves
+    are built from the SAME PPM reconstructions as the layer continuity,
+    so the barotropic solver's transports saturate exactly where the
+    layered transports would (donor cells draining)."""
+    FA_u_W0: jnp.ndarray; FA_u_WW: jnp.ndarray
+    uBT_WW: jnp.ndarray; uh_crvW: jnp.ndarray
+    FA_u_E0: jnp.ndarray; FA_u_EE: jnp.ndarray
+    uBT_EE: jnp.ndarray; uh_crvE: jnp.ndarray
+    FA_v_S0: jnp.ndarray; FA_v_SS: jnp.ndarray
+    vBT_SS: jnp.ndarray; vh_crvS: jnp.ndarray
+    FA_v_N0: jnp.ndarray; FA_v_NN: jnp.ndarray
+    vBT_NN: jnp.ndarray; vh_crvN: jnp.ndarray
+
+
+def _curve_params(fa0, fa_mean_cap, fa_marg_cap, u_cap):
+    """Cubic-through-origin fit: uh(u) = u (fa0 + crv u^2) matching the
+    mean face area at the transition velocity; slope beyond is the
+    marginal area there.  crv is clipped so the curve stays monotone."""
+    crv = (fa_mean_cap - fa0) / jnp.maximum(u_cap * u_cap, 1e-30)
+    crv = jnp.maximum(crv, -fa0 / jnp.maximum(3.0 * u_cap * u_cap, 1e-30))
+    return crv, jnp.maximum(fa_marg_cap, 0.0)
+
+
+def set_bt_cont(h, dt, G, GV, *, cfl_cap: float = 0.5,
+                monotonic=False, simple_2nd=False) -> BTCont:
+    """Build the transport response curves from the PPM reconstruction
+    of ``h`` (the set_BT_cont role).  ``cfl_cap`` is the CFL at which the
+    cubic hands over to the linear tail."""
+    h_min = GV.angstrom
+    h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic,
+                                    simple_2nd)
+    h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
+                                    simple_2nd)
+    face_u = G.dyCu * G.mask2dCu
+    face_v = G.dxCv * G.mask2dCv
+    c = cfl_cap
+
+    def mean_marg(h_d, edge, other_edge, cfl):
+        """PPM swept mean and marginal thickness at CFL ``cfl`` for a
+        donor cell with reconstruction (other_edge .. edge), where
+        ``edge`` is the downstream face value."""
+        curv = (edge + other_edge) - 2.0 * h_d
+        h_avg = edge + cfl * (0.5 * (other_edge - edge)
+                              + curv * (cfl - 1.5))
+        h_marg = edge + cfl * ((other_edge - edge)
+                               + 3.0 * curv * (cfl - 1.0))
+        return h_avg, h_marg
+
+    # u faces, positive flow: donor is cell i, downstream edge h_E(i)
+    fa_u_w0 = face_u[None] * h_E
+    havg, hmarg = mean_marg(h, h_E, h_W, c)
+    fa_u_w_mean = face_u[None] * havg
+    fa_u_ww = face_u[None] * hmarg
+    ubt_ww = c / (dt * G.IdxT)                    # (ny, nx) >= 0
+    crv_w, fa_u_ww = _curve_params(fa_u_w0, fa_u_w_mean, fa_u_ww,
+                                   ubt_ww[None])
+    # u faces, negative flow: donor is cell i+1, downstream edge h_W(i+1)
+    fa_u_e0 = face_u[None] * ip1(h_W)
+    havg, hmarg = mean_marg(ip1(h), ip1(h_W), ip1(h_E), c)
+    fa_u_e_mean = face_u[None] * havg
+    fa_u_ee = face_u[None] * hmarg
+    ubt_ee = -c / (dt * ip1(G.IdxT))              # <= 0
+    crv_e, fa_u_ee = _curve_params(fa_u_e0, fa_u_e_mean, fa_u_ee,
+                                   -ubt_ee[None])
+
+    # v faces
+    fa_v_s0 = face_v[None] * h_N
+    havg, hmarg = mean_marg(h, h_N, h_S, c)
+    fa_v_s_mean = face_v[None] * havg
+    fa_v_ss = face_v[None] * hmarg
+    vbt_ss = c / (dt * G.IdyT)
+    crv_s, fa_v_ss = _curve_params(fa_v_s0, fa_v_s_mean, fa_v_ss,
+                                   vbt_ss[None])
+    fa_v_n0 = face_v[None] * jp1(h_S)
+    havg, hmarg = mean_marg(jp1(h), jp1(h_S), jp1(h_N), c)
+    fa_v_n_mean = face_v[None] * havg
+    fa_v_nn = face_v[None] * hmarg
+    vbt_nn = -c / (dt * jp1(G.IdyT))
+    crv_n, fa_v_nn = _curve_params(fa_v_n0, fa_v_n_mean, fa_v_nn,
+                                   -vbt_nn[None])
+
+    # column sums: the barotropic curves are the layer sums
+    s = lambda a: jnp.sum(a, axis=0)
+    b = lambda a2: a2                             # 2-D already
+    return BTCont(
+        FA_u_W0=s(fa_u_w0), FA_u_WW=s(fa_u_ww), uBT_WW=b(ubt_ww),
+        uh_crvW=s(crv_w),
+        FA_u_E0=s(fa_u_e0), FA_u_EE=s(fa_u_ee), uBT_EE=b(ubt_ee),
+        uh_crvE=s(crv_e),
+        FA_v_S0=s(fa_v_s0), FA_v_SS=s(fa_v_ss), vBT_SS=b(vbt_ss),
+        vh_crvS=s(crv_s),
+        FA_v_N0=s(fa_v_n0), FA_v_NN=s(fa_v_nn), vBT_NN=b(vbt_nn),
+        vh_crvN=s(crv_n))
+
+
+def find_uhbt(u, btc: BTCont):
+    """Barotropic zonal transport from the response curves
+    (find_uhbt, MOM_barotropic.F90:4610)."""
+    uh_ww = btc.uBT_WW * (btc.FA_u_W0 + btc.uh_crvW * btc.uBT_WW ** 2)
+    uh_ee = btc.uBT_EE * (btc.FA_u_E0 + btc.uh_crvE * btc.uBT_EE ** 2)
+    return jnp.where(
+        u > btc.uBT_WW, (u - btc.uBT_WW) * btc.FA_u_WW + uh_ww,
+        jnp.where(u >= 0.0, u * (btc.FA_u_W0 + btc.uh_crvW * u * u),
+                  jnp.where(u > btc.uBT_EE,
+                            u * (btc.FA_u_E0 + btc.uh_crvE * u * u),
+                            (u - btc.uBT_EE) * btc.FA_u_EE + uh_ee)))
+
+
+def find_vhbt(v, btc: BTCont):
+    vh_ss = btc.vBT_SS * (btc.FA_v_S0 + btc.vh_crvS * btc.vBT_SS ** 2)
+    vh_nn = btc.vBT_NN * (btc.FA_v_N0 + btc.vh_crvN * btc.vBT_NN ** 2)
+    return jnp.where(
+        v > btc.vBT_SS, (v - btc.vBT_SS) * btc.FA_v_SS + vh_ss,
+        jnp.where(v >= 0.0, v * (btc.FA_v_S0 + btc.vh_crvS * v * v),
+                  jnp.where(v > btc.vBT_NN,
+                            v * (btc.FA_v_N0 + btc.vh_crvN * v * v),
+                            (v - btc.vBT_NN) * btc.FA_v_NN + vh_nn)))

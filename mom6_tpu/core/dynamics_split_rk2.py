@@ -100,6 +100,13 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     _, uh_in, vh_in, _, _ = continuity_ppm(
         u, v, h, dt, G, GV, monotonic=p.continuity_monotonic, x_first=p.x_first)
 
+    # nonlinear barotropic transport response curves (set_BT_cont role)
+    bt_cont = None
+    if p.bt.use_bt_cont:
+        from mom6_tpu.core.continuity_ppm import set_bt_cont
+        bt_cont = set_bt_cont(h, dt, G, GV,
+                              monotonic=p.continuity_monotonic)
+
     # ---- predictor -----------------------------------------------------------
     pf = pf_fn(h, state)
     cau, cav = coriolis_adv(u, v, h, state.uh, state.vh, G, GV,
@@ -113,7 +120,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     bt1 = btstep(u, v, eta, u_bc, v_bc, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
                  dt_pred, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
-                 x_first=p.x_first)
+                 x_first=p.x_first, bt_cont=bt_cont)
 
     up = (u + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
     vp = (v + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
@@ -146,7 +153,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     bt2 = btstep(u, v, eta, u_bc2, v_bc2, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf2.pbce, pf2.eta_PF,
                  dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
-                 x_first=p.x_first)
+                 x_first=p.x_first, bt_cont=bt_cont)
 
     u_new = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
     v_new = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
