@@ -49,6 +49,11 @@ class DynParams(NamedTuple):
     # layers below topography in ALE mode): such momentum is meaningless
     # and otherwise leaks into massive layers via the KE gradient
     massless_h: float = 1e-3     # [m]; 0 disables
+    # "RK2" evaluates the corrector tendencies at the predicted state
+    # (MOM_dynamics_split_RK2.F90); "RK2B" evaluates them at the
+    # time-centred velocities 0.5 (u^n + u*), the reduced form of
+    # MOM_dynamics_split_RK2b.F90's greater use of time-mean velocities
+    scheme: str = "RK2"
     x_first: bool = True         # FIRST_DIRECTION of the split sweeps
 
 
@@ -143,10 +148,15 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     # ---- corrector ------------------------------------------------------------
     pf2 = pf_fn(hp, state)
-    cau2, cav2 = coriolis_adv(up_adj, vp_adj, hp, uh_p, vh_p, G, GV,
+    if p.scheme.upper() == "RK2B":
+        # time-centred velocities for the corrector tendencies
+        uc, vc = 0.5 * (u + up_adj), 0.5 * (v + vp_adj)
+    else:
+        uc, vc = up_adj, vp_adj
+    cau2, cav2 = coriolis_adv(uc, vc, hp, uh_p, vh_p, G, GV,
                               scheme=p.coriolis_scheme)
     if hv_fn is not None:
-        diffu, diffv = hv_fn(up_adj, vp_adj, hp)
+        diffu, diffv = hv_fn(uc, vc, hp)
     u_bc2 = (cau2 + pf2.PFu + diffu) * G.mask2dCu
     v_bc2 = (cav2 + pf2.PFv + diffv) * G.mask2dCv
 

@@ -126,6 +126,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     m = "MOM_vert_friction"
     dyn = DynParams(
         dt=dt, bt=bt,
+        scheme=("RK2B" if pf.get("SPLIT_RK2B", bool, default=False,
+                                 module="MOM") else "RK2"),
         be=pf.get("BE", float, default=0.6, module=m),
         kv=pf.get("KV", float, default=1e-4, units="m2 s-1", module=m),
         bottom_drag=pf.get("DRAG_BG_VEL", float, default=0.0, units="m s-1",

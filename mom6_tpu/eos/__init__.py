@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict
 
-from mom6_tpu.eos import linear, roquet, unesco, wright
+from mom6_tpu.eos import jackett06, linear, roquet, unesco, wright
 
 __all__ = ["EOS", "get_eos"]
 
@@ -43,9 +43,9 @@ _register("LINEAR", linear)
 _register("WRIGHT", wright)
 _register("ROQUET_RHO", roquet)
 _register("UNESCO", unesco)
+_register("JACKETT06", jackett06)
 
-_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "TEOS10",
-            "ROQUET_SPV", "JACKETT06")
+_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "TEOS10", "ROQUET_SPV")
 
 
 def get_eos(name: str) -> EOS:

@@ -309,3 +309,44 @@ class TestStochEOS:
             jnp.full((2, 8, 8), 10.0), jnp.full((2, 8, 8), 35.0),
             jnp.zeros((2, 8, 8)), eos, jnp.zeros((2, 8, 8)))
         np.testing.assert_allclose(np.asarray(z), 0.0)
+
+
+class TestJackett06:
+    def test_check_value(self):
+        """Jackett et al. (2006) check: rho(25C, 35 PSU, 2000 dbar)
+        = 1031.65056 kg/m3."""
+        eos = get_eos("JACKETT06")
+        rho = float(eos.density(np.float64(25.0), np.float64(35.0),
+                                np.float64(2.0e7)))
+        assert abs(rho - 1031.65056) < 1e-3
+
+    def test_derivs_match_fd(self):
+        eos = get_eos("JACKETT06")
+        T, S, p = np.float64(10.0), np.float64(35.0), np.float64(2e7)
+        dT, dS = eos.density_derivs(T, S, p)
+        e = 0.25                      # wide stencil: tests run in f32
+        fd_T = (float(eos.density(T + e, S, p))
+                - float(eos.density(T - e, S, p))) / (2 * e)
+        fd_S = (float(eos.density(T, S + e, p))
+                - float(eos.density(T, S - e, p))) / (2 * e)
+        assert abs(float(dT) - fd_T) < 5e-3 * abs(fd_T)
+        assert abs(float(dS) - fd_S) < 5e-3 * abs(fd_S)
+
+    def test_agrees_with_unesco(self):
+        """Independent fits of the same data agree to ~0.01 kg/m3."""
+        j = get_eos("JACKETT06"); u = get_eos("UNESCO")
+        for (T, S, p) in [(25.0, 35.0, 0.0), (10.0, 35.0, 0.0),
+                          (2.0, 34.5, 5e7), (0.0, 35.0, 0.0)]:
+            rj = float(j.density(np.float64(T), np.float64(S),
+                                 np.float64(p)))
+            ru = float(u.density(np.float64(T), np.float64(S),
+                                 np.float64(p)))
+            assert abs(rj - ru) < 0.02, (T, S, p, rj, ru)
+
+    def test_rho_ref_anomaly_form(self):
+        eos = get_eos("JACKETT06")
+        full = float(eos.density(np.float64(10.0), np.float64(35.0),
+                                 np.float64(0.0)))
+        anom = float(eos.density(np.float64(10.0), np.float64(35.0),
+                                 np.float64(0.0), rho_ref=1000.0))
+        assert abs((full - 1000.0) - anom) < 1e-3   # f32

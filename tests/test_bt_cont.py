@@ -112,3 +112,31 @@ def test_bt_drag_damps():
             s = step(s)
         outs.append(energy(s))
     assert outs[1] < outs[0], outs
+
+
+def test_rk2b_variant_runs_and_tracks_rk2():
+    """SPLIT_RK2B: stable, conserves mass, and stays close to RK2 over a
+    short gravity-wave integration (same equations, different corrector
+    centring)."""
+    G, GV, h0 = setup()
+    state = init_state_resting(G, GV, [1000.0 / NZ] * NZ)
+    bump = 1.0 * np.exp(-((np.arange(NX) - NX / 2.0) ** 2) / 8.0)
+    h = np.asarray(state.h) + bump[None, None, :] / NZ
+    state = state.replace(h=jnp.asarray(h, jnp.float32))
+    dt = 300.0
+    nstep, _ = set_dtbt(G, GV, 1000.0, dt)
+    outs = {}
+    for sch in ("RK2", "RK2B"):
+        params = DynParams(dt=dt, bt=BTParams(nstep=nstep, nfilter=2),
+                           kv=0.0, scheme=sch)
+        step = jax.jit(lambda s, p=params: step_dynamics_split_rk2(
+            s, MechForcing(), G, GV, p))
+        s = state
+        for _ in range(20):
+            s = step(s)
+        outs[sch] = np.asarray(s.u, np.float64)
+        assert np.isfinite(outs[sch]).all(), sch
+    a, b = outs["RK2"].ravel(), outs["RK2B"].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+    assert not np.allclose(a, b)     # genuinely different scheme
