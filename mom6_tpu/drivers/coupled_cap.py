@@ -1,0 +1,174 @@
+"""Coupled-model caps: flux exchange types and the init/update/end API.
+
+Analogues of the reference's coupler caps:
+* FMS cap  — config_src/drivers/FMS_cap/ocean_model_MOM.F90
+  (ocean_model_init :158, update_ocean_model :440, ocean_model_end :730)
+  and MOM_surface_forcing_gfdl.F90's ice_ocean_boundary_type with its
+  flux sign conventions;
+* NUOPC cap — config_src/drivers/nuopc_cap/mom_cap.F90 with its standard
+  field names (mean_zonal_moment_flx, mean_sensi_heat_flx, ...).
+
+The exchange lives in two dataclass-free NamedTuples:
+
+* ``IceOceanBoundary`` carries what an atmosphere/ice component sends
+  DOWN (stresses, heat-flux components, water fluxes, pressure), in the
+  FMS sign conventions (t_flux/q_flux/lw positive = ocean LOSES heat,
+  sw positive = ocean gains);
+* ``OceanSurface`` (the export) is produced by the existing
+  extract_surface_state.
+
+``convert_iob_to_forcing`` folds the components into the model's net
+heat + virtual salt flux, exactly the role of convert_IOB_to_fluxes
+(MOM_surface_forcing_gfdl.F90:420).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.core.dynamics_split_rk2 import MechForcing
+from mom6_tpu.core.mom import Forcing
+from mom6_tpu.drivers.ocean_model import OceanModel
+from mom6_tpu.physics.vertical.diabatic import BuoyancyForcing
+
+__all__ = ["IceOceanBoundary", "convert_iob_to_forcing",
+           "ocean_model_init", "update_ocean_model", "ocean_model_end",
+           "export_state_nuopc", "import_state_nuopc"]
+
+_LATENT_VAP = 2.5e6      # latent heat of vaporization [J kg-1]
+_LATENT_FUS = 3.34e5     # latent heat of fusion [J kg-1]
+
+
+class IceOceanBoundary(NamedTuple):
+    """Downward exchange fields (ice_ocean_boundary_type role); all
+    (ny, nx) or None.  Sign conventions follow the FMS cap: u/v_flux are
+    the stresses on the ocean [Pa]; t_flux (sensible), q_flux
+    (evaporation [kg m-2 s-1]) and lw_flux positive remove heat from the
+    ocean; sw_flux positive adds heat; lprec/fprec/runoff add fresh
+    water [kg m-2 s-1]; p is sea-level pressure [Pa]."""
+    u_flux: Optional[jnp.ndarray] = None
+    v_flux: Optional[jnp.ndarray] = None
+    t_flux: Optional[jnp.ndarray] = None
+    q_flux: Optional[jnp.ndarray] = None
+    lw_flux: Optional[jnp.ndarray] = None
+    sw_flux: Optional[jnp.ndarray] = None
+    lprec: Optional[jnp.ndarray] = None
+    fprec: Optional[jnp.ndarray] = None
+    runoff: Optional[jnp.ndarray] = None
+    calving: Optional[jnp.ndarray] = None
+    p: Optional[jnp.ndarray] = None
+
+
+def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
+                           penetrating_sw: bool = True) -> Forcing:
+    """Fold the IOB components into the model Forcing
+    (convert_IOB_to_fluxes, MOM_surface_forcing_gfdl.F90:420).
+
+    Net non-penetrating heat [W m-2, +down] =
+        - t_flux - lw_flux - Lv q_flux - Lf (fprec + calving);
+    shortwave stays separate when ``penetrating_sw``.  Fresh water
+    converts to a virtual salt flux -S_sfc * Fw / rho0 [ppt m s-1]."""
+    z = lambda a: a if a is not None else 0.0
+    heat = -(z(iob.t_flux) + z(iob.lw_flux)
+             + _LATENT_VAP * z(iob.q_flux)
+             + _LATENT_FUS * (z(iob.fprec) + z(iob.calving)))
+    sw = z(iob.sw_flux)
+    if not penetrating_sw:
+        heat = heat + sw
+        sw = 0.0
+    # fresh water mass flux into the ocean [kg m-2 s-1]
+    fw = (z(iob.lprec) + z(iob.fprec) + z(iob.runoff) + z(iob.calving)
+          - z(iob.q_flux))
+    salt_flux = -sss * fw / GV.rho0          # virtual salt [ppt m s-1]
+    heat = heat if not isinstance(heat, float) else None
+    return Forcing(
+        mech=MechForcing(taux=iob.u_flux, tauy=iob.v_flux),
+        buoy=BuoyancyForcing(
+            heat_flux=heat,
+            sw_flux=sw if not isinstance(sw, float) else None,
+            salt_flux=salt_flux if not isinstance(salt_flux, float)
+            else None))
+
+
+def ocean_model_init(rundir: str) -> OceanModel:
+    """Build a coupled ocean component from a MOM_input run directory
+    (ocean_model_init role)."""
+    import os
+
+    from mom6_tpu.drivers.config_driver import build_model_from_params
+    from mom6_tpu.framework.config import ParamFile
+    paths = [os.path.join(rundir, "MOM_input")]
+    ov = os.path.join(rundir, "MOM_override")
+    if os.path.exists(ov):
+        paths.append(ov)
+    ms = build_model_from_params(ParamFile(paths))
+    return OceanModel(ms.grid, ms.vgrid, ms.state, ms.params)
+
+
+def update_ocean_model(model: OceanModel, iob: IceOceanBoundary,
+                       n_cycles: int = 1):
+    """Advance the ocean under an IOB (update_ocean_model role,
+    FMS_cap/ocean_model_MOM.F90:440).  Returns the new SurfaceState."""
+    from mom6_tpu.diagnostics.diagnostics import extract_surface_state
+    sfc = extract_surface_state(model.state, model.grid, model.vgrid)
+    forcing = convert_iob_to_forcing(iob, sfc.sss, model.vgrid)
+    for _ in range(n_cycles):
+        model.state = model._step(model.state, forcing)
+        model.time_seconds += model.coupling_dt
+    return extract_surface_state(model.state, model.grid, model.vgrid)
+
+
+def ocean_model_end(model: OceanModel, restart_path: Optional[str] = None):
+    """Finalize: optionally write a restart (ocean_model_end role)."""
+    if restart_path is not None:
+        from mom6_tpu.framework.restart import RestartRegistry
+        reg = RestartRegistry()
+        names = [n for n in ("h", "u", "v", "T", "S")
+                 if getattr(model.state, n) is not None]
+        reg.register_state_attrs(names)
+        reg.save_restart(restart_path, model.state,
+                         time_seconds=model.time_seconds)
+    return model.state
+
+
+# -- NUOPC-style named import/export ------------------------------------------
+
+_NUOPC_IMPORTS = {
+    "mean_zonal_moment_flx": "u_flux",
+    "mean_merid_moment_flx": "v_flux",
+    "mean_sensi_heat_flx": "t_flux",
+    "mean_evap_rate": "q_flux",
+    "mean_net_lw_flx": "lw_flux",
+    "mean_net_sw_flx": "sw_flux",
+    "mean_prec_rate": "lprec",
+    "mean_fprec_rate": "fprec",
+    "mean_runoff_rate": "runoff",
+    "inst_pres_height_surface": "p",
+}
+
+
+def import_state_nuopc(fields: Dict[str, jnp.ndarray]) -> IceOceanBoundary:
+    """Map NUOPC standard field names (mom_cap.F90 advertised imports)
+    onto the IOB; unknown names raise so couplers fail loudly."""
+    kwargs = {}
+    for name, arr in fields.items():
+        if name not in _NUOPC_IMPORTS:
+            raise KeyError(f"unknown NUOPC import field {name!r}; "
+                           f"known: {sorted(_NUOPC_IMPORTS)}")
+        kwargs[_NUOPC_IMPORTS[name]] = arr
+    return IceOceanBoundary(**kwargs)
+
+
+def export_state_nuopc(model: OceanModel) -> Dict[str, jnp.ndarray]:
+    """NUOPC-named ocean exports (mom_cap.F90 advertised exports)."""
+    from mom6_tpu.diagnostics.diagnostics import extract_surface_state
+    sfc = extract_surface_state(model.state, model.grid, model.vgrid)
+    return {
+        "sea_surface_temperature": sfc.sst,
+        "s_surf": sfc.sss,
+        "ocn_current_zonal": sfc.u_sfc,
+        "ocn_current_merid": sfc.v_sfc,
+        "sea_lev": sfc.ssh,
+    }
