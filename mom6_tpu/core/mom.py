@@ -49,6 +49,7 @@ class MOMParams(NamedTuple):
     mlrestrat: Optional["MLRestratParams"] = None
     meke: Optional["MEKEParams"] = None
     obc: Optional["OBCParams"] = None             # open boundaries
+    int_tides: Optional["InternalTidesParams"] = None  # low-mode propagation
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
 
@@ -185,6 +186,31 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                 state.h, state.u, state.v, state.T, state.S, G, GV, eos,
                 ShearMixingParams(scheme=p.diabatic.shear_scheme))
         kd_extra = kd_sh if kd_extra is None else kd_extra + kd_sh
+
+    # --- low-mode internal tides: propagate energy, deposit the losses
+    # as extra diffusivity (MOM_internal_tides + tidal_mixing lowmode)
+    if p.int_tides is not None and state.En_itide is not None:
+        from mom6_tpu.diagnostics.wave_speed import wave_speed
+        from mom6_tpu.physics.lateral.internal_tides import \
+            step_internal_tides
+        from mom6_tpu.physics.vertical.tidal_mixing import (
+            TidalMixingParams, int_tide_input_tke, tidal_mixing_kd)
+        dt_it = p.dyn.dt * p.n_dyn_per_thermo
+        tmp = p.diabatic.diff.tidal if p.diabatic.diff.tidal is not None \
+            else TidalMixingParams()
+        tke_in, _ = int_tide_input_tke(state.h, state.T, state.S, G, GV,
+                                       eos, tmp)
+        cn = wave_speed(state.h, state.T, state.S, G, GV, eos)
+        en_new, loss = step_internal_tides(state.En_itide, tke_in, cn,
+                                           G, GV, dt_it, p.int_tides)
+        state = state.replace(En_itide=en_new)
+        # deposit the propagated-loss energy with mixing efficiency mu
+        # (lowmode has no additional local-fraction q)
+        kd_low = tidal_mixing_kd(state.h, state.T, state.S, G, GV, eos,
+                                 tmp,
+                                 tke_input=loss / max(tmp.gamma_itides,
+                                                      1e-6))
+        kd_extra = kd_low if kd_extra is None else kd_extra + kd_low
 
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
     T, S, kd, _ = diabatic_ale(state.T, state.S, state.h, forcing.buoy,

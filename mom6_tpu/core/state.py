@@ -37,6 +37,8 @@ class OceanState:
     uhtr: Optional[jnp.ndarray] = None
     vhtr: Optional[jnp.ndarray] = None
     E_meke: Optional[jnp.ndarray] = None   # (ny, nx) eddy energy [m2 s-2]
+    En_itide: Optional[jnp.ndarray] = None  # (n_angle, ny, nx) internal-tide
+    #                                         energy density [J m-2 / bin]
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

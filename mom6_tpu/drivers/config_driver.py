@@ -293,10 +293,25 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                 nudge_timescale=float(kv.get("TAU", 3600.0))))
         obc = build_obc(segs, G.ny, G.nx, dtype=dtype)
 
+    # -- low-mode internal tide propagation ---------------------------------
+    m = "MOM_internal_tides"
+    int_tides = None
+    if pf.get("INTERNAL_TIDES", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.internal_tides import \
+            InternalTidesParams
+        int_tides = InternalTidesParams(
+            n_angle=pf.get("INTERNAL_TIDE_ANGLES", int, default=8,
+                           module=m),
+            decay_rate=pf.get("INT_TIDE_BACKGROUND_DECAY", float,
+                              default=0.0, units="s-1", module=m),
+            drag_coef=pf.get("INT_TIDE_DRAG_COEF", float, default=1e-4,
+                             module=m))
+
     params = MOMParams(dyn=dyn, thermo_enabled=use_thermo,
                        eos_name=eos_name, diabatic=diab, ale=ale,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
-                       obc=obc, n_dyn_per_thermo=n_dyn_per_thermo)
+                       obc=obc, int_tides=int_tides,
+                       n_dyn_per_thermo=n_dyn_per_thermo)
 
     # -- initial state ----------------------------------------------------
     m = "MOM_state_initialization"
@@ -307,6 +322,9 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                dtype=dtype, with_thermo=use_thermo)
     if meke is not None:
         state = state.replace(E_meke=jnp.zeros((G.ny, G.nx), dtype))
+    if int_tides is not None:
+        state = state.replace(En_itide=jnp.zeros(
+            (int_tides.n_angle, G.ny, G.nx), dtype))
     if use_thermo:
         t_ref = pf.get("T_REF", float, default=10.0, units="degC", module=m)
         s_ref = pf.get("S_REF", float, default=35.0, units="ppt", module=m)
