@@ -50,6 +50,8 @@ class MOMParams(NamedTuple):
     meke: Optional["MEKEParams"] = None
     obc: Optional["OBCParams"] = None             # open boundaries
     int_tides: Optional["InternalTidesParams"] = None  # low-mode propagation
+    khtr: float = 0.0          # epineutral/horizontal tracer diff [m2 s-1]
+    neutral_diffusion: bool = False   # rotate KHTR along neutral surfaces
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
 
@@ -136,6 +138,20 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                           uhtr=jnp.zeros_like(state.uhtr),
                           vhtr=jnp.zeros_like(state.vhtr))
 
+    # --- lateral tracer diffusion (tracer_hor_diff role) -------------------
+    kd_redi = None
+    if p.khtr > 0.0:
+        dt_trd = p.dyn.dt * p.n_dyn_per_thermo
+        tr = jnp.stack([state.T, state.S])
+        if p.neutral_diffusion:
+            from mom6_tpu.tracers.neutral_diffusion import neutral_diffusion
+            tr, kd_redi = neutral_diffusion(tr, state.h, state.T, state.S,
+                                            G, GV, eos, p.khtr, dt_trd)
+        else:
+            from mom6_tpu.tracers.hor_diff import tracer_hordiff
+            tr = tracer_hordiff(tr, state.h, p.khtr, dt_trd, G)
+        state = state.replace(T=tr[0], S=tr[1])
+
     # --- column physics (step_MOM_thermo -> diabatic) ---------------------
     if p.diabatic.boundary_layer_scheme == "BULKML":
         # layered (isopycnal) mode: bulk mixed layer + diffusive
@@ -153,7 +169,7 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
 
     # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
     # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
-    kd_extra = None
+    kd_extra = kd_redi     # Redi K S^2 implicit part, if any
     if p.diabatic.boundary_layer_scheme == "KPP":
         from mom6_tpu.physics.vertical.kpp import kpp_diffusivity
         taux = forcing.mech.taux if forcing.mech.taux is not None else \
@@ -163,7 +179,7 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         kd_bl, _ = kpp_diffusivity(state.h, state.u, state.v, state.T,
                                    state.S, G, GV, eos, taux, tauy,
                                    forcing.buoy.heat_flux)
-        kd_extra = kd_bl
+        kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     elif p.diabatic.boundary_layer_scheme == "EPBL":
         from mom6_tpu.physics.vertical.epbl import epbl_diffusivity
         taux = forcing.mech.taux if forcing.mech.taux is not None else \
@@ -172,7 +188,7 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             jnp.zeros_like(G.mask2dT)
         kd_bl, _ = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
                                     taux, tauy, forcing.buoy.heat_flux)
-        kd_extra = kd_bl
+        kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     if p.diabatic.use_shear_mixing:
         if p.diabatic.shear_scheme == "JHL":
             from mom6_tpu.physics.vertical.kappa_shear import kappa_shear

@@ -172,6 +172,11 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             fox_kemper_coef=pf.get("FOX_KEMPER_ML_RESTRAT_COEF", float,
                                    default=0.0625, module=m))
 
+    m = "MOM_tracer_hor_diff"
+    khtr = pf.get("KHTR", float, default=0.0, units="m2 s-1", module=m)
+    use_ndiff = pf.get("USE_NEUTRAL_DIFFUSION", bool, default=False,
+                       module=m)
+
     m = "MOM_tidal_mixing"
     tidal = None
     if pf.get("INT_TIDE_DISSIPATION", bool, default=False, module=m):
@@ -311,6 +316,7 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                        eos_name=eos_name, diabatic=diab, ale=ale,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
                        obc=obc, int_tides=int_tides,
+                       khtr=khtr, neutral_diffusion=use_ndiff,
                        n_dyn_per_thermo=n_dyn_per_thermo)
 
     # -- initial state ----------------------------------------------------

@@ -56,14 +56,30 @@ def _ddz_centers(f, h):
 
 
 def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
-                      slope_max: float = 0.01
+                      slope_max: float = 0.01, bld=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tr_new, kd_redi).
 
     ``tr``: stacked tracers (n_tr, nz, ny, nx); ``T``/``S`` set the
     neutral directions; ``khtr`` the epineutral diffusivity [m2 s-1].
-    Apply ``kd_redi`` afterwards via tracer_vertdiff."""
+    Apply ``kd_redi`` afterwards via tracer_vertdiff.
+
+    ``bld``: optional (ny, nx) boundary-layer depth [m].  When given,
+    the neutral slopes taper linearly to zero above the boundary-layer
+    base (the NDIFF_INTERIOR_ONLY role of MOM_neutral_diffusion.F90:
+    interior_only — the neutral framework is invalid inside the mixed
+    layer, where diffusion should be horizontal, so the cross terms
+    vanish there and the along-layer flux reduces to the plain
+    horizontal Laplacian)."""
     sx, sy = isopycnal_slopes(h, T, S, G, GV, eos, slope_max=slope_max)
+    if bld is not None:
+        # zero above the boundary-layer base, ramping to full neutral
+        # rotation over the next 20% of the BLD below it
+        z_c = jnp.cumsum(h, axis=0) - 0.5 * h
+        bldz = jnp.maximum(bld, _H_EPS)[None]
+        ramp = jnp.clip((z_c - bldz) / (0.2 * bldz), 0.0, 1.0)
+        sx = sx * 0.5 * (ramp + ip1(ramp))
+        sy = sy * 0.5 * (ramp + jp1(ramp))
 
     h_u = jnp.maximum(0.5 * (h + ip1(h)), _H_EPS) * G.mask2dCu
     h_v = jnp.maximum(0.5 * (h + jp1(h)), _H_EPS) * G.mask2dCv

@@ -76,3 +76,39 @@ def test_uniform_tracer_unchanged():
     tr = jnp.full((1,) + h.shape, 7.0, jnp.float32)
     tr2, kd = neutral_diffusion(tr, h, T, S, G, GV, eos, 500.0, 3600.0)
     np.testing.assert_allclose(np.asarray(tr2), 7.0, rtol=1e-5)
+
+def test_boundary_tapering_suppresses_cross_terms():
+    """With bld covering the top layers, the cross-term vertical flux and
+    kd_redi vanish there; tracers still conserved."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.eos import get_eos
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+    from mom6_tpu.tracers.neutral_diffusion import neutral_diffusion
+
+    nz, ny, nx = 8, 6, 6
+    G = build_cartesian_grid(nx, ny, 60.0, 60.0, max_depth=800.0)
+    GV = build_layered_vgrid(nz)
+    h = jnp.full((nz, ny, nx), 100.0, jnp.float32)
+    z = jnp.cumsum(h, axis=0) - 0.5 * h
+    x = jnp.arange(nx, dtype=jnp.float32)[None, None, :]
+    T = (15.0 - 8.0 * z / 800.0 + 0.5 * x / nx).astype(jnp.float32)
+    S = jnp.full_like(T, 35.0)
+    tr = jnp.stack([T])
+    eos = get_eos("LINEAR")
+    bld = jnp.full((ny, nx), 350.0, jnp.float32)
+
+    out_t, kd_t = neutral_diffusion(tr, h, T, S, G, GV, eos, 500.0, 900.0,
+                                    bld=bld)
+    out_0, kd_0 = neutral_diffusion(tr, h, T, S, G, GV, eos, 500.0, 900.0)
+    # kd_redi ~ 0 in the tapered zone (interfaces above ~350 m)
+    assert float(jnp.max(kd_t[1:3])) < 1e-3 * float(jnp.max(kd_0[1:3]) + 1e-30)
+    # deep interfaces barely affected
+    deep_t = float(jnp.max(kd_t[6]))
+    deep_0 = float(jnp.max(kd_0[6]))
+    assert deep_t > 0.5 * deep_0
+    # conservation intact
+    q_t = float(jnp.sum(out_t[0] * h * G.areaT))
+    q_in = float(jnp.sum(T * h * G.areaT))
+    assert abs(q_t - q_in) / abs(q_in) < 1e-5
