@@ -26,11 +26,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["remap_column", "reconstruct", "PCM", "PLM", "PPM_H4"]
+__all__ = ["remap_column", "reconstruct", "PCM", "PLM", "PPM_H4",
+           "PQM_IH4IH3"]
 
 PCM = "PCM"
 PLM = "PLM"
 PPM_H4 = "PPM_H4"
+PQM_IH4IH3 = "PQM_IH4IH3"
 
 _EPS = 1e-30
 
@@ -99,15 +101,45 @@ def _ppm_limit(u, e_l, e_r):
     return e_l2, e_r2
 
 
+def _edge_slopes(u, h):
+    """Interface slopes du/dz estimated from adjacent cell means
+    (the h3 edge-slope role of regrid_edge_slopes.F90, at 2nd order).
+    Returns (s_top, s_bot): slope at the top/bottom interface of each
+    cell, in physical units [u m-1]."""
+    du = u[1:] - u[:-1]
+    dz = jnp.maximum(0.5 * (h[:-1] + h[1:]), _EPS)
+    s_int = du / dz                              # interior interfaces
+    zeros = jnp.zeros_like(u[:1])
+    s_top = jnp.concatenate([zeros, s_int], axis=0)
+    s_bot = jnp.concatenate([s_int, zeros], axis=0)
+    return s_top, s_bot
+
+
+def _pqm_coeffs(u, h, e_l, e_r, s_l, s_r):
+    """White & Adcroft (2008) quartic through (eL, sL) .. (eR, sR) with
+    the prescribed cell mean; sigma are slopes in xi units (s * h)."""
+    sl = s_l * h
+    sr = s_r * h
+    r1 = u - e_l - 0.5 * sl
+    r2 = e_r - e_l - sl
+    r3 = sr - sl
+    a0 = e_l
+    a1 = sl
+    a2 = 30.0 * r1 - 12.0 * r2 + 1.5 * r3
+    a3 = -60.0 * r1 + 28.0 * r2 - 4.0 * r3
+    a4 = 30.0 * r1 - 15.0 * r2 + 2.5 * r3
+    return a0, a1, a2, a3, a4
+
+
 def reconstruct(u, h, scheme: str):
-    """Per-cell polynomial coefficients (c0, c1, c2) of
-    u(xi) = c0 + c1*xi + c2*xi^2 on the unit cell xi in [0, 1]."""
+    """Per-cell polynomial coefficients (c0..c4) of
+    u(xi) = c0 + c1 xi + c2 xi^2 + c3 xi^3 + c4 xi^4 on [0, 1]."""
+    z = jnp.zeros_like(u)
     if scheme == PCM:
-        z = jnp.zeros_like(u)
-        return u, z, z
+        return u, z, z, z, z
     if scheme == PLM:
         slp = _plm_slopes(u, h)
-        return u - 0.5 * slp, slp, jnp.zeros_like(u)
+        return u - 0.5 * slp, slp, z, z, z
     if scheme == PPM_H4:
         e_l, e_r = _edge_values_h4(u, h)
         e_l, e_r = _ppm_limit(u, e_l, e_r)
@@ -115,13 +147,45 @@ def reconstruct(u, h, scheme: str):
         c0 = e_l
         c1 = 6.0 * u - 4.0 * e_l - 2.0 * e_r
         c2 = 3.0 * ((e_l + e_r) - 2.0 * u)
-        return c0, c1, c2
+        return c0, c1, c2, z, z
+    if scheme == PQM_IH4IH3:
+        # quartic (White & Adcroft 2008; MOM_remapping.F90 REMAPPING_PQM_IH4IH3
+        # role): h4 edge values + interface slopes, monotonized, with a
+        # pointwise-bounds fallback to the PPM parabola where the quartic
+        # would overshoot
+        e_l, e_r = _edge_values_h4(u, h)
+        e_l, e_r = _ppm_limit(u, e_l, e_r)
+        s_l, s_r = _edge_slopes(u, h)
+        # slope limiting: zero where the cell is a local extremum, and
+        # sign-consistent with eR-eL
+        de = e_r - e_l
+        s_l = jnp.where(s_l * de / jnp.maximum(h, _EPS) > 0.0, s_l, 0.0)
+        s_r = jnp.where(s_r * de / jnp.maximum(h, _EPS) > 0.0, s_r, 0.0)
+        a0, a1, a2, a3, a4 = _pqm_coeffs(u, h, e_l, e_r, s_l, s_r)
+        # bounds check at interior sample points; fall back to PPM where
+        # the quartic leaves the [min, max](eL, u, eR) envelope
+        lo = jnp.minimum(jnp.minimum(e_l, e_r), u)
+        hi = jnp.maximum(jnp.maximum(e_l, e_r), u)
+        ok = jnp.ones_like(u, dtype=bool)
+        for xi in (0.25, 0.5, 0.75):
+            val = a0 + xi * (a1 + xi * (a2 + xi * (a3 + xi * a4)))
+            ok = ok & (val >= lo - 1e-6 * (hi - lo + 1e-30)) \
+                & (val <= hi + 1e-6 * (hi - lo + 1e-30))
+        p0 = e_l
+        p1 = 6.0 * u - 4.0 * e_l - 2.0 * e_r
+        p2 = 3.0 * ((e_l + e_r) - 2.0 * u)
+        c0 = jnp.where(ok, a0, p0)
+        c1 = jnp.where(ok, a1, p1)
+        c2 = jnp.where(ok, a2, p2)
+        c3 = jnp.where(ok, a3, 0.0)
+        c4 = jnp.where(ok, a4, 0.0)
+        return c0, c1, c2, c3, c4
     raise ValueError(f"unknown remapping scheme {scheme}")
 
 
-def _cumulative(c0, c1, c2, h):
+def _cumulative(c0, c1, c2, c3, c4, h):
     """Cumulative integral at source interfaces: I[k] = sum_{m<k} h_m*u_m."""
-    cell_int = h * (c0 + 0.5 * c1 + c2 / 3.0)
+    cell_int = h * (c0 + 0.5 * c1 + c2 / 3.0 + 0.25 * c3 + 0.2 * c4)
     zeros = jnp.zeros_like(h[:1])
     return jnp.concatenate([zeros, jnp.cumsum(cell_int, axis=0)], axis=0)
 
@@ -131,8 +195,8 @@ def remap_column(u0, h0, h1, scheme: str = PPM_H4):
 
     Shapes: (nz0, ...) -> (nz1, ...); trailing dims are batch (ny, nx).
     Assumes sum(h0) == sum(h1) per column (same column depth)."""
-    c0, c1, c2 = reconstruct(u0, h0, scheme)
-    icum = _cumulative(c0, c1, c2, h0)                        # (nz0+1, ...)
+    c0, c1, c2, c3, c4 = reconstruct(u0, h0, scheme)
+    icum = _cumulative(c0, c1, c2, c3, c4, h0)                # (nz0+1, ...)
 
     z0 = jnp.concatenate([jnp.zeros_like(h0[:1]),
                           jnp.cumsum(h0, axis=0)], axis=0)    # source interfaces
@@ -151,10 +215,13 @@ def remap_column(u0, h0, h1, scheme: str = PPM_H4):
     z_k = take(z0[:-1])
     i_k = take(icum[:-1])
     a0, a1, a2 = take(c0), take(c1), take(c2)
+    a3, a4 = take(c3), take(c4)
 
     xi = jnp.clip((z1 - z_k) / jnp.maximum(h_k, _EPS), 0.0, 1.0)
     # antiderivative within the cell
-    F = h_k * (xi * (a0 + xi * (0.5 * a1 + (a2 / 3.0) * xi)))
+    F = h_k * (xi * (a0 + xi * (0.5 * a1 + xi * ((a2 / 3.0)
+                                                 + xi * (0.25 * a3
+                                                         + 0.2 * a4 * xi)))))
     i_at_z1 = i_k + F
 
     du = i_at_z1[1:] - i_at_z1[:-1]

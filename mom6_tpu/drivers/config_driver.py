@@ -235,6 +235,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
 
     m = "MOM_ALE"
     ale = ALEParams(mode=LAYER)
+    remap_scheme = pf.get("REMAPPING_SCHEME", str, default="PPM_H4",
+                          module=m).upper()
     if pf.get("USE_REGRIDDING", bool, default=False, module=m):
         mode = pf.get("REGRIDDING_COORDINATE_MODE", str, default="Z*",
                       module=m).upper()
@@ -275,6 +277,7 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                     default=False, module=m))
         else:
             raise NotImplementedError(f"REGRIDDING_COORDINATE_MODE={mode}")
+        ale = ale._replace(scheme=remap_scheme)
 
     # -- open boundary segments (MOM_open_boundary role) -------------------
     # OBC_SEGMENT_00n = "EDGE=E,SCHEME=ORLANSKI[,ETA=..][,VEL=..]

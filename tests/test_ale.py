@@ -350,3 +350,54 @@ class TestJackett06:
         anom = float(eos.density(np.float64(10.0), np.float64(35.0),
                                  np.float64(0.0), rho_ref=1000.0))
         assert abs((full - 1000.0) - anom) < 1e-3   # f32
+
+
+class TestPQM:
+    def _grids(self, nz0=12, nz1=9):
+        h0 = jnp.full((nz0, 1, 1), 1.0, jnp.float32) * (12.0 / nz0)
+        h1 = jnp.full((nz1, 1, 1), 1.0, jnp.float32) * (12.0 / nz1)
+        return h0, h1
+
+    def test_conservative(self):
+        from mom6_tpu.ale.remapping import remap_column
+        h0, h1 = self._grids()
+        rng = np.random.RandomState(3)
+        u0 = jnp.asarray(rng.rand(12, 1, 1), jnp.float32)
+        u1 = remap_column(u0, h0, h1, "PQM_IH4IH3")
+        q0 = float(jnp.sum(u0 * h0)); q1 = float(jnp.sum(u1 * h1))
+        assert abs(q1 - q0) / abs(q0) < 1e-5
+
+    def test_exact_for_quadratic(self):
+        """PQM (quartic with h4 edges) reproduces a smooth quadratic
+        profile much more accurately than PLM."""
+        from mom6_tpu.ale.remapping import remap_column
+        nz0, nz1 = 16, 11
+        h0 = jnp.full((nz0, 1, 1), 800.0 / nz0, jnp.float32)
+        h1 = jnp.full((nz1, 1, 1), 800.0 / nz1, jnp.float32)
+        z0 = np.cumsum(np.full(nz0, 800.0 / nz0)) - 800.0 / nz0 / 2
+        z1 = np.cumsum(np.full(nz1, 800.0 / nz1)) - 800.0 / nz1 / 2
+        # monotone quadratic (no interior extremum -> limiters inactive)
+        zf0 = np.concatenate([[0.0], np.cumsum(np.full(nz0, 800.0 / nz0))])
+        P = lambda z: 10.0 * z + 1.5e-3 * z**2 + (2e-6 / 3) * z**3
+        u0 = (P(zf0[1:]) - P(zf0[:-1])) / np.diff(zf0)
+        zf1 = np.concatenate([[0.0], np.cumsum(np.full(nz1, 800.0 / nz1))])
+        want = (P(zf1[1:]) - P(zf1[:-1])) / np.diff(zf1)
+        u0j = jnp.asarray(u0[:, None, None], jnp.float32)
+        got_pqm = np.asarray(remap_column(u0j, h0, h1, "PQM_IH4IH3"))[:, 0, 0]
+        got_plm = np.asarray(remap_column(u0j, h0, h1, "PLM"))[:, 0, 0]
+        # exclude 2 cells at each end (boundary edge stencils are 2nd
+        # order there by construction)
+        err_pqm = np.abs(got_pqm - want)[2:-2].max()
+        err_plm = np.abs(got_plm - want)[2:-2].max()
+        assert err_pqm < 2e-5, err_pqm          # exact up to f32 roundoff
+        assert err_plm > 3 * err_pqm, (err_plm, err_pqm)
+
+    def test_monotone_on_step(self):
+        """No new extrema remapping a step profile."""
+        from mom6_tpu.ale.remapping import remap_column
+        h0, h1 = self._grids()
+        u0 = jnp.asarray(np.where(np.arange(12) < 6, 1.0, 0.0)
+                         [:, None, None], jnp.float32)
+        u1 = np.asarray(remap_column(u0, h0, h1, "PQM_IH4IH3"))
+        assert u1.max() <= 1.0 + 1e-5
+        assert u1.min() >= -1e-5
