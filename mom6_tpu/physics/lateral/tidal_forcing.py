@@ -2,7 +2,8 @@
 
 Analogues of MOM6's MOM_tidal_forcing.F90:817 (equilibrium tidal
 potential for the major constituents) and MOM_self_attr_load.F90:392
-(scalar SAL approximation; the spherical-harmonics SAL is planned).
+(scalar SAL approximation; the spherical-harmonic SAL lives in
+self_attr_load.py).
 
 The equilibrium potential of a constituent with amplitude A, frequency
 omega, and Love-number scaling is added to the geopotential used by the
