@@ -14,7 +14,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict
 
-from mom6_tpu.eos import jackett06, linear, roquet, unesco, wright
+from mom6_tpu.eos import (jackett06, linear, roquet, roquet_spv, unesco,
+                          wright)
 
 __all__ = ["EOS", "get_eos"]
 
@@ -44,8 +45,14 @@ _register("WRIGHT", wright)
 _register("ROQUET_RHO", roquet)
 _register("UNESCO", unesco)
 _register("JACKETT06", jackett06)
+_register("ROQUET_SPV", roquet_spv)
+# TEOS10 dispatches to the Roquet 75-term polynomial fit of TEOS-10
+# (the reference's EOS_TEOS10 calls the GSW library; the Roquet fit is
+# its published polynomial approximation with the same CT/SA inputs)
+import dataclasses as _dc  # noqa: E402
+_REGISTRY["TEOS10"] = _dc.replace(_REGISTRY["ROQUET_SPV"], name="TEOS10")
 
-_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED", "TEOS10", "ROQUET_SPV")
+_PLANNED = ("WRIGHT_FULL", "WRIGHT_REDUCED")
 
 
 def get_eos(name: str) -> EOS:

@@ -91,10 +91,11 @@ _R_PROF = (4.6494977072e+01, -5.2099962525e+00, 2.2601900708e-01,
            6.4326772569e-02, 1.5616995503e-02, -1.7243708991e-03)
 
 # pre-scale coefficients to SI units (T in degC, p in Pa)
-_TERMS = tuple(
-    (i, j, k, c * (_I_TS ** j) * (_PA2KB ** k))
-    for (i, j, k), c in sorted(_COEFFS.items()))
-_R_PROF_SI = tuple(c * _PA2KB ** (n + 1) for n, c in enumerate(_R_PROF))
+# coefficients stay in paper units; the polynomial is evaluated in the
+# O(1) scaled variables zt = T * I_TS and zp = p * Pa2kb — folding the
+# scales into the coefficients instead makes p**6 overflow f32 (inf)
+# against an underflowed (~1e-48) coefficient, which is NaN
+_TERMS = tuple((i, j, k, c) for (i, j, k), c in sorted(_COEFFS.items()))
 
 
 def _zs(S):
@@ -127,7 +128,7 @@ def _poly(zs, zt, zp, ds: int = 0, dt_: int = 0):
 
 def _rho00(zp):
     total = 0.0
-    for n, c in enumerate(_R_PROF_SI):
+    for n, c in enumerate(_R_PROF):
         total = total + c * zp ** (n + 1)
     return total
 
@@ -135,17 +136,21 @@ def _rho00(zp):
 def density(T, S, p, rho_ref: float = 0.0):
     """In-situ density [kg m-3] (minus rho_ref)."""
     zs = _zs(S)
-    return (_poly(zs, T, p) - rho_ref) + _rho00(p)
+    zt = T * _I_TS
+    zp = p * _PA2KB
+    return (_poly(zs, zt, zp) - rho_ref) + _rho00(zp)
 
 
 def density_derivs(T, S, p):
     """(drho_dT, drho_dS) at constant pressure."""
     zs = _zs(S)
-    drho_dT = _poly(zs, T, p, dt_=1)
+    zt = T * _I_TS
+    zp = p * _PA2KB
+    drho_dT = _poly(zs, zt, zp, dt_=1) * _I_TS
     # d(rho)/dS = d(rho)/d(zs) * d(zs)/dS;  zs = sqrt((S+dS0)*r) =>
     # dzs/dS = r / (2 zs)
     dzs_dS = 0.5 * _R1_S0 / zs
-    drho_dS = _poly(zs, T, p, ds=1) * dzs_dS
+    drho_dS = _poly(zs, zt, zp, ds=1) * dzs_dS
     return drho_dT, drho_dS
 
 

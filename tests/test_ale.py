@@ -401,3 +401,49 @@ class TestPQM:
         u1 = np.asarray(remap_column(u0, h0, h1, "PQM_IH4IH3"))
         assert u1.max() <= 1.0 + 1e-5
         assert u1.min() >= -1e-5
+
+
+class TestRoquetSpV:
+    def test_check_value(self):
+        """Roquet et al. (2015) SpV polynomial at (CT=10, SA=30,
+        p=2000 dbar); consistent with the rho-form fit to ~1e-7."""
+        eos = get_eos("ROQUET_SPV")
+        v = float(eos.specific_volume(np.float64(10.0), np.float64(30.0),
+                                      np.float64(2e7)))
+        assert abs(v - 9.691365410e-04) < 2e-9
+        rho_spv = 1.0 / v
+        rho = float(get_eos("ROQUET_RHO").density(
+            np.float64(10.0), np.float64(30.0), np.float64(2e7)))
+        assert abs(rho_spv - rho) < 1e-3
+
+    def test_teos10_alias(self):
+        a = get_eos("TEOS10"); b = get_eos("ROQUET_SPV")
+        va = float(a.specific_volume(np.float64(4.0), np.float64(34.0),
+                                     np.float64(1e7)))
+        vb = float(b.specific_volume(np.float64(4.0), np.float64(34.0),
+                                     np.float64(1e7)))
+        assert va == vb
+
+    def test_density_derivs_sign(self):
+        eos = get_eos("ROQUET_SPV")
+        dT, dS = eos.density_derivs(np.float64(10.0), np.float64(35.0),
+                                    np.float64(0.0))
+        assert float(dT) < 0.0 and float(dS) > 0.0
+
+
+def test_all_eos_finite_in_f32_at_depth():
+    """Regression: pre-scaled pressure coefficients underflowed f32 while
+    p**6 overflowed, giving NaN for any p > 0 (ROQUET forms)."""
+    import jax.numpy as jnp
+    for name in ("LINEAR", "WRIGHT", "ROQUET_RHO", "ROQUET_SPV",
+                 "TEOS10", "UNESCO", "JACKETT06"):
+        eos = get_eos(name)
+        T = jnp.asarray([25.0, 10.0, 2.0, -1.5], jnp.float32)
+        S = jnp.asarray([30.0, 35.0, 34.5, 35.5], jnp.float32)
+        p = jnp.asarray([0.0, 1e7, 4e7, 1e8], jnp.float32)
+        rho = np.asarray(eos.density(T, S, p))
+        dT, dS = eos.density_derivs(T, S, p)
+        assert np.isfinite(rho).all(), name
+        assert np.isfinite(np.asarray(dT)).all(), name
+        assert np.isfinite(np.asarray(dS)).all(), name
+        assert (rho > 990).all() and (rho < 1110).all(), (name, rho)
