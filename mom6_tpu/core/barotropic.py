@@ -209,72 +209,86 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
 
     wt_trans, wt_vel, v_first = _weights(nstep, nfilter, dtype, x_first)
 
-    def substep(carry, wts):
-        ubt, vbt, eta = carry["ubt"], carry["vbt"], carry["eta"]
-        w_t, w_v, vf = wts
+    def dragged_u(x):
+        return x * drag_u if drag_u is not None else x
 
+    def dragged_v(x):
+        return x * drag_v if drag_v is not None else x
+
+    def half_step(ubt, vbt, eta, u_leads: bool):
+        """One forward-backward substep with a STATIC update order —
+        the alternating parity is unrolled into pairs below, so there is
+        no lax.cond in the hot loop (it blocked cross-substep fusion)."""
         # 1. eta predictor (forward, with current transports)
         uhbt, vhbt = transports(ubt, vbt)
         eta_pred = eta + dtbt * div_eta(uhbt, vhbt)
         # 2. pressure force from bebt-weighted eta
         eta_w = (1.0 - bebt) * eta + bebt * eta_pred
         pfu, pfv = pf_anom(eta_w)
-
-        # 3. velocity updates, alternating which direction goes first
-        def dragged_u(x):
-            return x * drag_u if drag_u is not None else x
-
-        def dragged_v(x):
-            return x * drag_v if drag_v is not None else x
-
-        def u_first_fn(uv):
-            ubt0, vbt0 = uv
-            cor_u = _coriolis_u(f_q, vbt0) - cor_ref_u
-            ubt1 = dragged_u(ubt0 + dtbt * (bt_force_u + cor_u + pfu)) \
+        # 3. velocity updates in the prescribed order
+        if u_leads:
+            cor_u = _coriolis_u(f_q, vbt) - cor_ref_u
+            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
                 * G.mask2dCu
-            cor_v = _coriolis_v(f_q, ubt1) - cor_ref_v
-            vbt1 = dragged_v(vbt0 + dtbt * (bt_force_v + cor_v + pfv)) \
+            cor_v = _coriolis_v(f_q, ubt) - cor_ref_v
+            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
                 * G.mask2dCv
-            return ubt1, vbt1, cor_u, cor_v
-
-        def v_first_fn(uv):
-            ubt0, vbt0 = uv
-            cor_v = _coriolis_v(f_q, ubt0) - cor_ref_v
-            vbt1 = dragged_v(vbt0 + dtbt * (bt_force_v + cor_v + pfv)) \
+        else:
+            cor_v = _coriolis_v(f_q, ubt) - cor_ref_v
+            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
                 * G.mask2dCv
-            cor_u = _coriolis_u(f_q, vbt1) - cor_ref_u
-            ubt1 = dragged_u(ubt0 + dtbt * (bt_force_u + cor_u + pfu)) \
+            cor_u = _coriolis_u(f_q, vbt) - cor_ref_u
+            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
                 * G.mask2dCu
-            return ubt1, vbt1, cor_u, cor_v
-
-        ubt, vbt, cor_u, cor_v = jax.lax.cond(vf == 1, v_first_fn, u_first_fn,
-                                              (ubt, vbt))
-
         # 4. eta corrector (backward, with the new transports)
         uhbt, vhbt = transports(ubt, vbt)
         eta = eta + dtbt * div_eta(uhbt, vhbt)
+        return ubt, vbt, eta, uhbt, vhbt, cor_u + pfu, cor_v + pfv
 
-        acc = carry
-        new = dict(
-            ubt=ubt, vbt=vbt, eta=eta,
+    # substep 1 order (reference's alternating u/v-first with the
+    # FIRST_DIRECTION parity); subsequent substeps alternate.  Substep 1
+    # leads with u exactly when x_first (see _weights' parity).
+    first_u_leads = bool(x_first)
+    n_tot = nstep + nfilter
+    n_pairs = n_tot // 2
+    wt_pairs = (wt_trans[:2 * n_pairs].reshape(n_pairs, 2),
+                wt_vel[:2 * n_pairs].reshape(n_pairs, 2))
+
+    def acc_add(acc, w_t, w_v, out):
+        ubt, vbt, eta, uhbt, vhbt, uac, vac = out
+        return dict(
             uhbt_av=acc["uhbt_av"] + w_t * uhbt,
             vhbt_av=acc["vhbt_av"] + w_t * vhbt,
             ubt_av=acc["ubt_av"] + w_v * ubt,
             vbt_av=acc["vbt_av"] + w_v * vbt,
             eta_av=acc["eta_av"] + w_v * eta,
-            u_acc=acc["u_acc"] + w_t * (cor_u + pfu),
-            v_acc=acc["v_acc"] + w_t * (cor_v + pfv),
+            u_acc=acc["u_acc"] + w_t * uac,
+            v_acc=acc["v_acc"] + w_t * vac,
         )
-        return new, None
+
+    def pair(carry, wts):
+        ubt, vbt, eta, acc = carry
+        w_t, w_v = wts
+        o1 = half_step(ubt, vbt, eta, first_u_leads)
+        acc = acc_add(acc, w_t[0], w_v[0], o1)
+        o2 = half_step(o1[0], o1[1], o1[2], not first_u_leads)
+        acc = acc_add(acc, w_t[1], w_v[1], o2)
+        return (o2[0], o2[1], o2[2], acc), None
 
     z2u = jnp.zeros_like(ubt_in)
     z2v = jnp.zeros_like(vbt_in)
     z2h = jnp.zeros_like(eta_in)
-    carry0 = dict(ubt=ubt_in, vbt=vbt_in, eta=eta_in,
-                  uhbt_av=z2u, vhbt_av=z2v, ubt_av=z2u, vbt_av=z2v,
-                  eta_av=z2h, u_acc=z2u, v_acc=z2v)
-    carry, _ = jax.lax.scan(substep, carry0,
-                            (wt_trans, wt_vel, v_first))
+    acc0 = dict(uhbt_av=z2u, vhbt_av=z2v, ubt_av=z2u, vbt_av=z2v,
+                eta_av=z2h, u_acc=z2u, v_acc=z2v)
+    (ubt_f, vbt_f, eta_f, acc), _ = jax.lax.scan(
+        pair, (ubt_in, vbt_in, eta_in, acc0), wt_pairs, unroll=4)
+    if n_tot % 2 == 1:
+        # trailing odd substep outside the scan; substep n (1-indexed)
+        # leads with u iff n is odd, and n_tot is odd here
+        o = half_step(ubt_f, vbt_f, eta_f, first_u_leads)
+        acc = acc_add(acc, wt_trans[-1], wt_vel[-1], o)
+        ubt_f, vbt_f, eta_f = o[0], o[1], o[2]
+    carry = dict(acc, ubt=ubt_f, vbt=vbt_f, eta=eta_f)
 
     e_anom = dgeo * (carry["eta_av"] - eta_PF)
     # per-layer acceleration (btstep_layer_accel, MOM_barotropic.F90:3432)

@@ -29,7 +29,9 @@ def make_stepper(G, GV, params: DynParams, forces: MechForcing,
     def many_steps(state):
         def body(s, _):
             return step_dynamics_split_rk2(s, forces, G, GV, params), None
-        state, _ = jax.lax.scan(body, state, None, length=steps_per_call)
+        # modest unroll lets XLA fuse across adjacent steps (~10% on TPU)
+        state, _ = jax.lax.scan(body, state, None, length=steps_per_call,
+                                unroll=min(4, steps_per_call))
         return state
 
     return jax.jit(many_steps, donate_argnums=0)

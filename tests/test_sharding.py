@@ -40,10 +40,13 @@ def test_layout_invariance(devices8):
     mesh8 = make_mesh(devices8, shape=(2, 4))
     out1 = _run_step(mesh1)
     out8 = _run_step(mesh8)
+    # layout invariance to a few f32 ulps: with the unrolled barotropic
+    # scan, XLA's fusion (and hence rounding) can differ between the
+    # 1-device and 8-device programs by ~1 ulp in isolated elements
     np.testing.assert_allclose(np.asarray(out1.h), np.asarray(out8.h),
-                               rtol=0, atol=1e-5)
+                               rtol=1e-6, atol=0)
     np.testing.assert_allclose(np.asarray(out1.u), np.asarray(out8.u),
-                               rtol=0, atol=1e-7)
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_dryrun_multichip():
