@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from mom6_tpu.framework.stencil import ip1, jp1
 
 __all__ = ["PressureForceOut", "pressure_force_montgomery",
-           "pressure_force_fv", "find_eta"]
+           "pressure_force_fv", "pressure_force_fv_nonbous", "find_eta"]
 
 
 class PressureForceOut(NamedTuple):
@@ -197,4 +197,125 @@ def pressure_force_montgomery(h, G, GV) -> PressureForceOut:
     pbce = jnp.broadcast_to(jnp.asarray(GV.g_earth, h.dtype),
                             h.shape).astype(h.dtype)
     eta = e[0]
+    return PressureForceOut(pfu, pfv, pbce, eta)
+
+
+def _dza_column(T, S, p_t, p_b, alpha_ref, eos):
+    """Geopotential-anomaly change and its in-layer pressure integral for
+    layer-constant T/S (the PCM form of int_spec_vol_dp,
+    MOM_density_integrals.F90): 5-point Boole quadrature of
+    (alpha(T,S,p) - alpha_ref) over [p_t, p_b].
+
+    Returns (dza [m2 s-2], intp_dza [Pa m2 s-2]): dza = za(p_t) - za(p_b)
+    and intp_dza = int over the layer of (za(p) - za(p_b)) dp."""
+    dp = p_b - p_t
+    a5 = []
+    for n in range(5):
+        p_n = p_t + (n / 4.0) * dp
+        a5.append(eos.specific_volume(T, S, p_n, spv_ref=alpha_ref))
+    dza = dp * sum(w * a for w, a in zip(_BOOLE, a5))
+    # za(p) - za(p_b) at the 5 points, accumulating upward from p_b
+    za_rel = [jnp.zeros_like(dza)]        # at p_b (n = 4)
+    for n in range(3, -1, -1):
+        inc = (dp / 8.0) * (a5[n] + a5[n + 1])
+        za_rel.insert(0, za_rel[0] + inc)
+    intp = dp * sum(w * z for w, z in zip(_BOOLE, za_rel))
+    return dza, intp
+
+
+def _dza_face(T_l, S_l, T_r, S_r, pt_l, pb_l, pt_r, pb_r,
+              dza_l, dza_r, pbot_l, pbot_r, alpha_ref, eos):
+    """x-integral of the geopotential-anomaly change through a layer
+    along a face, the dual of _dpa_face: mass weighting toward the
+    thicker (in pressure) column when one side lies below the other's
+    bottom pressure (the hWght guard of int_spec_vol_dp)."""
+    eps = 1e-3          # pressure neglect [Pa]
+    hL = (pb_l - pt_l) + eps
+    hR = (pb_r - pt_r) + eps
+    hwght = jnp.maximum(0.0, jnp.maximum(pb_r - pbot_l, pb_l - pbot_r))
+    hwght = hwght * ((hL - hR) / (hL + hR)) ** 2
+    iden = 1.0 / (hwght * (hR + hL) + hL * hR)
+    hwt_ll = (hwght * hL + hR * hL) * iden
+    hwt_lr = (hwght * hR) * iden
+    hwt_rr = (hwght * hR + hR * hL) * iden
+    hwt_rl = (hwght * hL) * iden
+
+    total = _BOOLE[0] * dza_l + _BOOLE[4] * dza_r
+    for m in (1, 2, 3):
+        w = m / 4.0
+        wt_l, wt_r = 1.0 - w, w
+        wtt_l = wt_l * hwt_ll + wt_r * hwt_rl
+        wtt_r = wt_l * hwt_lr + wt_r * hwt_rr
+        T_m = wtt_l * T_l + wtt_r * T_r
+        S_m = wtt_l * S_l + wtt_r * S_r
+        pt_m = wt_l * pt_l + wt_r * pt_r
+        pb_m = wt_l * pb_l + wt_r * pb_r
+        dza_m, _ = _dza_column(T_m, S_m, pt_m, pb_m, alpha_ref, eos)
+        total = total + _BOOLE[m] * dza_m
+    return total
+
+
+def pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos,
+                              p_surf=None) -> PressureForceOut:
+    """Non-Boussinesq finite-volume pressure gradient — the dual of
+    ``pressure_force_fv`` with the roles of height/density played by
+    pressure/specific-volume (reference: PressureForce_FV_nonBouss,
+    src/core/MOM_PressureForce_FV.F90:120; spec-vol integrals from
+    MOM_density_integrals.F90 int_spec_vol_dp).
+
+    ``h_mass``: layer mass thickness [kg m-2].  Per layer k at a u face:
+
+      PFu = [ (za_b dp + intp_dza)_i - (za_b dp + intp_dza)_{i+1}
+              + (dp_{i+1} - dp_i) intx_za(K+1)
+              - (p_{i+1,K+1} - p_{i,K+1}) intx_dza(k) ]
+            * 2 / (dx (dp_i + dp_{i+1}))
+
+    where za = Phi + alpha_ref p is the geopotential anomaly (constant at
+    rest), dp = g h_mass, and the za accumulation starts at the SEA FLOOR
+    (za_bot = -g bathy + alpha_ref p_bot).  Exact for a resting
+    stratified state over arbitrary topography up to quadrature error."""
+    g = GV.g_earth
+    alpha_ref = 1.0 / GV.rho0
+    dp = g * h_mass                                     # (nz, ny, nx) [Pa]
+    p_top = jnp.zeros_like(dp[:1]) if p_surf is None else p_surf[None]
+    p = jnp.concatenate([p_top, p_top + jnp.cumsum(dp, axis=0)], axis=0)
+    p_t, p_b = p[:-1], p[1:]
+
+    dza, intp_dza = _dza_column(T, S, p_t, p_b, alpha_ref, eos)
+
+    # za at interfaces, accumulated upward from the bottom
+    za_bot = -g * G.bathyT + alpha_ref * p[-1]
+    za = jnp.concatenate(
+        [za_bot[None] + (jnp.cumsum(dza[::-1], axis=0))[::-1],
+         za_bot[None]], axis=0)                          # (nz+1, ny, nx)
+
+    def pf_dir(roll_fn, idx_metric, mask_face):
+        T_r, S_r = roll_fn(T), roll_fn(S)
+        pt_r, pb_r = roll_fn(p_t), roll_fn(p_b)
+        intx_dza = _dza_face(T, S, T_r, S_r, p_t, p_b, pt_r, pb_r,
+                             dza, roll_fn(dza),
+                             p[-1][None], roll_fn(p[-1])[None],
+                             alpha_ref, eos)
+        # x-integral of za along interfaces, accumulated from the bottom
+        intx_za_bot = 0.5 * (za[-1] + roll_fn(za[-1]))
+        intx_za = jnp.concatenate(
+            [intx_za_bot[None]
+             + jnp.cumsum(intx_dza[::-1], axis=0)[::-1],
+             intx_za_bot[None]], axis=0)
+        dp_r = roll_fn(dp)
+        pf = (((za[1:] * dp + intp_dza)
+               - (roll_fn(za[1:]) * dp_r + roll_fn(intp_dza)))
+              + ((dp_r - dp) * intx_za[1:]
+                 - (roll_fn(p_b) - p_b) * intx_dza)) \
+            * (2.0 * idx_metric) / ((dp + dp_r) + 1e-3)
+        pmin = jnp.minimum(dp, dp_r)
+        ramp = pmin / (pmin + 10.0)          # ~1e-3 m-equivalent floor
+        return pf * ramp * mask_face
+
+    pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)
+    pfv = pf_dir(jp1, G.IdyCv, G.mask2dCv)
+
+    pbce = jnp.broadcast_to(jnp.asarray(g, h_mass.dtype),
+                            h_mass.shape).astype(h_mass.dtype)
+    eta = za[0] / g                     # surface geopotential height [m]
     return PressureForceOut(pfu, pfv, pbce, eta)

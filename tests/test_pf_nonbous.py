@@ -1,0 +1,110 @@
+"""Non-Boussinesq FV pressure force tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mom6_tpu.core.pressure_force import (pressure_force_fv,
+                                          pressure_force_fv_nonbous)
+from mom6_tpu.eos import get_eos
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.grid.vertical import build_layered_vgrid
+
+NZ, NY, NX = 8, 6, 12
+DEPTH = 2000.0
+
+
+def _setup(topo=False):
+    depth = None
+    if topo:
+        x = np.arange(NX)
+        d = DEPTH - 800.0 * np.exp(-((x - NX / 2.0) ** 2) / 4.0)
+        depth = np.broadcast_to(d, (NY, NX)).copy()
+    G = build_cartesian_grid(NX, NY, 120.0, 60.0, max_depth=DEPTH,
+                             depth=depth)
+    GV = build_layered_vgrid(NZ)
+    return G, GV
+
+
+def _resting_state(G, GV, eos_name="WRIGHT"):
+    """Flat-z interfaces clipped to topography, stratified T(z)."""
+    eos = get_eos(eos_name)
+    e_nom = np.linspace(0.0, DEPTH, NZ + 1)
+    bathy = np.asarray(G.bathyT)
+    e = np.minimum(e_nom[:, None, None], bathy[None])
+    h = np.maximum(e[1:] - e[:-1], 1e-3).astype(np.float32)
+    z_c = 0.5 * (e[1:] + e[:-1])
+    T = (15.0 - 10.0 * z_c / DEPTH).astype(np.float32)
+    S = np.full_like(T, 35.0)
+    return jnp.asarray(h), jnp.asarray(T), jnp.asarray(S), eos
+
+
+def test_resting_state_over_topography_is_quiet():
+    """A resting stratified non-Boussinesq column over a seamount feels
+    (almost) no pressure force — the FV telescoping gate."""
+    G, GV = _setup(topo=True)
+    h, T, S, eos = _resting_state(G, GV)
+    # a resting non-Boussinesq layer's mass uses the IN-SITU density at
+    # its own pressure: fixed-point the hydrostatic relation
+    rho = eos.density(T, S, jnp.zeros_like(T))
+    for _ in range(6):
+        dp = GV.g_earth * h * rho
+        p_int = jnp.concatenate([jnp.zeros_like(dp[:1]),
+                                 jnp.cumsum(dp, axis=0)], axis=0)
+        p_mid = 0.5 * (p_int[:-1] + p_int[1:])
+        rho = eos.density(T, S, p_mid)
+    h_mass = h * rho
+    pf = pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos)
+    # scale: a 1 m/s flow spins up from ~1e-4 m/s2 in hours; demand the
+    # residual acceleration is tiny compared to g*d(eta)~anything real
+    assert np.abs(np.asarray(pf.PFu)).max() < 5e-4
+    assert np.abs(np.asarray(pf.PFv)).max() < 5e-4
+    assert np.isfinite(np.asarray(pf.PFu)).all()
+
+
+def test_matches_boussinesq_in_weak_compressibility():
+    """For h_mass = rho0 h with a LINEAR EOS, the non-Boussinesq PF
+    agrees with the Boussinesq PF to O(drho/rho0)."""
+    G, GV = _setup(topo=False)
+    eos = get_eos("LINEAR")
+    h = jnp.full((NZ, NY, NX), DEPTH / NZ, jnp.float32)
+    # an eta bump: thicken the top layer
+    bump = 0.5 * np.exp(-((np.arange(NX) - NX / 2.0) ** 2) / 4.0)
+    h = h.at[0].add(jnp.asarray(np.broadcast_to(bump, (NY, NX)),
+                                jnp.float32))
+    z = jnp.cumsum(h, axis=0) - 0.5 * h
+    T = (15.0 - 8.0 * z / DEPTH).astype(jnp.float32)
+    S = jnp.full_like(T, 35.0)
+    pf_b = pressure_force_fv(h, T, S, G, GV, eos)
+    h_mass = h * GV.rho0
+    pf_n = pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos)
+    a = np.asarray(pf_b.PFu)
+    b = np.asarray(pf_n.PFu)
+    scale = np.abs(a).max()
+    assert scale > 1e-4                      # the bump drives a real PF
+    assert np.abs(a - b).max() < 0.05 * scale, np.abs(a - b).max()
+
+
+def test_eta_bump_accelerates_away():
+    """Surface bump: depth-mean PFu points away from the bump with
+    magnitude ~ g d(eta)/dx."""
+    G, GV = _setup(topo=False)
+    eos = get_eos("WRIGHT")
+    h = jnp.full((NZ, NY, NX), DEPTH / NZ, jnp.float32)
+    bump = 1.0 * np.exp(-((np.arange(NX) - NX / 2.0) ** 2) / 4.0)
+    h = h.at[0].add(jnp.asarray(np.broadcast_to(bump, (NY, NX)),
+                                jnp.float32))
+    z = jnp.cumsum(h, axis=0) - 0.5 * h
+    T = jnp.full((NZ, NY, NX), 10.0, jnp.float32)
+    S = jnp.full_like(T, 35.0)
+    rho = np.asarray(eos.density(T, S, jnp.zeros_like(T)))
+    h_mass = h * jnp.asarray(rho)
+    pf = pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos)
+    pfu = np.asarray(pf.PFu).mean(axis=0)[NY // 2]
+    deta_dx = np.gradient(bump, 10e3)
+    want = -9.8 * deta_dx
+    # compare at the flanks (interior u faces)
+    j = NX // 2 + 2
+    assert np.sign(pfu[j]) == np.sign(want[j])
+    assert abs(pfu[j]) > 0.3 * abs(want[j])
+    assert abs(pfu[j]) < 3.0 * abs(want[j])
