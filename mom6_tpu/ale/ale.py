@@ -15,8 +15,9 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from mom6_tpu.ale.regridding import (AdaptParams, build_adaptive_grid,
-                                     build_hycom1_grid, build_rho_grid,
-                                     build_sigma_grid, build_zstar_grid)
+                                     build_hybgen_grid, build_hycom1_grid,
+                                     build_rho_grid, build_sigma_grid,
+                                     build_zstar_grid)
 from mom6_tpu.ale.remapping import PPM_H4, remap_column
 from mom6_tpu.framework.stencil import ip1, jp1
 
@@ -28,6 +29,7 @@ SIGMA = "SIGMA"
 RHO = "RHO"
 HYCOM1 = "HYCOM1"
 ADAPTIVE = "ADAPTIVE"
+HYBGEN = "HYBGEN"
 
 
 class ALEParams(NamedTuple):
@@ -45,6 +47,8 @@ class ALEParams(NamedTuple):
     adapt_alpha: float = 1.0
     adapt_drho0: float = 0.5
     adapt_do_min: bool = False
+    # HYBGEN-mode relaxation fraction (1 / HYBGEN_RELAX_PERIOD)
+    hybgen_qrlx: float = 0.25
 
 
 def ale_regrid_remap(state, G, GV, p: ALEParams,
@@ -71,6 +75,14 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
                                   get_eos(p.eos_name),
                                   jnp.asarray(p.rho_targets, h.dtype),
                                   jnp.asarray(p.dz_nominal, h.dtype),
+                                  min_thickness=p.min_thickness)
+    elif p.mode == HYBGEN:
+        from mom6_tpu.eos import get_eos
+        h_new = build_hybgen_grid(h, state.T, state.S, GV,
+                                  get_eos(p.eos_name),
+                                  jnp.asarray(p.rho_targets, h.dtype),
+                                  jnp.asarray(p.dz_nominal, h.dtype),
+                                  qhybrlx=p.hybgen_qrlx,
                                   min_thickness=p.min_thickness)
     elif p.mode == ADAPTIVE:
         from mom6_tpu.eos import get_eos

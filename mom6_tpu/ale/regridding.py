@@ -14,6 +14,9 @@ Implemented modes:
                least a nominal z* grid (coord_hycom.F90:build_hycom1_column);
 * ``ADAPTIVE`` — interfaces relax toward neutral-density flatness with a
                smoothing grid diffusion (coord_adapt.F90:build_adapt_column);
+* ``HYBGEN`` — HYCOM's hybrid generator: relax toward isopycnal targets
+               at rate qhybrlx with a minimum z-spacing profile
+               (MOM_hybgen_regrid.F90);
 * ``LAYER``  — no regridding (pure layered mode).
 
 All modes return new thicknesses h_new with the same column sums as the
@@ -27,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["build_zstar_grid", "build_sigma_grid", "build_rho_grid",
-           "build_hycom1_grid", "build_adaptive_grid", "AdaptParams",
-           "uniform_dz_profile"]
+           "build_hycom1_grid", "build_adaptive_grid", "build_hybgen_grid",
+           "AdaptParams", "uniform_dz_profile"]
 
 
 def uniform_dz_profile(nz: int, max_depth: float) -> np.ndarray:
@@ -246,6 +249,41 @@ def build_adaptive_grid(h, T, S, G, GV, eos, p: AdaptParams = None, *,
             col / jnp.maximum(jnp.sum(dz), 1e-30))[None]
         z_int = jnp.maximum(z_int, z_nom)
 
+    z_int = jnp.clip(z_int, 0.0, col[None])
+    z_int = jax.lax.cummax(z_int, axis=0)
+    z_full = jnp.concatenate([jnp.zeros_like(col[None]), z_int,
+                              col[None]], axis=0)
+    h_new = jnp.maximum(z_full[1:] - z_full[:-1], min_thickness)
+    scale = col / jnp.maximum(jnp.sum(h_new, axis=0), 1e-30)
+    return h_new * scale[None]
+
+
+def build_hybgen_grid(h, T, S, GV, eos, rho_targets, dz_min_profile, *,
+                      qhybrlx: float = 0.25, min_thickness: float = 1e-10,
+                      p_ref: float = 2e7):
+    """HYBGEN hybrid-coordinate generator (HYCOM's hybgen; reference:
+    src/ALE/MOM_hybgen_regrid.F90 — the HYBGEN_RELAX_PERIOD / qhybrlx
+    relaxation :175-180 and the dp0k minimum z-layer profile :133).
+
+    Unlike HYCOM1 (which jumps straight to the isopycnal-target
+    positions), hybgen RELAXES each interface a fraction ``qhybrlx`` of
+    the way toward its isopycnal position per regrid call, then enforces
+    the minimum z-spacing profile ``dz_min_profile`` downward from the
+    surface.  This keeps regridding from shocking the state when the
+    coordinate and the stratification disagree."""
+    import jax
+
+    dz0 = jnp.asarray(dz_min_profile, h.dtype)
+    col = jnp.sum(h, axis=0)
+    z_old = jnp.cumsum(h, axis=0)                 # interfaces 1..nz
+    h_rho = build_rho_grid(h, T, S, GV, eos, rho_targets,
+                           min_thickness=min_thickness, p_ref=p_ref)
+    z_rho = jnp.cumsum(h_rho, axis=0)
+    # relax interior interfaces toward the isopycnal target
+    z_int = z_old[:-1] + qhybrlx * (z_rho[:-1] - z_old[:-1])
+    # enforce the minimum z-layer profile cumulatively from the surface
+    zmin = jnp.cumsum(dz0)[:-1, None, None]
+    z_int = jnp.maximum(z_int, jnp.minimum(zmin, col[None]))
     z_int = jnp.clip(z_int, 0.0, col[None])
     z_int = jax.lax.cummax(z_int, axis=0)
     z_full = jnp.concatenate([jnp.zeros_like(col[None]), z_int,

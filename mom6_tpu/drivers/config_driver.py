@@ -257,6 +257,15 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                default=list(np.asarray(gv.Rlay)), module=m)
             ale = ALEParams(mode=HYCOM1, rho_targets=tuple(rlay),
                             dz_nominal=tuple(dz), eos_name=eos_name)
+        elif mode == "HYBGEN":
+            from mom6_tpu.ale.ale import HYBGEN
+            rlay = pf.get_list("ALE_RHO_TARGETS",
+                               default=list(np.asarray(gv.Rlay)), module=m)
+            rlx = pf.get("HYBGEN_RELAX_PERIOD", float, default=4.0,
+                         module=m)
+            ale = ALEParams(mode=HYBGEN, rho_targets=tuple(rlay),
+                            dz_nominal=tuple(dz), eos_name=eos_name,
+                            hybgen_qrlx=1.0 / max(rlx, 1.0))
         elif mode == "ADAPTIVE":
             from mom6_tpu.ale.ale import ADAPTIVE
             ale = ALEParams(

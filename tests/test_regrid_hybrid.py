@@ -158,3 +158,44 @@ REGRIDDING_COORDINATE_MODE = HYCOM1
     out = step(ms.state)
     assert np.all(np.isfinite(np.asarray(out.h)))
     assert np.all(np.asarray(out.h) > 0)
+
+
+def test_hybgen_relaxes_toward_isopycnal(setup):
+    """HYBGEN moves a fraction qhybrlx of the way toward the RHO-mode
+    interfaces per call and converges to them under iteration (where the
+    minimum-z profile doesn't bind)."""
+    from mom6_tpu.ale.regridding import build_hybgen_grid
+    G, GV, h, T, S, eos = setup
+    rho_t = np.asarray(GV.Rlay)
+    dz0 = np.full(NZ, 1.0)                 # tiny floor: isopycnal wins
+    h_rho = build_rho_grid(h, T, S, GV, eos, rho_t)
+    z_rho = np.asarray(jnp.cumsum(h_rho, axis=0))
+    h1 = build_hybgen_grid(h, T, S, GV, eos, rho_t, dz0, qhybrlx=0.5)
+    z0 = np.asarray(jnp.cumsum(h, axis=0))
+    z1 = np.asarray(jnp.cumsum(h1, axis=0))
+    # half-way move on interior interfaces with real targets
+    mid = NZ // 2
+    expect = z0[mid] + 0.5 * (z_rho[mid] - z0[mid])
+    np.testing.assert_allclose(z1[mid], expect, atol=2.0)
+    # iterate to convergence
+    hk = h
+    for _ in range(20):
+        hk = build_hybgen_grid(hk, T, S, GV, eos, rho_t, dz0, qhybrlx=0.5)
+    zk = np.asarray(jnp.cumsum(hk, axis=0))
+    # T/S are on the ORIGINAL grid here, so the fixed point tracks the
+    # rho positions computed from (h, T, S)... verify column sums and
+    # monotonicity instead of exact equality
+    assert np.allclose(zk[-1], z0[-1], rtol=1e-5)
+    assert np.all(np.diff(zk, axis=0) > -1e-3)
+
+
+def test_hybgen_min_dz_profile_binds(setup):
+    """A thick minimum-dz profile forces z-like layers near the surface."""
+    from mom6_tpu.ale.regridding import build_hybgen_grid
+    G, GV, h, T, S, eos = setup
+    rho_t = np.asarray(GV.Rlay)
+    dz0 = np.full(NZ, DEPTH / NZ)          # full-depth z profile
+    h1 = np.asarray(build_hybgen_grid(h, T, S, GV, eos, rho_t, dz0,
+                                      qhybrlx=1.0))
+    # every layer at least its dz0 (where the column allows)
+    assert h1[0].min() >= DEPTH / NZ - 1.0
