@@ -75,10 +75,21 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
     reentrant_y = pf.get("REENTRANT_Y", bool, default=False, module=m)
-    G = build_cartesian_grid(nx, ny, lenlon, lenlat, depth=depth,
-                             max_depth=max_depth, min_depth=min_depth,
-                             f0=f0, beta=beta, cyclic_x=cyclic_x,
-                             reentrant_y=reentrant_y, dtype=dtype)
+    if grid_config == "spherical":
+        from mom6_tpu.grid.grid import build_spherical_grid
+        west = pf.get("WESTLON", float, default=0.0, units="degrees",
+                      module=m)
+        south = pf.get("SOUTHLAT", float, default=-40.0, units="degrees",
+                       module=m)
+        G = build_spherical_grid(nx, ny, west, south, lenlon, lenlat,
+                                 depth=depth, max_depth=max_depth,
+                                 min_depth=min_depth, cyclic_x=cyclic_x,
+                                 dtype=dtype)
+    else:
+        G = build_cartesian_grid(nx, ny, lenlon, lenlat, depth=depth,
+                                 max_depth=max_depth, min_depth=min_depth,
+                                 f0=f0, beta=beta, cyclic_x=cyclic_x,
+                                 reentrant_y=reentrant_y, dtype=dtype)
     return G, max_depth
 
 
