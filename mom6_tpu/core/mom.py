@@ -52,6 +52,7 @@ class MOMParams(NamedTuple):
     int_tides: Optional["InternalTidesParams"] = None  # low-mode propagation
     khtr: float = 0.0          # epineutral/horizontal tracer diff [m2 s-1]
     neutral_diffusion: bool = False   # rotate KHTR along neutral surfaces
+    khtr_bl: float = 0.0       # along-boundary-layer diffusivity [m2 s-1]
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
 
@@ -150,6 +151,16 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         else:
             from mom6_tpu.tracers.hor_diff import tracer_hordiff
             tr = tracer_hordiff(tr, state.h, p.khtr, dt_trd, G)
+        state = state.replace(T=tr[0], S=tr[1])
+
+    if p.khtr_bl > 0.0:
+        # along-boundary-layer lateral mixing (MOM_hor_bnd_diffusion)
+        from mom6_tpu.diagnostics.mld import diagnose_mld
+        from mom6_tpu.tracers.hor_bnd_diffusion import hor_bnd_diffusion
+        dt_trd = p.dyn.dt * p.n_dyn_per_thermo
+        bld = diagnose_mld(state.h, state.T, state.S, G, GV, eos)
+        tr = jnp.stack([state.T, state.S])
+        tr = hor_bnd_diffusion(tr, state.h, bld, p.khtr_bl, dt_trd, G)
         state = state.replace(T=tr[0], S=tr[1])
 
     # --- column physics (step_MOM_thermo -> diabatic) ---------------------

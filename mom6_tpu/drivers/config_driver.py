@@ -187,6 +187,10 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     khtr = pf.get("KHTR", float, default=0.0, units="m2 s-1", module=m)
     use_ndiff = pf.get("USE_NEUTRAL_DIFFUSION", bool, default=False,
                        module=m)
+    khtr_bl = (pf.get("LBD_KHTR", float, default=khtr, units="m2 s-1",
+                      module=m)
+               if pf.get("USE_HORIZONTAL_BOUNDARY_DIFFUSION", bool,
+                         default=False, module=m) else 0.0)
 
     m = "MOM_tidal_mixing"
     tidal = None
@@ -340,6 +344,7 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
                        obc=obc, int_tides=int_tides,
                        khtr=khtr, neutral_diffusion=use_ndiff,
+                       khtr_bl=khtr_bl,
                        n_dyn_per_thermo=n_dyn_per_thermo)
 
     # -- initial state ----------------------------------------------------
