@@ -447,3 +447,31 @@ def test_all_eos_finite_in_f32_at_depth():
         assert np.isfinite(np.asarray(dT)).all(), name
         assert np.isfinite(np.asarray(dS)).all(), name
         assert (rho > 990).all() and (rho < 1110).all(), (name, rho)
+
+
+class TestStreamingFilter:
+    def test_extracts_target_frequency(self):
+        """A two-tone signal: the filter's narrow-band output converges to
+        the target-frequency component and rejects the other tone."""
+        import jax
+        from mom6_tpu.diagnostics.streaming_filter import (filt_accum,
+                                                           init_filter)
+        w_m2 = 1.4052e-4
+        w_k1 = 0.7292e-4
+        dt = 600.0
+        st = init_filter([w_m2], (1,), alpha=0.03)
+
+        def step(st, n):
+            t = n * dt
+            sig = (1.5 * jnp.cos(w_m2 * t + 0.3)
+                   + 0.8 * jnp.cos(w_k1 * t)) * jnp.ones((1,))
+            st = filt_accum(st, sig, dt)
+            return st, (st.u1[0, 0], 1.5 * jnp.cos(w_m2 * t + 0.3))
+
+        n = jnp.arange(1, 40000)
+        st, (got, want) = jax.lax.scan(step, st, n)
+        # after spin-up the filter tracks the M2 component
+        err = np.abs(np.asarray(got[-3000:]) - np.asarray(want[-3000:]))
+        assert err.max() < 0.35, err.max()      # K1 amplitude is 0.8
+        amp = np.abs(np.asarray(got[-3000:])).max()
+        assert 1.2 < amp < 1.8, amp

@@ -75,3 +75,46 @@ def test_lbd_zero_kh_identity(setup):
     tr = jnp.stack([jnp.ones((NZ, NY, NX), jnp.float32) * 3.0])
     out = hor_bnd_diffusion(tr, h, bld, 0.0, 3600.0, G)
     np.testing.assert_allclose(np.asarray(out), np.asarray(tr))
+
+
+def test_regularize_layers_smooths_and_conserves(setup):
+    from mom6_tpu.physics.vertical.regularize_layers import \
+        regularize_layers
+    G, h0 = setup
+    # one column with a much deeper interface 3 (jagged surface layer)
+    h = np.asarray(h0).copy()
+    h[0, 3, 5] += 120.0
+    h[1, 3, 5] = np.maximum(h[1, 3, 5] - 120.0, 1.0)
+    h = jnp.asarray(h)
+    z = jnp.cumsum(h, axis=0) - 0.5 * h
+    T = (15.0 - 10.0 * z / DEPTH).astype(jnp.float32)
+    S = jnp.full_like(T, 35.0)
+    h1, T1, S1 = regularize_layers(h, T, S, G)
+    # interface 1 at the jagged column moved back toward the neighbors
+    z0 = float(jnp.cumsum(h, axis=0)[0, 3, 5])
+    z1 = float(jnp.cumsum(h1, axis=0)[0, 3, 5])
+    assert z1 < z0
+    # conservation of volume, heat and salt per column
+    np.testing.assert_allclose(np.asarray(jnp.sum(h1, 0)),
+                               np.asarray(jnp.sum(h, 0)), rtol=1e-6)
+    q0 = float(jnp.sum(h * T)); q1 = float(jnp.sum(h1 * T1))
+    assert abs(q1 - q0) / abs(q0) < 1e-5
+    assert np.all(np.asarray(h1) > 0)
+
+
+def test_diapyc_energy_req_positive_and_scales(setup):
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+    from mom6_tpu.eos import get_eos
+    from mom6_tpu.physics.vertical.regularize_layers import \
+        diapyc_energy_req
+    G, h = setup
+    GV = build_layered_vgrid(NZ)
+    z = jnp.cumsum(h, axis=0) - 0.5 * h
+    T = (15.0 - 10.0 * z / DEPTH).astype(jnp.float32)
+    S = jnp.full_like(T, 35.0)
+    eos = get_eos("LINEAR")
+    kd = jnp.full((NZ + 1, NY, NX), 1e-4, jnp.float32)
+    e1 = np.asarray(diapyc_energy_req(h, T, S, kd, G, GV, eos))
+    e2 = np.asarray(diapyc_energy_req(h, T, S, 2 * kd, G, GV, eos))
+    assert (e1 > 0).all()
+    np.testing.assert_allclose(e2, 2 * e1, rtol=1e-5)
