@@ -141,6 +141,13 @@ def main(argv=None):
             if val is not None:
                 f.write(chksum_line(name, jax.device_get(val)) + "\n")
     sypd = (n_cycles * dt_cycle / max(elapsed, 1e-9)) / 365.0
+    # ocean.cputime log (MOM_write_cputime role): cumulative cpu/wall
+    # seconds per model day for perf monitoring across segments
+    import resource
+    cpu = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+    with open(os.path.join(args.rundir, "ocean.cputime"), "a") as f:
+        f.write(f"{days:12.4f} days  wall {elapsed:10.2f} s  "
+                f"cpu {cpu:10.2f} s  SYPD {sypd:8.2f}\n")
     print(f"run complete: {days} days in {elapsed:.1f}s ({sypd:.1f} SYPD)")
     unused = pf.unused_params()
     if unused:

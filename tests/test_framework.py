@@ -169,3 +169,38 @@ class TestPallasTridiag:
         x_opt = tridiag_solve_opt(a, b, c, d)
         np.testing.assert_allclose(np.asarray(x_opt), np.asarray(x_ref),
                                    atol=1e-6)
+
+
+class TestDataOverride:
+    def _field(self, periodic=False):
+        from mom6_tpu.framework.data_override import TimeSeriesField
+        times = np.array([0.0, 10.0, 20.0])
+        data = np.stack([np.full((4, 5), v) for v in (1.0, 3.0, 5.0)])
+        return TimeSeriesField(times, data, periodic=periodic)
+
+    def test_linear_time_interp(self):
+        f = self._field()
+        np.testing.assert_allclose(f.at_time(5.0), 2.0)
+        np.testing.assert_allclose(f.at_time(0.0), 1.0)
+        np.testing.assert_allclose(f.at_time(25.0), 5.0)   # clamped
+
+    def test_periodic_climatology(self):
+        f = self._field(periodic=True)
+        # period = 30; t=25 is midway between rec 2 (t=20) and rec 0 (t=30)
+        np.testing.assert_allclose(f.at_time(25.0), 3.0)
+        np.testing.assert_allclose(f.at_time(35.0), 2.0)   # == t=5
+
+    def test_bilinear_regrid_exact_for_linear(self):
+        from mom6_tpu.framework.data_override import (TimeSeriesField,
+                                                      build_bilinear_map,
+                                                      data_override)
+        src_lon = np.linspace(0.0, 10.0, 11)
+        src_lat = np.linspace(0.0, 8.0, 9)
+        plane = (2.0 * src_lon[None, :] - 0.5 * src_lat[:, None] + 1.0)
+        f = TimeSeriesField(np.array([0.0]), plane[None])
+        dst_lon = np.random.RandomState(0).uniform(0.5, 9.5, (3, 4))
+        dst_lat = np.random.RandomState(1).uniform(0.5, 7.5, (3, 4))
+        m = build_bilinear_map(src_lon, src_lat, dst_lon, dst_lat)
+        got = np.asarray(data_override(f, 0.0, bmap=m))
+        want = 2.0 * dst_lon - 0.5 * dst_lat + 1.0
+        np.testing.assert_allclose(got, want, rtol=1e-6)
