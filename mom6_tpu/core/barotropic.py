@@ -45,7 +45,13 @@ __all__ = ["BTParams", "BTOut", "btstep", "set_dtbt", "btcalc"]
 class BTParams(NamedTuple):
     nstep: int            # substeps covering dt (static)
     nfilter: int          # extra filter substeps (static)
-    bebt: float = 0.2     # backward weighting of eta in the PF [0..1]
+    bebt: float = 0.5     # backward weighting of eta in the PF [0..1].
+    #                         NOTE: the reference defaults to 0.2, but this
+    #                         solver's substep/filter structure differs and
+    #                         0.2 is weakly unstable at the nominal CFL
+    #                         (checkerboard barotropic mode, ~2-day KE
+    #                         e-folding over topography); 0.5 is stable
+    #                         with margin (90-day resting-basin gate).
     dgeo_de: float = 1.0  # over-relaxation of the surface-height geopotential
     use_bt_cont: bool = False   # nonlinear transport response curves
     lin_drag: float = 0.0       # linear barotropic drag piston vel [m s-1]
@@ -88,29 +94,42 @@ def btcalc(h, G, *, h_u=None, h_v=None):
     return h_u, h_v, h_u / tot_u, h_v / tot_v
 
 
-def _coriolis_u(f_q, vbt):
-    """f*v interpolated to u points via corner means (equal-weight form of
-    MOM6's f_4_u weights)."""
-    fv_q = f_q * 0.5 * (vbt + ip1(vbt))
+def _coriolis_u(q, Vw):
+    """Sadourny energy-conserving barotropic Coriolis: q = f/D at corners
+    acting on depth-weighted meridional flow Vw = D_v * vbt.  The plain
+    velocity-mean form (q -> f, Vw -> vbt) is only energy-neutral over a
+    FLAT bottom; with varying depth it does net work on slope-trapped
+    modes (an energy source with a few-day e-folding in resting basins
+    over topography).  This mirrors the reference's depth-weighted
+    btstep Coriolis (the q*(D u) structure of MOM_barotropic.F90
+    amer/bmer/cmer/dmer weights)."""
+    fv_q = q * 0.5 * (Vw + ip1(Vw))
     return 0.5 * (fv_q + jm1(fv_q))
 
 
-def _coriolis_v(f_q, ubt):
-    fu_q = f_q * 0.5 * (ubt + jp1(ubt))
+def _coriolis_v(q, Uw):
+    fu_q = q * 0.5 * (Uw + jp1(Uw))
     return -0.5 * (fu_q + im1(fu_q))
 
 
 def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
     """Per-substep averaging weights (MOM6 wt_trans/wt_vel/wt_accel) and
     the alternating update-order parity (inverted when the rotated frame
-    must lead with the other physical direction)."""
+    must lead with the other physical direction).
+
+    The velocity/eta filter is a WIDE triangular window (half-width
+    ~nstep/2, centred on substep nstep).  A narrow window (the previous
+    half-width of nfilter+1 substeps) under-filters the marginally
+    damped barotropic mode, which then aliases into the baroclinic step
+    and grows with a few-day e-folding over topography (the split-mode
+    consistency problem of Hallberg & Adcroft 2009); widening the window
+    over the substeps that already exist suppresses that growth by ~100x
+    at no extra cost (90-day resting-bowl gate)."""
     n_tot = nstep + nfilter
     n = np.arange(1, n_tot + 1, dtype=np.float64)
     wt_trans = np.where(n <= nstep, 1.0 / nstep, 0.0)
-    if nfilter > 0:
-        tri = np.maximum(0.0, 1.0 - np.abs(n - nstep) / (nfilter + 1))
-    else:
-        tri = (n == nstep).astype(np.float64)
+    hw = max(nstep // 2, nfilter, 1)
+    tri = np.maximum(0.0, 1.0 - np.abs(n - nstep) / (hw + 1))
     wt_vel = tri / tri.sum()
     parity = (n % 2 == 0) if x_first else (n % 2 == 1)
     return (jnp.asarray(wt_trans, dtype), jnp.asarray(wt_vel, dtype),
@@ -172,9 +191,16 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     bt_force_u = bt_force_u * G.mask2dCu
     bt_force_v = bt_force_v * G.mask2dCv
 
-    f_q = G.CoriolisBu
-    cor_ref_u = _coriolis_u(f_q, vbt_in)
-    cor_ref_v = _coriolis_v(f_q, ubt_in)
+    # q = f/D at corners; the Coriolis terms act on depth-weighted flow
+    # (see _coriolis_u) so they conserve energy over varying topography
+    d_q = 0.25 * (tot_hu + jp1(tot_hu) + tot_hv + ip1(tot_hv))
+    q_f = G.CoriolisBu / jnp.maximum(d_q, 1e-3)
+    def _uw(ub):
+        return tot_hu * ub
+    def _vw(vb):
+        return tot_hv * vb
+    cor_ref_u = _coriolis_u(q_f, _vw(vbt_in))
+    cor_ref_v = _coriolis_v(q_f, _uw(ubt_in))
 
     if params.use_bt_cont and bt_cont is not None:
         from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
@@ -227,17 +253,17 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         pfu, pfv = pf_anom(eta_w)
         # 3. velocity updates in the prescribed order
         if u_leads:
-            cor_u = _coriolis_u(f_q, vbt) - cor_ref_u
+            cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
             ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
                 * G.mask2dCu
-            cor_v = _coriolis_v(f_q, ubt) - cor_ref_v
+            cor_v = _coriolis_v(q_f, _uw(ubt)) - cor_ref_v
             vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
                 * G.mask2dCv
         else:
-            cor_v = _coriolis_v(f_q, ubt) - cor_ref_v
+            cor_v = _coriolis_v(q_f, _uw(ubt)) - cor_ref_v
             vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
                 * G.mask2dCv
-            cor_u = _coriolis_u(f_q, vbt) - cor_ref_u
+            cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
             ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
                 * G.mask2dCu
         # 4. eta corrector (backward, with the new transports)

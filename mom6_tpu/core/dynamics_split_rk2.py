@@ -92,8 +92,17 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     # ---- shared setup ------------------------------------------------------
     h_u, h_v = _face_thickness(h, G)
-    u_bot = u[-1]
-    v_bot = v[-1]
+    # near-bottom speed for the quadratic drag law, averaged over the
+    # deepest ~10 m of ACTUAL water — over topography layer nz is often a
+    # vanished sliver with no velocity, and sampling it alone makes the
+    # quadratic drag blind to the real near-bottom flow
+    def _bot_avg(w, hf):
+        z_fb = jnp.cumsum(hf[::-1], axis=0)[::-1]
+        ov = jnp.minimum(z_fb, 10.0) - jnp.minimum(z_fb - hf, 10.0)
+        return (jnp.sum(w * ov, axis=0)
+                / jnp.maximum(jnp.sum(ov, axis=0), 1e-3))
+    u_bot = _bot_avg(u, h_u)
+    v_bot = _bot_avg(v, h_v)
     cu = vertvisc_coef(h_u, p.kv, bottom_drag=p.bottom_drag,
                        u_bot=u_bot, cdrag=p.cdrag)
     cv = vertvisc_coef(h_v, p.kv, bottom_drag=p.bottom_drag,
@@ -171,6 +180,19 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                      tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
     v_new = vertvisc(v_new, h_v, cv, dt,
                      tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+    # replace the vertical mean with the time-FILTERED barotropic velocity
+    # (the u_av construction of MOM_dynamics_split_RK2.F90:125 — "layer
+    # velocity with vertical mean replaced by the time-mean barotropic
+    # velocity").  Without this, the raw unfiltered barotropic mode rides
+    # along in the prognostic u and beats against the barotropic solver's
+    # own estimate, a slow split-consistency leak that e-folds resting
+    # basins over topography in days (Hallberg & Adcroft 2009).
+    tot_hu = jnp.maximum(jnp.sum(h_u, axis=0), 1e-10)
+    tot_hv = jnp.maximum(jnp.sum(h_v, axis=0), 1e-10)
+    ubar = jnp.sum(h_u * u_new, axis=0) / tot_hu
+    vbar = jnp.sum(h_v * v_new, axis=0) / tot_hv
+    u_new = (u_new + (bt2.ubt_av - ubar)[None]) * G.mask2dCu
+    v_new = (v_new + (bt2.vbt_av - vbar)[None]) * G.mask2dCv
     u_new, v_new, _ = limit_velocity(u_new, v_new, dt, G)
     if p.massless_h > 0.0:
         ru, rv = _massless_ramp(h, G, p.massless_h)

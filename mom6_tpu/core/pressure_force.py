@@ -168,20 +168,46 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None) -> PressureForceOut:
               + ((h_r - h) * intx_pa[:-1]
                  - (roll_fn(e_b) - e_b) * intx_dpa)) \
             * (2.0 * i_rho0 * idx_metric) / ((h + h_r) + _H_NEGLECT)
-        # suppress acceleration of massless faces (layers vanished below
-        # topography in ALE mode): their PGF is geometrically ill-defined
-        # and their momentum is meaningless; viscosity keeps them slaved
-        # to the layers above
+        # massless faces (layers vanished below topography): zero the PGF
+        # only where the face is TRULY massless (hard gate at 2x the
+        # Angstrom scale).  The previous smooth ramp hmin/(hmin+1e-3)
+        # rescaled the PGF at every thin-but-real face along slopes,
+        # making the discrete force non-conservative (nonzero work around
+        # closed loops) — an energy source that e-folded resting basins
+        # over topography in ~3 days once seeded; a hard gate on
+        # geometrically meaningless faces does not disturb the force
+        # balance of real water
         hmin = jnp.minimum(h, h_r)
-        ramp = hmin / (hmin + 1e-3)
-        return pf * ramp * mask_face
+        gate = (hmin > 2e-3).astype(pf.dtype)
+        return pf * gate * mask_face  # PF_GATE
 
     pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)
     pfv = pf_dir(jp1, G.IdyCv, G.mask2dCv)
 
-    pbce = jnp.broadcast_to(jnp.asarray(g, h.dtype), h.shape).astype(h.dtype)
+    # pbce: d(layer PF)/d(eta) with the stratification's response to the
+    # column stretching (Set_pbce_Bouss EOS branch,
+    # MOM_PressureForce_Montgomery.F90:699-724):
+    #   pbce_1 = (g/rho0) rho_sfc
+    #   pbce_k = pbce_{k-1} + (g/rho0) (e_K - e_bot)/H *
+    #            (dR/dT dT + dR/dS dS) across interface K.
+    # The constant-g placeholder this replaces left the split scheme's
+    # layer-accel coupling identically zero, which destabilizes long
+    # stratified runs over topography (seeded ~2-day-efolding KE growth).
+    g_rho0 = g / rho0
+    htot = jnp.maximum(e[0] - e[-1], 1e-10)
+    p_sfc = -g * rho0 * e[0]
+    rho_sfc = rho0 + eos.density(T[0], S[0], p_sfc, rho_ref=rho0)
+    pbce1 = (g_rho0 * rho_sfc)[None]
+    t_i = 0.5 * (T[:-1] + T[1:])
+    s_i = 0.5 * (S[:-1] + S[1:])
+    p_i = -g * rho0 * e[1:-1]
+    dr_dt, dr_ds = eos.density_derivs(t_i, s_i, p_i)
+    frac = (e[1:-1] - e[-1][None]) / htot[None]
+    dpbce = g_rho0 * frac * (dr_dt * (T[1:] - T[:-1])
+                             + dr_ds * (S[1:] - S[:-1]))
+    pbce = jnp.cumsum(jnp.concatenate([pbce1, dpbce], axis=0), axis=0)
     eta = e[0]
-    return PressureForceOut(pfu, pfv, pbce, eta)
+    return PressureForceOut(pfu, pfv, pbce.astype(h.dtype), eta)
 
 
 def pressure_force_montgomery(h, G, GV) -> PressureForceOut:
@@ -194,10 +220,21 @@ def pressure_force_montgomery(h, G, GV) -> PressureForceOut:
     M = jnp.cumsum(gp * e, axis=0)
     pfu = -(ip1(M) - M) * G.IdxCu * G.mask2dCu
     pfv = -(jp1(M) - M) * G.IdyCv * G.mask2dCv
-    pbce = jnp.broadcast_to(jnp.asarray(GV.g_earth, h.dtype),
-                            h.shape).astype(h.dtype)
+    # pbce: d(layer PF)/d(eta) (Set_pbce_Bouss, non-EOS branch,
+    # MOM_PressureForce_Montgomery.F90:726-736).  When the free surface
+    # rises by d(eta) the whole column stretches, so interface K moves by
+    # d(eta)*(e_K - e_bot)/htot, and layer k's Montgomery potential gains
+    # sum_{m<=k} g'_m * (that interface's move).  Getting this
+    # stratification dependence right is what keeps the split scheme
+    # stable (Hallberg & Adcroft 2009) — a constant pbce = g lets the
+    # baroclinic modes resonate against the barotropic solver, which
+    # shows up as ~2-day-efolding KE growth over topography.
+    e_bot = e[0] - jnp.sum(h, axis=0)                   # = -bathyT
+    ihtot = 1.0 / jnp.maximum(e[0] - e_bot, 1e-10)
+    frac = (e - e_bot[None]) * ihtot[None]              # (e_K - e_bot)/H
+    pbce = jnp.cumsum(gp * frac.at[0].set(1.0), axis=0)
     eta = e[0]
-    return PressureForceOut(pfu, pfv, pbce, eta)
+    return PressureForceOut(pfu, pfv, pbce.astype(h.dtype), eta)
 
 
 def _dza_column(T, S, p_t, p_b, alpha_ref, eos):

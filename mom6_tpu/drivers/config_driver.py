@@ -124,7 +124,7 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         nstep = nstep_auto if dtbt_frac < 0 else max(
             1, int(np.ceil(dt / dtbt_frac)))
         bt = BTParams(nstep=nstep, nfilter=max(1, nstep // 8),
-                      bebt=pf.get("BEBT", float, default=0.2, module=m),
+                      bebt=pf.get("BEBT", float, default=0.5, module=m),
                       use_bt_cont=pf.get("USE_BT_CONT_TYPE", bool,
                                          default=False, module=m),
                       lin_drag=pf.get("BT_LIN_DRAG", float, default=0.0,

@@ -68,6 +68,22 @@ def thickness_diffuse(h, G, GV, dt, p: GMParams, *, khth_2d=None,
     psi_u = kh_u * sx * G.mask2dCu           # [m2 s-1] streamfunction
     psi_v = kh_v * sy * G.mask2dCv
 
+    # taper the streamfunction to zero at interfaces bounded by vanished
+    # layers (the reference's bounded/limited streamfunction near
+    # topography, MOM_thickness_diffuse.F90 hN2 weighting): over a slope
+    # in ALE mode the vanished layers hold stale T/S whose clipped
+    # "neutral slopes" flap sign and pump gravity waves — the interface
+    # must carry no bolus transport where either bounding layer on
+    # either side is massless
+    h0 = 4.0 * GV.angstrom + 0.5             # [m]
+    h_ab, h_bl = h[:-1], h[1:]               # bounding layers, iface 1..nz-1
+    hmin_u = jnp.minimum(jnp.minimum(h_ab, ip1(h_ab)),
+                         jnp.minimum(h_bl, ip1(h_bl)))
+    hmin_v = jnp.minimum(jnp.minimum(h_ab, jp1(h_ab)),
+                         jnp.minimum(h_bl, jp1(h_bl)))
+    psi_u = psi_u * (hmin_u * hmin_u) / (hmin_u * hmin_u + h0 * h0)
+    psi_v = psi_v * (hmin_v * hmin_v) / (hmin_v * hmin_v + h0 * h0)
+
     zero = jnp.zeros_like(psi_u[:1])
     psi_u_full = jnp.concatenate([zero, psi_u, zero], axis=0)  # nz+1 ifaces
     zero_v = jnp.zeros_like(psi_v[:1])

@@ -35,7 +35,8 @@ _H_EPS = 1e-3
 
 class ViscCoeffs(NamedTuple):
     a_above: jnp.ndarray   # (nz, ny, nx) coupling to layer k-1 [m s-1]
-    a_below: jnp.ndarray   # (nz, ny, nx) coupling to layer k+1 (bottom drag in k=nz)
+    a_below: jnp.ndarray   # (nz, ny, nx) coupling to layer k+1 [m s-1]
+    drag_diag: Optional[jnp.ndarray] = None  # bottom-drag piston per layer
 
 
 def vertvisc_coef(h_face, kv: float, *, bottom_drag: float = 0.0,
@@ -59,15 +60,30 @@ def vertvisc_coef(h_face, kv: float, *, bottom_drag: float = 0.0,
     r = bottom_drag
     if cdrag and u_bot is not None:
         r = bottom_drag + cdrag * jnp.abs(u_bot)
-    a_bot = jnp.broadcast_to(jnp.asarray(r, h_face.dtype), h_face[:1].shape)
-    a_below = jnp.concatenate([a_int, a_bot], axis=0)
-    return ViscCoeffs(a_above, a_below)
+    a_below = jnp.concatenate([a_int, jnp.zeros_like(h_face[:1])], axis=0)
+    # distribute the bottom drag over the deepest HBBL metres of ACTUAL
+    # water rather than coupling only layer nz to the bottom: over
+    # topography the deepest layers are vanished, and drag applied to an
+    # empty layer leaves the real near-bottom flow (a thin sliver higher
+    # in the stack) completely inviscid — those slivers then accelerate
+    # freely along slopes (the 90-day bowl instability).  Counting in
+    # cumulative water skips vanished layers automatically (they have
+    # ~zero overlap), the set_viscous_BBL placement.
+    hbbl = 10.0
+    z_top_fb = jnp.cumsum(h_face[::-1], axis=0)[::-1]   # water above bottom
+    ov = (jnp.minimum(z_top_fb, hbbl)
+          - jnp.minimum(z_top_fb - h_face, hbbl))
+    w = ov / jnp.maximum(jnp.sum(ov, axis=0, keepdims=True), _H_EPS)
+    drag_diag = r * w
+    return ViscCoeffs(a_above, a_below, drag_diag)
 
 
 def _solve(u_rhs_over_dt, h_face, coeffs: ViscCoeffs, dt: float):
     """Solve (h/dt + A) u_new = rhs for one velocity component."""
     hdt = jnp.maximum(h_face, _H_EPS) / dt
     b = hdt + coeffs.a_above + coeffs.a_below
+    if coeffs.drag_diag is not None:
+        b = b + coeffs.drag_diag
     a = -coeffs.a_above
     c = jnp.concatenate([-coeffs.a_below[:-1],
                          jnp.zeros_like(coeffs.a_below[:1])], axis=0)
