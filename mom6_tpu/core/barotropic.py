@@ -214,7 +214,10 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
 
     # implicit barotropic drag rate (bt Rayleigh drag; the lin_drag role
     # of MOM_barotropic.F90): r = (lin + cdrag |u0|) / H_face
-    if params.lin_drag > 0.0 or params.cdrag > 0.0:
+    # lin_drag may be a scalar or a (ny, nx) piston-velocity map (e.g.
+    # the tidal wave drag of physics/lateral/wave_drag.py)
+    lin_is_map = jnp.ndim(params.lin_drag) > 0
+    if lin_is_map or params.lin_drag > 0.0 or params.cdrag > 0.0:
         rdrag_u = (params.lin_drag + params.cdrag * jnp.abs(ubt_in)) \
             / jnp.maximum(tot_hu, 1e-3)
         rdrag_v = (params.lin_drag + params.cdrag * jnp.abs(vbt_in)) \

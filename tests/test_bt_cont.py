@@ -140,3 +140,41 @@ def test_rk2b_variant_runs_and_tracks_rk2():
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.99, corr
     assert not np.allclose(a, b)     # genuinely different scheme
+
+
+def test_wave_drag_map_damps_barotropic():
+    """A piston-velocity MAP in BTParams.lin_drag (the tidal wave drag)
+    damps the free gravity wave where the map is nonzero."""
+    from mom6_tpu.physics.lateral.wave_drag import wave_drag_piston
+    from mom6_tpu.eos import get_eos
+    G, GV, h0 = setup()
+    state = init_state_resting(G, GV, [1000.0 / NZ] * NZ)
+    bump = 1.0 * np.exp(-((np.arange(NX) - NX / 2.0) ** 2) / 8.0)
+    h = np.asarray(state.h) + bump[None, None, :] / NZ
+    state = state.replace(h=jnp.asarray(h, jnp.float32))
+    z = jnp.cumsum(state.h, axis=0) - 0.5 * state.h
+    T = (12.0 - 6.0 * z / 1000.0).astype(jnp.float32)
+    S = jnp.full_like(T, 35.0)
+    piston = wave_drag_piston(state.h, T, S, G, GV, get_eos("LINEAR"),
+                              gamma=50.0)   # exaggerated for the test
+    assert float(jnp.min(piston)) >= 0.0
+    assert float(jnp.max(piston)) > 0.0
+    dt = 300.0
+    nstep, _ = set_dtbt(G, GV, 1000.0, dt)
+
+    def energy(s):
+        eta = jnp.sum(s.h, axis=0) - G.bathyT
+        return float(0.5 * jnp.sum(s.h * (s.u ** 2 + s.v ** 2) * G.areaT)
+                     + 0.5 * GV.g_earth * jnp.sum(eta ** 2 * G.areaT))
+
+    outs = []
+    for lin in (0.0, piston):
+        params = DynParams(dt=dt, bt=BTParams(nstep=nstep, nfilter=2,
+                                              lin_drag=lin), kv=0.0)
+        step = jax.jit(lambda s, p=params: step_dynamics_split_rk2(
+            s, MechForcing(), G, GV, p))
+        s = state
+        for _ in range(40):
+            s = step(s)
+        outs.append(energy(s))
+    assert outs[1] < outs[0], outs
