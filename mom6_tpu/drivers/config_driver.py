@@ -414,4 +414,19 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     if doc_dir:
         pf.write_doc(doc_dir)
 
+    # -- tidal wave drag on the external mode (MOM_wave_drag role) --------
+    m = "MOM_wave_drag"
+    if pf.get("TIDAL_WAVE_DRAG", bool, default=False, module=m) \
+            and use_thermo:
+        from mom6_tpu.eos import get_eos
+        from mom6_tpu.physics.lateral.wave_drag import wave_drag_piston
+        piston = wave_drag_piston(
+            state.h, state.T, state.S, G, gv, get_eos(eos_name),
+            gamma=pf.get("WAVE_DRAG_SCALE", float, default=1.0, module=m),
+            h2=pf.get("TIDAL_ROUGHNESS_H2", float, default=100.0,
+                      units="m2", module=m))
+        params = params._replace(
+            dyn=params.dyn._replace(
+                bt=params.dyn.bt._replace(lin_drag=piston)))
+
     return ModelSetup(G, gv, state, params, forcing, pf)
