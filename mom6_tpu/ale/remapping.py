@@ -23,7 +23,6 @@ thicknesses must agree (regridding guarantees this).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["remap_column", "reconstruct", "PCM", "PLM", "PPM_H4",

@@ -48,10 +48,9 @@ class BTParams(NamedTuple):
     bebt: float = 0.5     # backward weighting of eta in the PF [0..1].
     #                         NOTE: the reference defaults to 0.2, but this
     #                         solver's substep/filter structure differs and
-    #                         0.2 is weakly unstable at the nominal CFL
-    #                         (checkerboard barotropic mode, ~2-day KE
-    #                         e-folding over topography); 0.5 is stable
-    #                         with margin (90-day resting-basin gate).
+    #                         0.2 under-damps the barotropic mode at the
+    #                         nominal CFL (slow KE growth over topography);
+    #                         0.5 holds the 180-day resting-basin gate.
     dgeo_de: float = 1.0  # over-relaxation of the surface-height geopotential
     use_bt_cont: bool = False   # nonlinear transport response curves
     lin_drag: float = 0.0       # linear barotropic drag piston vel [m s-1]
@@ -236,7 +235,7 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         pfv = -(jp1(ge) - ge) * G.IdyCv * G.mask2dCv
         return pfu, pfv
 
-    wt_trans, wt_vel, v_first = _weights(nstep, nfilter, dtype, x_first)
+    wt_trans, wt_vel, _ = _weights(nstep, nfilter, dtype, x_first)
 
     def dragged_u(x):
         return x * drag_u if drag_u is not None else x
