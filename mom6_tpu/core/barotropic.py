@@ -217,9 +217,17 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     # the tidal wave drag of physics/lateral/wave_drag.py)
     lin_is_map = jnp.ndim(params.lin_drag) > 0
     if lin_is_map or params.lin_drag > 0.0 or params.cdrag > 0.0:
-        rdrag_u = (params.lin_drag + params.cdrag * jnp.abs(ubt_in)) \
+        if lin_is_map:
+            # T-point piston-velocity map -> average to u/v faces (matches
+            # wave_drag_accel's face averaging and the reference's
+            # face-centered drag)
+            lin_u = 0.5 * (params.lin_drag + ip1(params.lin_drag))
+            lin_v = 0.5 * (params.lin_drag + jp1(params.lin_drag))
+        else:
+            lin_u = lin_v = params.lin_drag
+        rdrag_u = (lin_u + params.cdrag * jnp.abs(ubt_in)) \
             / jnp.maximum(tot_hu, 1e-3)
-        rdrag_v = (params.lin_drag + params.cdrag * jnp.abs(vbt_in)) \
+        rdrag_v = (lin_v + params.cdrag * jnp.abs(vbt_in)) \
             / jnp.maximum(tot_hv, 1e-3)
         drag_u = 1.0 / (1.0 + dtbt * rdrag_u)
         drag_v = 1.0 / (1.0 + dtbt * rdrag_v)

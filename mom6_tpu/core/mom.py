@@ -80,6 +80,12 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
 
     # --- lateral eddy parameterizations acting on h (the
     # thickness_diffuse_first path, MOM.F90:1226-1278) -----------------------
+    # Capture the pre-advection thickness BEFORE the GM/MLRestrat bolus
+    # updates: uhtr accumulates those same bolus transports, so the tracer
+    # advection's internal thickness h_pre - div(uhtr) must start from the
+    # pre-GM h to land on the final model h (the reference reconstructs
+    # hprev from h_end + div(uhtr), MOM_tracer_advect.F90 advect_tracer).
+    h_before_dyn = state.h
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
     if p.thermo_enabled and p.gm is not None:
         from mom6_tpu.physics.lateral.meke import (gm_pe_release,
@@ -112,8 +118,6 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         state = state.replace(h=h_mlr,
                               uhtr=state.uhtr + dt_therm * uh_m,
                               vhtr=state.vhtr + dt_therm * vh_m)
-
-    h_before_dyn = state.h
 
     def dyn_body(st, _):
         out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,

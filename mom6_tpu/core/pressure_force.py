@@ -345,14 +345,35 @@ def pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos,
               + ((dp_r - dp) * intx_za[1:]
                  - (roll_fn(p_b) - p_b) * intx_dza)) \
             * (2.0 * idx_metric) / ((dp + dp_r) + 1e-3)
+        # hard gate on truly massless faces (the dual of PF_GATE in the
+        # Boussinesq path: 2e-3 m of water ~ 20 Pa).  The previous smooth
+        # ramp pmin/(pmin+10) rescaled the PGF at every thin-but-real face
+        # along slopes — a non-conservative force (energy source with a
+        # 2-4 day KE e-folding) diagnosed and fixed in the Bouss path.
         pmin = jnp.minimum(dp, dp_r)
-        ramp = pmin / (pmin + 10.0)          # ~1e-3 m-equivalent floor
-        return pf * ramp * mask_face
+        gate = (pmin > 20.0).astype(pf.dtype)
+        return pf * gate * mask_face
 
     pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)
     pfv = pf_dir(jp1, G.IdyCv, G.mask2dCv)
 
-    pbce = jnp.broadcast_to(jnp.asarray(g, h_mass.dtype),
-                            h_mass.shape).astype(h_mass.dtype)
-    eta = za[0] / g                     # surface geopotential height [m]
-    return PressureForceOut(pfu, pfv, pbce, eta)
+    # stratified pbce (Set_pbce_nonBouss role,
+    # MOM_PressureForce_Montgomery.F90:745-818): mirror the Boussinesq
+    # EOS-branch structure on geopotential heights e = za/g.  A constant
+    # pbce = g has zero layer/BT coupling, which destabilizes the split
+    # scheme over topography (see pressure_force_fv's pbce note).
+    rho0 = GV.rho0
+    g_rho0 = g / rho0
+    e = za / g                                  # (nz+1, ny, nx) heights
+    htot = jnp.maximum(e[0] - e[-1], 1e-10)
+    rho_sfc = rho0 + eos.density(T[0], S[0], p[0], rho_ref=rho0)
+    pbce1 = (g_rho0 * rho_sfc)[None]
+    t_i = 0.5 * (T[:-1] + T[1:])
+    s_i = 0.5 * (S[:-1] + S[1:])
+    dr_dt, dr_ds = eos.density_derivs(t_i, s_i, p[1:-1])
+    frac = (e[1:-1] - e[-1][None]) / htot[None]
+    dpbce = g_rho0 * frac * (dr_dt * (T[1:] - T[:-1])
+                             + dr_ds * (S[1:] - S[:-1]))
+    pbce = jnp.cumsum(jnp.concatenate([pbce1, dpbce], axis=0), axis=0)
+    eta = e[0]                          # surface geopotential height [m]
+    return PressureForceOut(pfu, pfv, pbce.astype(h_mass.dtype), eta)

@@ -77,27 +77,54 @@ def fixed_point_sum(x, max_mag: float, n_limbs: int = 4, bits: int = 14):
         c = jnp.floor(r)
         partials.append(c.astype(jnp.int32))
         r = r - c
-    # two-stage integer reduction: per-limb elementwise sums are associative.
-    # Each limb value is < 2^bits, so int32 partial sums are exact up to
-    # 2^(31-bits) elements; reduce in chunks then combine as float64-free
-    # integer carries.
-    total = jnp.zeros((), dtype)
+    # two-stage integer reduction: per-limb elementwise sums are associative,
+    # so each limb's integer total is bitwise layout-invariant.  Collect the
+    # exact float32 pieces of every limb total (each piece < 2^24 so the
+    # int->float conversion is exact), then combine in a fixed order from the
+    # smallest scale upward: the result is bitwise deterministic for any
+    # sharding/permutation of ``x`` and accurate to float32 rounding of the
+    # exact fixed-point sum (a single float return cannot carry more).
+    pieces = []  # exact float32 terms (digit * power-of-two scale)
     for j, limb in enumerate(partials):
-        s = _chunked_int_sum(limb, bits)
-        total = total + s.astype(dtype) * dtype.type(top * 2.0 ** (-(j + 1) * bits))
-    return total
+        scale = top * 2.0 ** (-(j + 1) * bits)
+        for sub_scale, piece in _exact_int_sum_pieces(limb, bits):
+            pieces.append(piece * jnp.float32(scale * sub_scale))
+    # the terms span widely different scales and cancel (a digit split puts
+    # +4095*4096 and -4096^2 next to each other), so plain accumulation
+    # loses low bits; Neumaier compensated summation in a FIXED order keeps
+    # the result within ~1 ulp of the exact fixed-point sum while staying
+    # bitwise deterministic for any sharding/permutation of ``x``.
+    total = jnp.zeros((), jnp.float32)
+    comp = jnp.zeros((), jnp.float32)
+    for v in pieces:
+        t = total + v
+        comp = comp + jnp.where(jnp.abs(total) >= jnp.abs(v),
+                                (total - t) + v, (v - t) + total)
+        total = t
+    return (total + comp).astype(dtype)
 
 
-def _chunked_int_sum(limb, bits: int):
+def _exact_int_sum_pieces(limb, bits: int):
     """Sum an int32 array of |values| < 2^bits exactly, avoiding overflow.
 
-    Splits each value into high/low 8-bit-ish parts whose independent int32
-    sums stay in range for any realistic grid size (< 2^23 elements each).
-    Returns a float32 recombination (exact: result < 2^bits * n < 2^53).
+    Splits each value into high/low 8-bit parts whose independent int32 sums
+    stay in range for grids < 2^23 elements, then splits each integer partial
+    sum into 12-bit chunks so every int->float32 conversion is exact.
+    Returns [(scale, float32_piece), ...] with sum(scale*piece) == exact sum.
     """
     flat = limb.ravel()
-    lo = flat & 0xFF
-    hi = flat >> 8
-    s_lo = jnp.sum(lo)        # < 2^8 * n
-    s_hi = jnp.sum(hi)        # < 2^(bits-8) * n
-    return s_hi.astype(jnp.float32) * jnp.float32(256.0) + s_lo.astype(jnp.float32)
+    s_lo = jnp.sum(flat & 0xFF)   # < 2^8  * n, exact int32 for n < 2^23
+    s_hi = jnp.sum(flat >> 8)     # < 2^(bits-8) * n
+    out = []
+    for base, s in ((256.0, s_hi), (1.0, s_lo)):
+        # 12-bit base-4096 digits via arithmetic shifts (floor division):
+        # s = c0 + 4096*c1 + 4096^2*s2 with c0,c1 in [0,4096) and the top
+        # digit signed — exact for negative s too, every piece < 2^24.
+        c0 = s - ((s >> 12) << 12)
+        s1 = s >> 12
+        c1 = s1 - ((s1 >> 12) << 12)
+        s2 = s1 >> 12
+        out.append((base, c0.astype(jnp.float32)))
+        out.append((base * 4096.0, c1.astype(jnp.float32)))
+        out.append((base * 4096.0 ** 2, s2.astype(jnp.float32)))
+    return out
