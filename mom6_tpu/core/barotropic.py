@@ -55,6 +55,11 @@ class BTParams(NamedTuple):
     use_bt_cont: bool = False   # nonlinear transport response curves
     lin_drag: float = 0.0       # linear barotropic drag piston vel [m s-1]
     cdrag: float = 0.0          # quadratic drag coefficient (BT Rayleigh)
+    # scalar self-attraction & loading inside the subcycle: the eta-anomaly
+    # PF is scaled by (1 - beta), the SAL_SCALAR_VALUE approximation
+    # (MOM_self_attr_load.F90 scalar branch; applied per-substep as the
+    # reference's calc_SAL call in btstep)
+    sal_scalar: float = 0.0
 
 
 class BTOut(NamedTuple):
@@ -237,8 +242,10 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     def div_eta(uhbt, vhbt):
         return -G.IareaT * ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt)))
 
+    sal_fac = dtype.type(1.0 - params.sal_scalar)
+
     def pf_anom(eta_w):
-        ge = gtot * (eta_w - eta_PF) * dgeo
+        ge = gtot * (eta_w - eta_PF) * (dgeo * sal_fac)
         pfu = -(ip1(ge) - ge) * G.IdxCu * G.mask2dCu
         pfv = -(jp1(ge) - ge) * G.IdyCv * G.mask2dCv
         return pfu, pfv

@@ -119,15 +119,19 @@ def ppm_reconstruction_y(h, mask_t, h_min=1e-10, monotonic=False,
     return _ppm_limit_pos(h, h_S, h_N, h_min)
 
 
-def _zonal_flux_layer(u, h, h_W, h_E, dt, G):
+def _zonal_flux_layer(u, h, h_W, h_E, dt, G, por=None):
     """Per-layer PPM flux through east faces and its velocity derivative.
 
     Mirrors zonal_flux_layer / zonal_flux_thickness
     (MOM_continuity_PPM.F90:922-1050): the flux thickness is the exact
     integral of the parabolic reconstruction over the CFL swept region.
+    ``por``: optional per-layer fractional open face widths (porous
+    barriers, MOM_porous_barriers.F90 via por_face_areaU).
     Returns (uh [m3 s-1], duhdu [m2]).
     """
     face = G.dyCu * G.mask2dCu
+    if por is not None:
+        face = face * por
     # donor cell is i for u>0, i+1 for u<0
     cfl_p = u * dt * G.IdxT
     cfl_m = -u * dt * ip1(G.IdxT)
@@ -143,8 +147,10 @@ def _zonal_flux_layer(u, h, h_W, h_E, dt, G):
     return face * u * h_avg, face * h_marg
 
 
-def _meridional_flux_layer(v, h, h_S, h_N, dt, G):
+def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None):
     face = G.dxCv * G.mask2dCv
+    if por is not None:
+        face = face * por
     cfl_p = v * dt * G.IdyT
     cfl_m = -v * dt * jp1(G.IdyT)
     curv_p = (h_S + h_N) - 2.0 * h
@@ -161,12 +167,13 @@ def _meridional_flux_layer(v, h, h_S, h_N, dt, G):
 
 def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
                     visc_rem: Optional[jnp.ndarray] = None,
-                    monotonic=False, simple_2nd=False, h_min=1e-10):
+                    monotonic=False, simple_2nd=False, h_min=1e-10,
+                    por=None):
     """Zonal thickness flux; optionally Newton-adjusted so the column sum
     matches a barotropic transport ``uhbt`` (zonal_flux_adjust,
     MOM_continuity_PPM.F90:1093 — here with a fixed iteration count)."""
     h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic, simple_2nd)
-    uh, duhdu = _zonal_flux_layer(u, h, h_W, h_E, dt, G)
+    uh, duhdu = _zonal_flux_layer(u, h, h_W, h_E, dt, G, por)
     if uhbt is None:
         return uh, u
     rem = visc_rem if visc_rem is not None else jnp.ones_like(u)
@@ -187,7 +194,7 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
         du = du - err / jnp.maximum(denom, 1e-30) * G.mask2dCu
         du = jnp.clip(du, -du_cap, du_cap)
         uh_new, duhdu_new = _zonal_flux_layer(u + du * rem, h, h_W, h_E,
-                                              dt, G)
+                                              dt, G, por)
         return du, uh_new, duhdu_new
 
     du0 = jnp.zeros_like(uhbt)
@@ -197,9 +204,10 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
 
 def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
                          visc_rem: Optional[jnp.ndarray] = None,
-                         monotonic=False, simple_2nd=False, h_min=1e-10):
+                         monotonic=False, simple_2nd=False, h_min=1e-10,
+                         por=None):
     h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic, simple_2nd)
-    vh, dvhdv = _meridional_flux_layer(v, h, h_S, h_N, dt, G)
+    vh, dvhdv = _meridional_flux_layer(v, h, h_S, h_N, dt, G, por)
     if vhbt is None:
         return vh, v
     rem = visc_rem if visc_rem is not None else jnp.ones_like(v)
@@ -213,7 +221,7 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
         dv = dv - err / jnp.maximum(denom, 1e-30) * G.mask2dCv
         dv = jnp.clip(dv, -dv_cap, dv_cap)
         vh_new, dvhdv_new = _meridional_flux_layer(v + dv * rem, h, h_S, h_N,
-                                                   dt, G)
+                                                   dt, G, por)
         return dv, vh_new, dvhdv_new
 
     dv0 = jnp.zeros_like(vhbt)
@@ -226,7 +234,8 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
                    vhbt: Optional[jnp.ndarray] = None,
                    visc_rem_u: Optional[jnp.ndarray] = None,
                    visc_rem_v: Optional[jnp.ndarray] = None,
-                   monotonic=False, simple_2nd=False, x_first: bool = True
+                   monotonic=False, simple_2nd=False, x_first: bool = True,
+                   por_u=None, por_v=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                               jnp.ndarray, jnp.ndarray]:
     """Directionally-split thickness update (continuity_PPM,
@@ -240,23 +249,27 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
         uh, u_adj = zonal_mass_flux(u, h, dt, G, uhbt=uhbt,
                                     visc_rem=visc_rem_u,
                                     monotonic=monotonic,
-                                    simple_2nd=simple_2nd, h_min=h_min)
+                                    simple_2nd=simple_2nd, h_min=h_min,
+                                    por=por_u)
         h_x = jnp.maximum(h - dt * G.IareaT * (uh - im1(uh)), h_min)
         vh, v_adj = meridional_mass_flux(v, h_x, dt, G, vhbt=vhbt,
                                          visc_rem=visc_rem_v,
                                          monotonic=monotonic,
-                                         simple_2nd=simple_2nd, h_min=h_min)
+                                         simple_2nd=simple_2nd, h_min=h_min,
+                                         por=por_v)
         h_new = jnp.maximum(h_x - dt * G.IareaT * (vh - jm1(vh)), h_min)
     else:
         vh, v_adj = meridional_mass_flux(v, h, dt, G, vhbt=vhbt,
                                          visc_rem=visc_rem_v,
                                          monotonic=monotonic,
-                                         simple_2nd=simple_2nd, h_min=h_min)
+                                         simple_2nd=simple_2nd, h_min=h_min,
+                                         por=por_v)
         h_y = jnp.maximum(h - dt * G.IareaT * (vh - jm1(vh)), h_min)
         uh, u_adj = zonal_mass_flux(u, h_y, dt, G, uhbt=uhbt,
                                     visc_rem=visc_rem_u,
                                     monotonic=monotonic,
-                                    simple_2nd=simple_2nd, h_min=h_min)
+                                    simple_2nd=simple_2nd, h_min=h_min,
+                                    por=por_u)
         h_new = jnp.maximum(h_y - dt * G.IareaT * (uh - im1(uh)), h_min)
     return h_new, uh, vh, u_adj, v_adj
 

@@ -60,6 +60,8 @@ class DynParams(NamedTuple):
 class MechForcing(NamedTuple):
     taux: Optional[jnp.ndarray] = None   # (ny, nx) zonal wind stress [Pa]
     tauy: Optional[jnp.ndarray] = None
+    p_surf: Optional[jnp.ndarray] = None  # surface pressure [Pa] (ice/atmos)
+    u10: Optional[jnp.ndarray] = None     # 10-m wind speed [m s-1] (waves)
 
 
 def _face_thickness(h, G):
@@ -78,15 +80,23 @@ def _massless_ramp(h, G, h0: float):
 
 def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                             G, GV, p: DynParams, *,
-                            pf_fn=None, hv_fn=None) -> OceanState:
+                            pf_fn=None, hv_fn=None, por=None,
+                            bbl_piston=None) -> OceanState:
     """``pf_fn(h, state) -> PressureForceOut`` overrides the default
     Montgomery pressure force (used for the FV/EOS thermo path);
     ``hv_fn(u, v, h) -> (diffu, diffv)`` adds lateral friction
-    (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886)."""
+    (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886);
+    ``por``: optional (por_u, por_v) per-layer fractional open face
+    widths from the porous-barrier parameterization, applied in every
+    continuity call (MOM_porous_barriers.F90 role);
+    ``bbl_piston``: optional (r_u, r_v) BBL bottom-drag piston velocities
+    [m s-1] from set_viscous_BBL (kv_bbl/bbl_thick), replacing the scalar
+    ``p.bottom_drag`` in the implicit vertical friction."""
     dt = p.dt
     dt_pred = p.be * dt
     h, u, v = state.h, state.u, state.v
     eta = find_eta(h, G)
+    por_u, por_v = por if por is not None else (None, None)
     if pf_fn is None:
         pf_fn = lambda hh, st: pressure_force_montgomery(hh, G, GV)
 
@@ -103,16 +113,20 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                 / jnp.maximum(jnp.sum(ov, axis=0), 1e-3))
     u_bot = _bot_avg(u, h_u)
     v_bot = _bot_avg(v, h_v)
-    cu = vertvisc_coef(h_u, p.kv, bottom_drag=p.bottom_drag,
-                       u_bot=u_bot, cdrag=p.cdrag)
-    cv = vertvisc_coef(h_v, p.kv, bottom_drag=p.bottom_drag,
-                       u_bot=v_bot, cdrag=p.cdrag)
+    drag_u = bbl_piston[0] if bbl_piston is not None else p.bottom_drag
+    drag_v = bbl_piston[1] if bbl_piston is not None else p.bottom_drag
+    cdrag_eff = 0.0 if bbl_piston is not None else p.cdrag
+    cu = vertvisc_coef(h_u, p.kv, bottom_drag=drag_u,
+                       u_bot=u_bot, cdrag=cdrag_eff)
+    cv = vertvisc_coef(h_v, p.kv, bottom_drag=drag_v,
+                       u_bot=v_bot, cdrag=cdrag_eff)
     visc_rem_u = vertvisc_remnant(h_u, cu, dt)
     visc_rem_v = vertvisc_remnant(h_v, cv, dt)
 
     # continuity fluxes of the initial state (for btstep's uhbt0)
     _, uh_in, vh_in, _, _ = continuity_ppm(
-        u, v, h, dt, G, GV, monotonic=p.continuity_monotonic, x_first=p.x_first)
+        u, v, h, dt, G, GV, monotonic=p.continuity_monotonic,
+        x_first=p.x_first, por_u=por_u, por_v=por_v)
 
     # nonlinear barotropic transport response curves (set_BT_cont role)
     bt_cont = None
@@ -153,7 +167,8 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         up, vp, h, dt_pred, G, GV,
         uhbt=bt1.uhbt_av, vhbt=bt1.vhbt_av,
         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
-        monotonic=p.continuity_monotonic, x_first=p.x_first)
+        monotonic=p.continuity_monotonic, x_first=p.x_first,
+        por_u=por_u, por_v=por_v)
 
     # ---- corrector ------------------------------------------------------------
     pf2 = pf_fn(hp, state)
@@ -204,7 +219,8 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         u_new, v_new, h, dt, G, GV,
         uhbt=bt2.uhbt_av, vhbt=bt2.vhbt_av,
         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
-        monotonic=p.continuity_monotonic, x_first=p.x_first)
+        monotonic=p.continuity_monotonic, x_first=p.x_first,
+        por_u=por_u, por_v=por_v)
 
     uhtr = state.uhtr + dt * uh if state.uhtr is not None else None
     vhtr = state.vhtr + dt * vh if state.vhtr is not None else None

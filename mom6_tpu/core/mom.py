@@ -5,11 +5,16 @@ step_MOM :513, step_MOM_dynamics :1167, step_MOM_tracer_dyn :1481,
 step_MOM_thermo :1591, ALE_regridding_and_remapping :1751) as one pure
 jittable function over the state pytree:
 
+  lateral thickness parameterizations (GM / ML restrat / interface filter,
+    the thickness_diffuse_first block, MOM.F90:1226-1278)
   for each baroclinic step:
-    dynamics (split RK2, accumulating uhtr/vhtr)
+    dynamics (split RK2, accumulating uhtr/vhtr; porous-barrier face
+    widths, BBL viscosity, Zanna-Bolton closure, tidal geopotential)
   every thermo cycle:
     tracer advection with the accumulated transports  (step_MOM_tracer_dyn)
     diabatic column physics                            (step_MOM_thermo)
+    tracer-package column physics (tracer_flow_control role)
+    sponges, stochastic (SPPT/SKEB) perturbations
     ALE regrid + remap of tracers and velocities
     reset transport accumulators
 
@@ -27,7 +32,8 @@ import jax.numpy as jnp
 from mom6_tpu.ale.ale import ALEParams, LAYER, ale_regrid_remap
 from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
                                               step_dynamics_split_rk2)
-from mom6_tpu.core.pressure_force import pressure_force_fv
+from mom6_tpu.core.pressure_force import (find_eta, pressure_force_fv,
+                                          pressure_force_montgomery)
 from mom6_tpu.core.state import OceanState
 from mom6_tpu.eos import get_eos
 from mom6_tpu.physics.lateral.hor_visc import horizontal_viscosity
@@ -55,6 +61,20 @@ class MOMParams(NamedTuple):
     khtr_bl: float = 0.0       # along-boundary-layer diffusivity [m2 s-1]
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
+    # --- wired subsystems (each optional; reference wiring cited at the
+    # point of use) ------------------------------------------------------
+    sponge: Optional["SpongeParams"] = None       # MOM_ALE_sponge role
+    interface_filter: Optional["InterfaceFilterParams"] = None
+    porous: Optional["PorousBarrier"] = None      # sub-grid sills
+    zb: Optional["ZBParams"] = None               # Zanna-Bolton 2020 closure
+    bbl_visc: Optional["SetViscParams"] = None    # set_viscous_BBL role
+    stanley_coeff: float = -1.0     # >=0: Stanley SGS-T-variance EOS in PF
+    tides: Optional["TidalForcingParams"] = None  # astronomical potential
+    sal_harmonics: Optional["SALHarmonics"] = None  # spherical-harmonic SAL
+    sppt: Optional["SPPTParams"] = None           # stochastic physics
+    skeb_scale: float = 0.0                       # SKEB psi scale [m2 s-1]
+    waves: Optional["WaveParams"] = None          # Langmuir into KPP/ePBL
+    tfc: Optional["TracerFlowControl"] = None     # passive tracer packages
 
 
 class Forcing(NamedTuple):
@@ -62,21 +82,87 @@ class Forcing(NamedTuple):
     buoy: BuoyancyForcing = BuoyancyForcing()
 
 
+def _tidal_geopotential(state, G, p: MOMParams):
+    """e_tidal = equilibrium astronomical tide + self-attraction/loading
+    (MOM_tidal_forcing.F90:817 calc_tidal_forcing +
+    MOM_self_attr_load.F90:392 calc_SAL), evaluated once per baroclinic
+    step at the current model time and free surface."""
+    e_tidal = None
+    if p.tides is not None and state.time is not None:
+        from mom6_tpu.physics.lateral.tidal_forcing import equilibrium_tide
+        deg2rad = jnp.pi / 180.0
+        e_tidal = equilibrium_tide(state.time, G.geoLatT * deg2rad,
+                                   G.geoLonT * deg2rad, p.tides)
+    if p.sal_harmonics is not None:
+        from mom6_tpu.physics.lateral.self_attr_load import calc_sal_harmonic
+        eta = find_eta(state.h, G)
+        e_sal = calc_sal_harmonic(eta, p.sal_harmonics)
+        e_tidal = e_sal if e_tidal is None else e_tidal + e_sal
+    return e_tidal
+
+
+def _stack_tracers(state, p: MOMParams):
+    """[T, S] + registered passive tracers as one (n, nz, ny, nx) stack."""
+    names = p.tfc.registry.names if p.tfc is not None else []
+    arrs = [state.T, state.S]
+    if names:
+        arrs += [state.tr[n] for n in names]
+    return jnp.stack(arrs), names
+
+
+def _unstack_tracers(state, stack, names):
+    updates = dict(T=stack[0], S=stack[1])
+    if names:
+        tr = dict(state.tr)
+        for i, n in enumerate(names):
+            tr[n] = stack[2 + i]
+        updates["tr"] = tr
+    return state.replace(**updates)
+
+
 def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
              ) -> OceanState:
     """Advance one thermo cycle = n_dyn_per_thermo baroclinic steps."""
     eos = get_eos(p.eos_name) if p.thermo_enabled else None
+    dt_therm = p.dyn.dt * p.n_dyn_per_thermo
 
-    if p.thermo_enabled:
-        def pf_fn(h, st):
-            return pressure_force_fv(h, st.T, st.S, G, GV, eos)
-    else:
-        pf_fn = None
+    # --- Stanley SGS temperature variance for the EOS in the PF
+    # (MOM_stoch_eos.F90:261 -> use_Stanley in int_density_dz) -------------
+    varT = None
+    if p.thermo_enabled and p.stanley_coeff >= 0.0:
+        from mom6_tpu.eos.stoch_eos import sgs_t_variance
+        varT = sgs_t_variance(state.T, G, p.stanley_coeff)
 
+    def make_pf_fn(st0):
+        e_tidal = _tidal_geopotential(st0, G, p)
+        if p.thermo_enabled:
+            def pf_fn(h, st):
+                return pressure_force_fv(h, st.T, st.S, G, GV, eos,
+                                         p_surf=forcing.mech.p_surf,
+                                         e_tidal=e_tidal, varT=varT)
+        elif e_tidal is not None:
+            def pf_fn(h, st):
+                return pressure_force_montgomery(h, G, GV, e_tidal=e_tidal)
+        else:
+            pf_fn = None
+        return pf_fn
+
+    # lateral friction + Zanna-Bolton eddy-momentum closure
+    # (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886;
+    # ZB2020 added to diffu/diffv as in MOM_hor_visc's MOM_Zanna_Bolton
+    # coupling)
     hv_fn = None
-    if p.hor_visc is not None:
+    if p.hor_visc is not None or p.zb is not None:
         def hv_fn(u, v, h):
-            return horizontal_viscosity(u, v, h, G, p.hor_visc)
+            du = dv = 0.0
+            if p.hor_visc is not None:
+                du, dv = horizontal_viscosity(u, v, h, G, p.hor_visc)
+            if p.zb is not None:
+                from mom6_tpu.physics.lateral.zanna_bolton import \
+                    zanna_bolton_accel
+                zu, zv = zanna_bolton_accel(u, v, h, G, p.zb)
+                du, dv = du + zu, dv + zv
+            return du, dv
 
     # --- lateral eddy parameterizations acting on h (the
     # thickness_diffuse_first path, MOM.F90:1226-1278) -----------------------
@@ -86,7 +172,6 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     # pre-GM h to land on the final model h (the reference reconstructs
     # hprev from h_end + div(uhtr), MOM_tracer_advect.F90 advect_tracer).
     h_before_dyn = state.h
-    dt_therm = p.dyn.dt * p.n_dyn_per_thermo
     if p.thermo_enabled and p.gm is not None:
         from mom6_tpu.physics.lateral.meke import (gm_pe_release,
                                                    meke_diffusivity,
@@ -118,54 +203,92 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         state = state.replace(h=h_mlr,
                               uhtr=state.uhtr + dt_therm * uh_m,
                               vhtr=state.vhtr + dt_therm * vh_m)
+    if p.interface_filter is not None:
+        # interface-height smoothing, the GM alternative of
+        # MOM_interface_filter.F90 (called from MOM.F90:1226-1278)
+        from mom6_tpu.physics.lateral.interface_filter import \
+            interface_filter
+        h_if, uh_f, vh_f = interface_filter(state.h, G, GV, dt_therm,
+                                            p.interface_filter)
+        state = state.replace(h=h_if,
+                              uhtr=state.uhtr + dt_therm * uh_f,
+                              vhtr=state.vhtr + dt_therm * vh_f)
 
     def dyn_body(st, _):
+        pf_fn = make_pf_fn(st)
+        # porous-barrier fractional face widths rebuilt from the current
+        # interface heights each step (porous_widths_layer,
+        # MOM_porous_barriers.F90, called from MOM.F90:1226-1278)
+        por = None
+        if p.porous is not None:
+            from mom6_tpu.core.porous_barriers import porous_face_areas
+            por = porous_face_areas(st.h, G, p.porous)
+        # BBL viscosity at u/v faces (set_viscous_BBL,
+        # MOM_set_viscosity.F90:135) -> bottom-drag piston velocities
+        # kv_bbl / bbl_thick for the implicit vertical friction
+        bbl_piston = None
+        if p.bbl_visc is not None:
+            from mom6_tpu.physics.vertical.set_viscosity import \
+                set_viscous_bbl
+            kv_u, kv_v, th_u, th_v = set_viscous_bbl(st.u, st.v, st.h, G,
+                                                     p.bbl_visc)
+            bbl_piston = (kv_u / jnp.maximum(th_u, 1e-3),
+                          kv_v / jnp.maximum(th_v, 1e-3))
         out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
-                                      pf_fn=pf_fn, hv_fn=hv_fn)
+                                      pf_fn=pf_fn, hv_fn=hv_fn,
+                                      por=por, bbl_piston=bbl_piston)
         if p.obc is not None:
             from mom6_tpu.core.open_boundary import apply_obc
             out = apply_obc(out, p.obc, G, GV, p.dyn.dt,
                             u_old=st.u, v_old=st.v)
+        if out.time is not None:
+            out = out.replace(time=out.time + p.dyn.dt)
         return out, None
 
     state, _ = jax.lax.scan(dyn_body, state, None,
                             length=p.n_dyn_per_thermo)
 
+    # --- stochastic kinetic-energy backscatter (apply_skeb,
+    # MOM_stochastics.F90:452) ---------------------------------------------
+    if p.skeb_scale > 0.0 and state.skeb_pattern is not None:
+        from mom6_tpu.physics.stochastic import SPPTParams, apply_skeb
+        sp = p.sppt if p.sppt is not None else SPPTParams()
+        u_new, v_new = apply_skeb(state.u, state.v, state.skeb_pattern,
+                                  p.skeb_scale, sp)
+        state = state.replace(u=u_new * G.mask2dCu, v=v_new * G.mask2dCv)
+
     if not p.thermo_enabled:
         return state
 
     # --- tracer transport (step_MOM_tracer_dyn) ---------------------------
-    tr = jnp.stack([state.T, state.S])
+    tr, names = _stack_tracers(state, p)
     tr, h_adv = advect_tracers(tr, h_before_dyn, state.uhtr, state.vhtr, G,
                                n_sub=p.tracer_advect_sub)
-    T, S = tr[0], tr[1]
-    state = state.replace(T=T, S=S,
-                          uhtr=jnp.zeros_like(state.uhtr),
+    state = _unstack_tracers(state, tr, names)
+    state = state.replace(uhtr=jnp.zeros_like(state.uhtr),
                           vhtr=jnp.zeros_like(state.vhtr))
 
     # --- lateral tracer diffusion (tracer_hor_diff role) -------------------
     kd_redi = None
     if p.khtr > 0.0:
-        dt_trd = p.dyn.dt * p.n_dyn_per_thermo
-        tr = jnp.stack([state.T, state.S])
+        tr, names = _stack_tracers(state, p)
         if p.neutral_diffusion:
             from mom6_tpu.tracers.neutral_diffusion import neutral_diffusion
             tr, kd_redi = neutral_diffusion(tr, state.h, state.T, state.S,
-                                            G, GV, eos, p.khtr, dt_trd)
+                                            G, GV, eos, p.khtr, dt_therm)
         else:
             from mom6_tpu.tracers.hor_diff import tracer_hordiff
-            tr = tracer_hordiff(tr, state.h, p.khtr, dt_trd, G)
-        state = state.replace(T=tr[0], S=tr[1])
+            tr = tracer_hordiff(tr, state.h, p.khtr, dt_therm, G)
+        state = _unstack_tracers(state, tr, names)
 
     if p.khtr_bl > 0.0:
         # along-boundary-layer lateral mixing (MOM_hor_bnd_diffusion)
         from mom6_tpu.diagnostics.mld import diagnose_mld
         from mom6_tpu.tracers.hor_bnd_diffusion import hor_bnd_diffusion
-        dt_trd = p.dyn.dt * p.n_dyn_per_thermo
         bld = diagnose_mld(state.h, state.T, state.S, G, GV, eos)
-        tr = jnp.stack([state.T, state.S])
-        tr = hor_bnd_diffusion(tr, state.h, bld, p.khtr_bl, dt_trd, G)
-        state = state.replace(T=tr[0], S=tr[1])
+        tr, names = _stack_tracers(state, p)
+        tr = hor_bnd_diffusion(tr, state.h, bld, p.khtr_bl, dt_therm, G)
+        state = _unstack_tracers(state, tr, names)
 
     # --- column physics (step_MOM_thermo -> diabatic) ---------------------
     if p.diabatic.boundary_layer_scheme == "BULKML":
@@ -176,7 +299,6 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             jnp.zeros_like(G.mask2dT)
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
-        dt_therm = p.dyn.dt * p.n_dyn_per_thermo
         h_n, T, S, u_n, v_n, _ = diabatic_layered(
             state.T, state.S, state.h, state.u, state.v, forcing.buoy,
             taux, tauy, dt_therm, G, GV, p.diabatic, eos)
@@ -185,6 +307,21 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
     # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
     kd_extra = kd_redi     # Redi K S^2 implicit part, if any
+
+    # Langmuir-turbulence enhancement of boundary-layer mixing
+    # (MOM_wave_interface.F90 -> KPP/ePBL Langmuir number path)
+    lang_enh = None
+    if p.waves is not None and forcing.mech.u10 is not None:
+        from mom6_tpu.physics.waves import (langmuir_enhancement,
+                                            langmuir_number)
+        taux = forcing.mech.taux if forcing.mech.taux is not None else \
+            jnp.zeros_like(G.mask2dT)
+        tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
+            jnp.zeros_like(G.mask2dT)
+        ustar = jnp.sqrt(jnp.sqrt(taux ** 2 + tauy ** 2) / GV.rho0)
+        la_t = langmuir_number(ustar, forcing.mech.u10, p.waves)
+        lang_enh = langmuir_enhancement(la_t)
+
     if p.diabatic.boundary_layer_scheme == "KPP":
         from mom6_tpu.physics.vertical.kpp import kpp_diffusivity
         taux = forcing.mech.taux if forcing.mech.taux is not None else \
@@ -193,7 +330,8 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             jnp.zeros_like(G.mask2dT)
         kd_bl, _ = kpp_diffusivity(state.h, state.u, state.v, state.T,
                                    state.S, G, GV, eos, taux, tauy,
-                                   forcing.buoy.heat_flux)
+                                   forcing.buoy.heat_flux,
+                                   cp=p.diabatic.cp, lang_enh=lang_enh)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     elif p.diabatic.boundary_layer_scheme == "EPBL":
         from mom6_tpu.physics.vertical.epbl import epbl_diffusivity
@@ -202,14 +340,14 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
         kd_bl, _ = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
-                                    taux, tauy, forcing.buoy.heat_flux)
+                                    taux, tauy, forcing.buoy.heat_flux,
+                                    cp=p.diabatic.cp, lang_enh=lang_enh)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     if p.diabatic.use_shear_mixing:
         if p.diabatic.shear_scheme == "JHL":
             from mom6_tpu.physics.vertical.kappa_shear import kappa_shear
             kd_sh, _ = kappa_shear(state.h, state.u, state.v, state.T,
-                                   state.S, G, GV, eos,
-                                   dt=p.dyn.dt * p.n_dyn_per_thermo)
+                                   state.S, G, GV, eos, dt=dt_therm)
         else:
             from mom6_tpu.physics.vertical.shear_mixing import (
                 ShearMixingParams, shear_mixing_kd)
@@ -226,14 +364,13 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             step_internal_tides
         from mom6_tpu.physics.vertical.tidal_mixing import (
             TidalMixingParams, int_tide_input_tke, tidal_mixing_kd)
-        dt_it = p.dyn.dt * p.n_dyn_per_thermo
         tmp = p.diabatic.diff.tidal if p.diabatic.diff.tidal is not None \
             else TidalMixingParams()
         tke_in, _ = int_tide_input_tke(state.h, state.T, state.S, G, GV,
                                        eos, tmp)
         cn = wave_speed(state.h, state.T, state.S, G, GV, eos)
         en_new, loss = step_internal_tides(state.En_itide, tke_in, cn,
-                                           G, GV, dt_it, p.int_tides)
+                                           G, GV, dt_therm, p.int_tides)
         state = state.replace(En_itide=en_new)
         # deposit the propagated-loss energy with mixing efficiency mu
         # (lowmode has no additional local-fraction q)
@@ -243,12 +380,65 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                                                       1e-6))
         kd_extra = kd_low if kd_extra is None else kd_extra + kd_low
 
-    dt_therm = p.dyn.dt * p.n_dyn_per_thermo
-    T, S, kd, _ = diabatic_ale(state.T, state.S, state.h, forcing.buoy,
-                               dt_therm, G, GV, p.diabatic,
-                               kd_extra=kd_extra, eos=eos)
+    passive = None
+    if names:
+        passive = jnp.stack([state.tr[n] for n in names])
+    T0, S0 = state.T, state.S
+    T, S, kd, passive_new, frazil = diabatic_ale(
+        state.T, state.S, state.h, forcing.buoy, dt_therm, G, GV,
+        p.diabatic, kd_extra=kd_extra, extra_tracers=passive, eos=eos,
+        u=state.u, v=state.v)
+
+    # --- SPPT: perturb the net diabatic T/S tendency (MOM_stochastics
+    # SPPT branch) ----------------------------------------------------------
+    if p.sppt is not None and state.sppt_pattern is not None:
+        from mom6_tpu.physics.stochastic import apply_sppt
+        T = T0 + apply_sppt(T - T0, state.sppt_pattern, p.sppt)
+        S = S0 + apply_sppt(S - S0, state.sppt_pattern, p.sppt)
     state = state.replace(T=T, S=S)
+    if names:
+        tr_d = dict(state.tr)
+        for i, n in enumerate(names):
+            tr_d[n] = passive_new[i]
+        state = state.replace(tr=tr_d)
+
+    # --- tracer-package column physics (call_tracer_column_fns,
+    # MOM_tracer_flow_control.F90:955) --------------------------------------
+    if p.tfc is not None and state.tr is not None:
+        state = state.replace(
+            tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G, GV))
+
+    # --- sponges (apply_ALE_sponge, MOM_ALE_sponge.F90; sequenced after
+    # the diabatic solve as in MOM_diabatic_driver.F90:1770) ----------------
+    if p.sponge is not None:
+        from mom6_tpu.physics.vertical.sponge import apply_sponge
+        state = apply_sponge(state, dt_therm, p.sponge, G)
+
+    # --- advance the stochastic patterns once per thermo cycle ------------
+    if (p.sppt is not None or p.skeb_scale > 0.0) \
+            and state.rng_key is not None:
+        from mom6_tpu.physics.stochastic import SPPTParams, ar1_pattern
+        sp = p.sppt if p.sppt is not None else SPPTParams()
+        key = state.rng_key
+        if state.sppt_pattern is not None:
+            pat, key = ar1_pattern(state.sppt_pattern, key, dt_therm,
+                                   state.sppt_pattern.shape, sp)
+            state = state.replace(sppt_pattern=pat)
+        if state.skeb_pattern is not None:
+            pat, key = ar1_pattern(state.skeb_pattern, key, dt_therm,
+                                   state.skeb_pattern.shape, sp)
+            state = state.replace(skeb_pattern=pat)
+        state = state.replace(rng_key=key)
 
     # --- ALE regrid + remap ----------------------------------------------
-    state, _ = ale_regrid_remap(state, G, GV, p.ale)
+    passive = None
+    if names:
+        passive = jnp.stack([state.tr[n] for n in names])
+    state, passive_new = ale_regrid_remap(state, G, GV, p.ale,
+                                          extra_tracers=passive)
+    if names and passive_new is not None:
+        tr_d = dict(state.tr)
+        for i, n in enumerate(names):
+            tr_d[n] = passive_new[i]
+        state = state.replace(tr=tr_d)
     return state

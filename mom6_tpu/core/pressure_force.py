@@ -50,11 +50,16 @@ _BOOLE = (7.0 / 90.0, 32.0 / 90.0, 12.0 / 90.0, 32.0 / 90.0, 7.0 / 90.0)
 _H_NEGLECT = 1e-10
 
 
-def _dpa_column(T, S, e_t, e_b, g, rho0, eos):
+def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None):
     """Pressure-anomaly change and its in-layer integral for columns with
     layer-constant T/S (the PCM form of int_density_dz,
     MOM_density_integrals.F90): 5-point Boole quadrature of
     g*(rho(T,S,p(z)) - rho0) over [e_b, e_t].
+
+    ``varT``: optional layer-constant SGS temperature variance; adds the
+    Stanley et al. correction 0.5 * d2rho/dT2 * varT to each density
+    sample (the use_Stanley branch of int_density_dz, wired from
+    MOM_stoch_eos.F90:261).
 
     Returns (dpa [Pa], intz_dpa [Pa m]): dpa = pa(e_b) - pa(e_t) and
     intz_dpa = int over the layer of (pa(z) - pa(e_t)) dz."""
@@ -65,7 +70,11 @@ def _dpa_column(T, S, e_t, e_b, g, rho0, eos):
     for n in range(5):
         z_n = e_t - (n / 4.0) * dz
         p_n = -gxrho * z_n
-        rho5.append(eos.density(T, S, p_n, rho_ref=rho0))
+        r = eos.density(T, S, p_n, rho_ref=rho0)
+        if varT is not None:
+            from mom6_tpu.eos.stoch_eos import stanley_density_correction
+            r = r + stanley_density_correction(T, S, p_n, eos, varT)
+        rho5.append(r)
     dpa = (g * dz) * sum(w * r for w, r in zip(_BOOLE, rho5))
     # pa(z) - pa(e_t) at the 5 points by cumulative Simpson/trapezoid
     pa_rel = [jnp.zeros_like(dpa)]
@@ -77,7 +86,8 @@ def _dpa_column(T, S, e_t, e_b, g, rho0, eos):
 
 
 def _dpa_face(T_l, S_l, T_r, S_r, et_l, eb_l, et_r, eb_r,
-              dpa_l, dpa_r, bathy_l, bathy_r, g, rho0, eos):
+              dpa_l, dpa_r, bathy_l, bathy_r, g, rho0, eos,
+              varT_l=None, varT_r=None):
     """x-integral of the pressure-anomaly change through a layer along a
     face: the end points reuse the column integrals (exact telescoping at
     rest); 3 interior positions interpolate properties and geometry and
@@ -106,12 +116,15 @@ def _dpa_face(T_l, S_l, T_r, S_r, et_l, eb_l, et_r, eb_r,
         S_m = wtt_l * S_l + wtt_r * S_r
         et_m = wt_l * et_l + wt_r * et_r
         eb_m = wt_l * eb_l + wt_r * eb_r
-        dpa_m, _ = _dpa_column(T_m, S_m, et_m, eb_m, g, rho0, eos)
+        varT_m = (wtt_l * varT_l + wtt_r * varT_r) \
+            if varT_l is not None else None
+        dpa_m, _ = _dpa_column(T_m, S_m, et_m, eb_m, g, rho0, eos, varT_m)
         total = total + _BOOLE[m] * dpa_m
     return total
 
 
-def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None) -> PressureForceOut:
+def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None, e_tidal=None,
+                      varT=None) -> PressureForceOut:
     """Boussinesq finite-volume (contact-force) pressure gradient with a
     full equation of state — the analytically-integrated Adcroft form of
     MOM6's PressureForce_FV_Bouss (reference:
@@ -136,9 +149,15 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None) -> PressureForceOut:
     csum_below = jnp.cumsum(h[::-1], axis=0)[::-1]
     e = jnp.concatenate([csum_below, jnp.zeros_like(h[:1])], axis=0) \
         - G.bathyT[None]                                 # (nz+1, ny, nx)
+    if e_tidal is not None:
+        # heights relative to the perturbed geopotential: equilibrium
+        # tidal potential + self-attraction/loading (the e_tidal of
+        # PressureForce_FV_Bouss, fed by MOM_tidal_forcing.F90:817 and
+        # MOM_self_attr_load.F90:392)
+        e = e - e_tidal[None]
 
     e_t, e_b = e[:-1], e[1:]
-    dpa, intz_dpa = _dpa_column(T, S, e_t, e_b, g, rho0, eos)
+    dpa, intz_dpa = _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT)
 
     # pa at interfaces: pa(surface) = g*rho0*e1 (+ p_surf), then accumulate
     pa_top = g * rho0 * e[0]
@@ -155,7 +174,9 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None) -> PressureForceOut:
         intx_dpa = _dpa_face(T, S, T_r, S_r, e_t, e_b, et_r, eb_r,
                              dpa, roll_fn(dpa),
                              G.bathyT[None], roll_fn(G.bathyT)[None],
-                             g, rho0, eos)
+                             g, rho0, eos,
+                             varT, roll_fn(varT) if varT is not None
+                             else None)
         # x-integral of pa along interfaces: surface from the linear mean,
         # deeper interfaces by accumulating intx_dpa
         intx_pa_top = 0.5 * (pa[0] + roll_fn(pa[0]))
@@ -210,12 +231,14 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None) -> PressureForceOut:
     return PressureForceOut(pfu, pfv, pbce.astype(h.dtype), eta)
 
 
-def pressure_force_montgomery(h, G, GV) -> PressureForceOut:
+def pressure_force_montgomery(h, G, GV, e_tidal=None) -> PressureForceOut:
     """Montgomery-potential PF for the layered stack."""
     # interface heights, positive up: e[k] = top interface of layer k
     # e_bot = -D;  e[k] = -D + sum_{m>=k} h_m
     csum_below = jnp.cumsum(h[::-1], axis=0)[::-1]      # sum_{m>=k} h_m
     e = csum_below - G.bathyT[None]                     # (nz, ny, nx), top interfaces
+    if e_tidal is not None:
+        e = e - e_tidal[None]
     gp = GV.g_prime[:, None, None]
     M = jnp.cumsum(gp * e, axis=0)
     pfu = -(ip1(M) - M) * G.IdxCu * G.mask2dCu

@@ -39,6 +39,16 @@ class OceanState:
     E_meke: Optional[jnp.ndarray] = None   # (ny, nx) eddy energy [m2 s-2]
     En_itide: Optional[jnp.ndarray] = None  # (n_angle, ny, nx) internal-tide
     #                                         energy density [J m-2 / bin]
+    # registry-driven passive tracers (MOM_tracer_registry role): a dict
+    # {name: (nz, ny, nx)}; names starting with "_" are package scalars
+    # (clocks etc.) that are carried but never advected/diffused
+    tr: Optional[dict] = None
+    # model time [s] since start (drives astronomical tidal forcing)
+    time: Optional[jnp.ndarray] = None
+    # stochastic physics (SPPT/SKEB): AR(1) patterns + PRNG key
+    sppt_pattern: Optional[jnp.ndarray] = None  # (ny, nx)
+    skeb_pattern: Optional[jnp.ndarray] = None  # (ny, nx) at q points
+    rng_key: Optional[jnp.ndarray] = None       # jax PRNG key data
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

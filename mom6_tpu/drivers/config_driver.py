@@ -339,13 +339,190 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             drag_coef=pf.get("INT_TIDE_DRAG_COEF", float, default=1e-4,
                              module=m))
 
+    # -- column-physics extras (MOM_diabatic_driver sequence flags) --------
+    m = "MOM_diabatic_driver"
+    geo_scale = pf.get("GEOTHERMAL_SCALE", float, default=0.0,
+                       units="W m-2", module="MOM_geothermal",
+                       desc="Geothermal heat flux (0 disables)")
+    if geo_scale > 0.0:
+        from mom6_tpu.physics.vertical.opacity import GeothermalParams
+        diab = diab._replace(geothermal=GeothermalParams(
+            heat_flux=geo_scale))
+    if pf.get("PEN_SW_NBANDS", int, default=0, module="MOM_opacity") > 0:
+        from mom6_tpu.physics.vertical.opacity import OpacityParams
+        diab = diab._replace(opacity=OpacityParams(
+            r_frac=pf.get("PEN_SW_FRAC_R", float, default=0.58,
+                          module="MOM_opacity"),
+            zeta1=pf.get("PEN_SW_ZETA1", float, default=0.35, units="m",
+                         module="MOM_opacity"),
+            zeta2=pf.get("PEN_SW_ZETA2", float, default=23.0, units="m",
+                         module="MOM_opacity")))
+    if pf.get("USE_CVMIX_CONVECTION", bool, default=False, module=m):
+        from mom6_tpu.physics.vertical.convection import ConvectionParams
+        diab = diab._replace(convection=ConvectionParams(
+            kd_conv=pf.get("KD_CONV", float, default=1.0, units="m2 s-1",
+                           module=m)))
+    if pf.get("DOUBLE_DIFFUSION", bool, default=False, module=m) or \
+            pf.get("USE_CVMIX_DDIFF", bool, default=False, module=m):
+        from mom6_tpu.physics.vertical.convection import DDiffParams
+        diab = diab._replace(ddiff=DDiffParams())
+    diab = diab._replace(frazil=pf.get("FRAZIL", bool, default=False,
+                                       module=m),
+                         tfreeze_form=pf.get("TFREEZE_FORM", str,
+                                             default="LINEAR", module=m))
+    diab = diab._replace(cp=pf.get("C_P", float, default=3991.87,
+                                   units="J kg-1 K-1", module=m))
+
+    # -- bottom boundary layer (set_viscous_BBL + BBL drag mixing) ---------
+    m = "MOM_set_viscosity"
+    bbl_visc = None
+    if pf.get("BOTTOMDRAGLAW", bool, default=False, module=m,
+              desc="BBL viscosity/thickness from a drag law (the "
+                   "reference defaults True; off here unless requested)"):
+        from mom6_tpu.physics.vertical.set_viscosity import SetViscParams
+        bbl_visc = SetViscParams(
+            cdrag=pf.get("CDRAG", float, default=0.003, module=m),
+            hbbl=pf.get("HBBL", float, default=10.0, units="m", module=m),
+            bbl_thick_min=pf.get("BBL_THICK_MIN", float, default=0.1,
+                                 units="m", module=m),
+            kv_bbl_min=pf.get("KV_BBL_MIN", float, default=1e-4,
+                              units="m2 s-1", module=m),
+            drag_bg_vel=pf.get("DRAG_BG_VEL", float, default=0.0,
+                               units="m s-1", module=m))
+        diab = diab._replace(diff=diab.diff._replace(
+            bbl_effic=pf.get("BBL_EFFIC", float, default=0.2,
+                             module="MOM_set_diffusivity")))
+
+    # -- lateral extras ------------------------------------------------------
+    m = "MOM_interface_filter"
+    iface_filter = None
+    if pf.get("APPLY_INTERFACE_FILTER", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.interface_filter import \
+            InterfaceFilterParams
+        iface_filter = InterfaceFilterParams(
+            time_scale=pf.get("INTERFACE_FILTER_TIME_SCALE", float,
+                              default=3600.0, units="s", module=m),
+            order=pf.get("INTERFACE_FILTER_ORDER", int, default=2,
+                         module=m))
+
+    m = "MOM_porous_barriers"
+    porous = None
+    if pf.get("POROUS_BARRIER", bool, default=False, module=m,
+              desc="Sub-grid sill openness from adjacent-cell depths"):
+        from mom6_tpu.core.porous_barriers import PorousBarrier
+        bat = np.asarray(G.bathyT)
+        d_min_u = np.minimum(bat, np.roll(bat, -1, -1))
+        d_max_u = np.maximum(bat, np.roll(bat, -1, -1))
+        d_min_v = np.minimum(bat, np.roll(bat, -1, -2))
+        d_max_v = np.maximum(bat, np.roll(bat, -1, -2))
+        porous = PorousBarrier(
+            d_min_u=jnp.asarray(d_min_u, dtype),
+            d_max_u=jnp.asarray(d_max_u, dtype),
+            d_min_v=jnp.asarray(d_min_v, dtype),
+            d_max_v=jnp.asarray(d_max_v, dtype))
+
+    m = "MOM_Zanna_Bolton"
+    zb = None
+    if pf.get("USE_ZB2020", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.zanna_bolton import ZBParams
+        zb = ZBParams(amplitude=pf.get("ZB_SCALING", float, default=0.3,
+                                       module=m))
+
+    m = "MOM_stoch_eos"
+    stanley = -1.0
+    if pf.get("USE_STANLEY_PGF", bool, default=False, module=m):
+        stanley = pf.get("STANLEY_COEFF", float, default=0.5, module=m)
+
+    # -- astronomical tides + self-attraction/loading -----------------------
+    m = "MOM_tidal_forcing"
+    tides = None
+    if pf.get("TIDES", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.tidal_forcing import \
+            TidalForcingParams
+        names = tuple(pf.get("TIDE_CONSTITUENTS", str, default="M2",
+                             module=m).replace(" ", "").split(","))
+        tides = TidalForcingParams(names=names)
+        if pf.get("GRID_CONFIG", str, default="cartesian",
+                  module="MOM_grid_init") != "spherical":
+            raise ValueError("TIDES requires GRID_CONFIG=spherical "
+                             "(astronomical potential needs lat/lon)")
+    m = "MOM_self_attr_load"
+    sal_h = None
+    sal_scalar = pf.get("SAL_SCALAR_VALUE", float, default=0.0, module=m,
+                        desc="Scalar SAL coefficient applied inside the "
+                             "barotropic subcycle")
+    if sal_scalar != 0.0:
+        dyn = dyn._replace(bt=dyn.bt._replace(sal_scalar=sal_scalar))
+    if pf.get("SAL_HARMONICS", bool, default=False, module=m):
+        from mom6_tpu.physics.lateral.self_attr_load import \
+            build_sal_harmonics
+        sal_h = build_sal_harmonics(
+            G, nmax=pf.get("SAL_HARMONICS_DEGREE", int, default=12,
+                           module=m))
+
+    # -- stochastic physics (SPPT/SKEB) -------------------------------------
+    m = "MOM_stochastics"
+    sppt = None
+    skeb_scale = 0.0
+    do_sppt = pf.get("DO_SPPT", bool, default=False, module=m)
+    do_skeb = pf.get("DO_SKEB", bool, default=False, module=m)
+    if do_sppt or do_skeb:
+        from mom6_tpu.physics.stochastic import SPPTParams
+        sppt = SPPTParams(
+            amplitude=pf.get("SPPT_AMPLITUDE", float, default=0.5,
+                             module=m),
+            tau=pf.get("SPPT_TAU", float, default=6.0 * 3600.0, units="s",
+                       module=m))
+        if do_skeb:
+            skeb_scale = pf.get("SKEB_SCALE", float, default=1.0,
+                                units="m2 s-1", module=m)
+
+    # -- surface waves -> Langmuir mixing ------------------------------------
+    m = "MOM_wave_interface"
+    waves = None
+    if pf.get("USE_WAVES", bool, default=False, module=m) and \
+            pf.get("LANGMUIR_MIXING", bool, default=True, module=m):
+        from mom6_tpu.physics.waves import WaveParams
+        waves = WaveParams()
+
+    # -- tracer packages (MOM_tracer_flow_control flags) --------------------
+    m = "MOM_tracer_flow_control"
+    pkgs = []
+    if pf.get("USE_IDEAL_AGE_TRACER", bool, default=False, module=m):
+        from mom6_tpu.tracers.packages import IdealAge
+        pkgs.append(IdealAge())
+    if pf.get("USE_REGIONAL_DYES", bool, default=False, module=m):
+        from mom6_tpu.tracers.packages import RegionalDye
+        pkgs.append(RegionalDye(
+            i_min=pf.get("DYE_SOURCE_MINI", int, default=0, module=m),
+            i_max=pf.get("DYE_SOURCE_MAXI", int, default=4, module=m),
+            j_min=pf.get("DYE_SOURCE_MINJ", int, default=0, module=m),
+            j_max=pf.get("DYE_SOURCE_MAXJ", int, default=4, module=m)))
+    if pf.get("USE_BOUNDARY_IMPULSE_TRACER", bool, default=False, module=m):
+        from mom6_tpu.tracers.packages import BoundaryImpulse
+        pkgs.append(BoundaryImpulse())
+    if pf.get("USE_PSEUDO_SALT_TRACER", bool, default=False, module=m):
+        from mom6_tpu.tracers.packages import PseudoSalt
+        pkgs.append(PseudoSalt())
+    if pf.get("USE_OCMIP2_CFC", bool, default=False, module=m):
+        from mom6_tpu.tracers.packages import CFCPackage
+        pkgs.append(CFCPackage())
+    tfc = None
+    if pkgs:
+        from mom6_tpu.tracers.packages import TracerFlowControl
+        tfc = TracerFlowControl(pkgs)
+
     params = MOMParams(dyn=dyn, thermo_enabled=use_thermo,
                        eos_name=eos_name, diabatic=diab, ale=ale,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
                        obc=obc, int_tides=int_tides,
                        khtr=khtr, neutral_diffusion=use_ndiff,
                        khtr_bl=khtr_bl,
-                       n_dyn_per_thermo=n_dyn_per_thermo)
+                       n_dyn_per_thermo=n_dyn_per_thermo,
+                       interface_filter=iface_filter, porous=porous,
+                       zb=zb, bbl_visc=bbl_visc, stanley_coeff=stanley,
+                       tides=tides, sal_harmonics=sal_h, sppt=sppt,
+                       skeb_scale=skeb_scale, waves=waves, tfc=tfc)
 
     # -- initial state ----------------------------------------------------
     m = "MOM_state_initialization"
@@ -410,6 +587,57 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
 
     forcing = Forcing(mech=MechForcing(taux=taux, tauy=tauy),
                       buoy=BuoyancyForcing(heat_flux=heat))
+
+    # -- per-subsystem state fields ----------------------------------------
+    if waves is not None:
+        # 10-m wind speed for the Stokes drift / Langmuir number, from the
+        # wind stress via the bulk formula tau = rho_air cd U10^2
+        # (the wave interface's wind-derived Stokes option,
+        # src/user/MOM_wave_interface.F90)
+        tx = taux if taux is not None else jnp.zeros((G.ny, G.nx), dtype)
+        ty = tauy if tauy is not None else jnp.zeros((G.ny, G.nx), dtype)
+        u10 = jnp.sqrt(jnp.sqrt(tx * tx + ty * ty) / (1.225 * 1.3e-3))
+        forcing = forcing._replace(mech=forcing.mech._replace(u10=u10))
+    if tfc is not None:
+        state = state.replace(tr=tfc.init_tracers(state.h.shape, dtype))
+    if tides is not None:
+        state = state.replace(time=jnp.zeros((), dtype))
+    if sppt is not None:
+        import jax as _jax
+        seed = pf.get("STOCH_SEED", int, default=0,
+                      module="MOM_stochastics")
+        state = state.replace(rng_key=_jax.random.PRNGKey(seed))
+        if do_sppt:
+            state = state.replace(
+                sppt_pattern=jnp.zeros((G.ny, G.nx), dtype))
+        if do_skeb:
+            state = state.replace(
+                skeb_pattern=jnp.zeros((G.ny, G.nx), dtype))
+
+    # -- sponges (analytic damping-band configs; MOM_ALE_sponge role;
+    # reference reads SPONGE_DAMPING_FILE, here built analytically) --------
+    m = "MOM_sponge"
+    if pf.get("SPONGE", bool, default=False, module=m) and use_thermo:
+        from mom6_tpu.physics.vertical.sponge import SpongeParams
+        idamp_max = pf.get("SPONGE_IDAMP", float, default=1.0 / 86400.0,
+                           units="s-1", module=m)
+        sp_cfg = pf.get("SPONGE_CONFIG", str, default="NS_bands", module=m)
+        width = pf.get("SPONGE_WIDTH_FRAC", float, default=0.1, module=m,
+                       desc="Sponge band width as a domain fraction")
+        yfrac = (np.arange(G.ny) + 0.5) / G.ny
+        if sp_cfg == "NS_bands":
+            band = np.maximum(1.0 - yfrac / width,
+                              1.0 - (1.0 - yfrac) / width)
+            prof = np.maximum(band, 0.0)
+        elif sp_cfg == "uniform":
+            prof = np.ones(G.ny)
+        else:
+            raise NotImplementedError(f"SPONGE_CONFIG={sp_cfg}")
+        idamp = jnp.asarray(
+            np.broadcast_to((idamp_max * prof)[:, None], (G.ny, G.nx)),
+            dtype) * G.mask2dT
+        params = params._replace(sponge=SpongeParams(
+            idamp=idamp, T_ref=state.T, S_ref=state.S))
 
     if doc_dir:
         pf.write_doc(doc_dir)

@@ -27,8 +27,11 @@ def sgs_t_variance(T, G, stanley_coeff: float = 0.5):
 
 
 def stanley_density_correction(T, S, p, eos, sigma_t2, eps: float = 1e-2):
-    """0.5 * d2rho/dT2 * sigma_T^2 [kg m-3]."""
-    dT_p, _ = eos.density_derivs(T + eps, S, p)
-    dT_m, _ = eos.density_derivs(T - eps, S, p)
-    d2rho_dt2 = (dT_p - dT_m) / (2.0 * eps)
+    """0.5 * d2rho/dT2 * sigma_T^2 [kg m-3] (MOM_stoch_eos.F90:261 role)."""
+    if eos.density_second_derivs is not None:
+        _, _, d2rho_dt2, _, _ = eos.density_second_derivs(T, S, p)
+    else:
+        dT_p, _ = eos.density_derivs(T + eps, S, p)
+        dT_m, _ = eos.density_derivs(T - eps, S, p)
+        d2rho_dt2 = (dT_p - dT_m) / (2.0 * eps)
     return 0.5 * d2rho_dt2 * sigma_t2

@@ -14,7 +14,7 @@ register_restart_pair, save_restart, restore_state, query_initialized):
   fields can be re-derived (partial restarts).
 
 Restart equivalence (split run == continuous run) is gated by
-tests/test_restart.py, the analogue of .testing's test.restart.
+tests/test_restart_diag.py, the analogue of .testing's test.restart.
 """
 
 from __future__ import annotations

@@ -36,7 +36,10 @@ def interface_filter(h, G, GV, dt, p: InterfaceFilterParams
     if p.order == 4:
         target = lap(e_int)
 
-    coef = (jnp.sqrt(G.dxT * G.dyT) ** 2) / p.time_scale   # L^2 / tau
+    # L^2 / tau, capped at the explicit-diffusion stability limit for the
+    # one-shot update below (dt K / L^2 <= 1/8 in 2-D with safety margin)
+    L2 = G.dxT * G.dyT
+    coef = jnp.minimum(L2 / p.time_scale, 0.125 * L2 / dt)
     sx = (ip1(target) - target) * G.IdxCu
     sy = (jp1(target) - target) * G.IdyCv
     sign = -1.0 if p.order == 4 else 1.0

@@ -72,6 +72,9 @@ def build_sal_harmonics(G, nmax: int = 12, *, rho_water: float = 1035.0,
     ``love_factors``: optional (nmax+1,) array of (1 + k'_n - h'_n);
     defaults to 1 (rigid earth).  Degrees 0 and 1 are always excluded
     (mass conservation / reference-frame ambiguity)."""
+    # the zonal-FFT analysis resolves at most nx//2 wavenumbers and the
+    # meridional fit at most ny-1 degrees: cap nmax to the grid
+    nmax = min(nmax, int(G.nx) // 2, int(G.ny) - 1)
     lat = np.asarray(G.geoLatT)[:, 0] * np.pi / 180.0
     x = np.sin(lat)
     w = np.maximum(np.cos(lat), 1e-6)            # area weights per row

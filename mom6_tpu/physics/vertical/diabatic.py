@@ -2,15 +2,19 @@
 
 Analogue of MOM6's diabatic_ALE (reference:
 src/parameterizations/vertical/MOM_diabatic_driver.F90:1243, call sequence
-:1330-1870).  Round-1 sequence:
+:1330-1870).  Sequence:
 
-  set_diffusivity (background + optional shear/KPP contributions)
+  geothermal heating (geothermal_in_place role)
+  -> set_diffusivity (background/Bryan-Lewis/tidal + BBL drag
+     + shear/KPP contributions via kd_extra + convection)
+  -> double diffusion (separate T/S interface diffusivities, CVMix_ddiff)
+  -> penetrating shortwave absorption (set_pen_shortwave + opacity)
   -> applyBoundaryFluxesInOut (surface heat/salt fluxes into the top layer)
   -> implicit vertical diffusion of T/S (+ registered tracers)
+  -> frazil formation (diabatic_aux make_frazil role)
 
-Geothermal, penetrating shortwave, sponges, CVMix conv/ddiff, and the
-nonlocal KPP transport are planned follow-ons; KPP/ePBL boundary-layer
-diffusivities plug in through ``kd_extra``.
+Sponges and ODA increments are applied by the orchestrator after this
+(they need the full state), matching the reference's ordering.
 """
 
 from __future__ import annotations
@@ -31,39 +35,97 @@ class BuoyancyForcing(NamedTuple):
     """Surface buoyancy forcing (the ``forcing`` type of
     MOM_forcing_type.F90:262-302, thermodynamic part)."""
     heat_flux: Optional[jnp.ndarray] = None   # net surface heat [W m-2], +down
-    salt_flux: Optional[jnp.ndarray] = None   # salt flux [kg m-2 s-1... ppt m s-1]
+    salt_flux: Optional[jnp.ndarray] = None   # salt flux [ppt m s-1]
     sw_flux: Optional[jnp.ndarray] = None     # penetrating shortwave [W m-2]
+    # net fresh water (P - E + R) [m s-1]; dilutes top-layer salinity
+    fw_flux: Optional[jnp.ndarray] = None
 
 
 class DiabaticParams(NamedTuple):
     diff: DiffusivityParams = DiffusivityParams()
-    cp: float = 3925.0
+    # MOM6 default C_P (MOM_input default 3991.86795711963 J kg-1 K-1)
+    cp: float = 3991.87
     boundary_layer_scheme: str = "NONE"   # NONE | KPP | EPBL | BULKML
     use_shear_mixing: bool = False
     shear_scheme: str = "LMD94"
+    # column-physics options (all None/False = round-1 behavior)
+    geothermal: Optional["GeothermalParams"] = None
+    opacity: Optional["OpacityParams"] = None     # penetrating SW absorption
+    convection: Optional["ConvectionParams"] = None  # CVMix_conv analogue
+    ddiff: Optional["DDiffParams"] = None         # CVMix double diffusion
+    frazil: bool = False                          # make_frazil role
+    tfreeze_form: str = "LINEAR"                  # TFREEZE_FORM dispatch
     # layered-mode (BULKML) options
     bulkml: Optional["BulkMLParams"] = None
     entrain: Optional["EntrainDiffusiveParams"] = None
 
 
+def _make_frazil(T, S, h, GV, cp, tfreeze_form: str = "LINEAR"):
+    """Frazil-ice formation (reference: MOM_diabatic_aux.F90 make_frazil):
+    where a layer is below its local freezing point, reset it to freezing
+    and account the heat deficit as a frazil heat flux [J m-2] that an ice
+    model would extract.  Returns (T_new, frazil_heat)."""
+    from mom6_tpu.eos.tfreeze import get_tfreeze
+    z_mid = jnp.cumsum(h, axis=0) - 0.5 * h
+    p_mid = GV.rho0 * GV.g_earth * z_mid
+    t_fr = get_tfreeze(tfreeze_form)(S, p_mid)
+    deficit = jnp.maximum(t_fr - T, 0.0)           # [degC]
+    frazil = jnp.sum(deficit * h, axis=0) * GV.rho0 * cp   # [J m-2]
+    return jnp.maximum(T, t_fr), frazil
+
+
 def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
                  p: DiabaticParams, kd_extra: Optional[jnp.ndarray] = None,
-                 extra_tracers: Optional[jnp.ndarray] = None, eos=None):
+                 extra_tracers: Optional[jnp.ndarray] = None, eos=None,
+                 u=None, v=None):
     """One thermodynamic step of column physics.
 
-    Returns (T_new, S_new, kd, extra_tracers_new)."""
+    Returns (T_new, S_new, kd, extra_tracers_new, frazil)."""
+    # --- geothermal heating (geothermal_in_place,
+    # MOM_geothermal.F90 via opacity.geothermal_heating) -------------------
+    if p.geothermal is not None:
+        from mom6_tpu.physics.vertical.opacity import geothermal_heating
+        T = T + dt * geothermal_heating(h, GV, p.geothermal, cp=p.cp) \
+            * G.mask2dT[None]
+
+    # --- convective instability -> large interface Kd (CVMix_conv) --------
+    if p.convection is not None and eos is not None:
+        from mom6_tpu.physics.vertical.convection import convective_kd
+        kd_conv = convective_kd(h, T, S, G, GV, eos, p.convection)
+        kd_extra = kd_conv if kd_extra is None else kd_extra + kd_conv
+
     kd = set_diffusivity(h, G, GV, p.diff, kd_extra=kd_extra,
-                         T=T, S=S, eos=eos)
+                         T=T, S=S, eos=eos, u=u, v=v)
+
+    # --- double diffusion: separate T and S interface diffusivities -------
+    kd_T = kd_S = None
+    if p.ddiff is not None and eos is not None:
+        from mom6_tpu.physics.vertical.convection import double_diffusion_kd
+        dd_T, dd_S = double_diffusion_kd(h, T, S, G, GV, eos, p.ddiff)
+        kd_T, kd_S = kd + dd_T, kd + dd_S
+
+    # --- penetrating shortwave (set_pen_shortwave + opacity) --------------
+    sw_top = None
+    if forcing.sw_flux is not None:
+        if p.opacity is not None:
+            from mom6_tpu.physics.vertical.opacity import sw_heating
+            T = T + dt * sw_heating(h, forcing.sw_flux, GV, p.opacity,
+                                    cp=p.cp) * G.mask2dT[None]
+        else:
+            sw_top = forcing.sw_flux / (GV.rho0 * p.cp)
 
     # surface fluxes -> top-layer tendencies, expressed as tracer fluxes
     # [conc m s-1] for the implicit solve (applyBoundaryFluxesInOut role)
     t_flux = None
     if forcing.heat_flux is not None:
         t_flux = forcing.heat_flux / (GV.rho0 * p.cp)
-    if forcing.sw_flux is not None:
-        sw = forcing.sw_flux / (GV.rho0 * p.cp)
-        t_flux = sw if t_flux is None else t_flux + sw
+    if sw_top is not None:
+        t_flux = sw_top if t_flux is None else t_flux + sw_top
     s_flux = forcing.salt_flux
+    if forcing.fw_flux is not None:
+        # fresh water dilutes the top layer: virtual salt flux -S0 * fw
+        vsf = -S[0] * forcing.fw_flux
+        s_flux = vsf if s_flux is None else s_flux + vsf
 
     stack = [T, S]
     fluxes = [t_flux if t_flux is not None else jnp.zeros_like(T[0]),
@@ -75,10 +137,23 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
             fluxes.append(jnp.zeros_like(T[0]))
     arr = jnp.stack(stack)
     flux_arr = jnp.stack(fluxes)
-    out = tracer_vertdiff(arr, h, kd, dt, sfc_flux=flux_arr)
+    if kd_T is not None:
+        # per-tracer diffusivities: T and S get their double-diffusion
+        # variants, passive tracers diffuse with the S (mass) diffusivity
+        kd_stack = jnp.stack([kd_T, kd_S]
+                             + [kd_S] * (arr.shape[0] - 2))
+        out = tracer_vertdiff(arr, h, kd_stack, dt, sfc_flux=flux_arr)
+    else:
+        out = tracer_vertdiff(arr, h, kd, dt, sfc_flux=flux_arr)
     T_new, S_new = out[0], out[1]
     extra_new = out[n_state:] if extra_tracers is not None else None
-    return T_new, S_new, kd, extra_new
+
+    frazil = None
+    if p.frazil:
+        T_new, frazil = _make_frazil(T_new, S_new, h, GV, p.cp,
+                                     p.tfreeze_form)
+
+    return T_new, S_new, kd, extra_new, frazil
 
 
 def diabatic_layered(T, S, h, u, v, forcing: BuoyancyForcing, taux, tauy,

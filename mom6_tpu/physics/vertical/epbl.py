@@ -33,11 +33,12 @@ class EPBLParams(NamedTuple):
     mke_to_tke_frac: float = 0.0
     min_mld: float = 1.0
     kd_max: float = 1e-1
+    c_eps: float = 0.06       # TKE dissipation fraction (was inline)
 
 
 def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
-                     p: EPBLParams = EPBLParams()
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     p: EPBLParams = EPBLParams(), cp: float = 3991.87,
+                     lang_enh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (kd (nz+1,ny,nx), mld (ny,nx))."""
     from mom6_tpu.framework.stencil import im1, jm1
 
@@ -51,7 +52,7 @@ def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
         wb0 = jnp.zeros_like(ustar)
     else:
         drho_dT, _ = eos.density_derivs(T[0], S[0], jnp.zeros_like(T[0]))
-        wb0 = (GV.g_earth / GV.rho0) * drho_dT * heat_flux / (GV.rho0 * 3925.0)
+        wb0 = (GV.g_earth / GV.rho0) * drho_dT * heat_flux / (GV.rho0 * cp)
         wb0 = jnp.maximum(wb0, 0.0)
 
     # Energy balance: the TKE supplied at depth H,
@@ -74,10 +75,14 @@ def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
     n2_full = jnp.concatenate([n2[:1] * 0.0, n2], axis=0)  # at interfaces 1..nz
 
     wscale = jnp.maximum(ustar[None], 1e-6)
-    c_eps = 0.06
     cum_nz2 = jnp.cumsum(n2_full * z_int * z_int * h, axis=0)
-    cost = c_eps * wscale * cum_nz2 / jnp.maximum(z_int, _EPS)
-    budget = p.mstar * ustar[None] ** 3 + p.nstar * wb0[None] * z_int
+    cost = p.c_eps * wscale * cum_nz2 / jnp.maximum(z_int, _EPS)
+    mstar_eff = p.mstar
+    if lang_enh is not None:
+        # Langmuir enhancement of the mechanical energy input (the
+        # MSTAR_LT pathway of MOM_energetic_PBL / Reichl & Hallberg 2018)
+        mstar_eff = p.mstar * lang_enh
+    budget = mstar_eff * ustar[None] ** 3 + p.nstar * wb0[None] * z_int
 
     # continuous MLD: sum full layers while affordable plus the fractional
     # crossing layer (cost is monotone non-decreasing in depth)

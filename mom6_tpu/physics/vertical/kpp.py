@@ -58,8 +58,8 @@ def _w_scales(sigma_z, hbl, ustar, bflux_sfc, p: KPPParams):
 
 
 def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
-                    p: KPPParams = KPPParams()
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    p: KPPParams = KPPParams(), cp: float = 3991.87,
+                    lang_enh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Boundary-layer interface diffusivity and BLD.
 
     Inputs at h points (velocities averaged to centers); returns
@@ -82,7 +82,7 @@ def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
     else:
         drho_dT, _ = eos.density_derivs(T[0], S[0], jnp.zeros_like(T[0]))
         bflux = -(GV.g_earth / GV.rho0) * drho_dT * heat_flux / \
-            (GV.rho0 * 3925.0)
+            (GV.rho0 * cp)
 
     # layer-center depths and buoyancy from surface-referenced POTENTIAL
     # density (in-situ density would read adiabatic compression as
@@ -151,6 +151,10 @@ def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
                        jnp.minimum(z_int, p.surf_layer_ext * hbl[None]))
     ws_int = _w_scales(d_eval, None, ustar[None], bflux[None], p)
     kd = hbl[None] * ws_int * shape
+    if lang_enh is not None:
+        # Langmuir-turbulence enhancement (Li et al. 2016 factor applied
+        # to the velocity scale, MOM_CVMix_KPP's LT_K_ENHANCEMENT)
+        kd = kd * lang_enh[None]
     # assemble (nz+1): zero at surface and bottom
     kd_full = jnp.concatenate([jnp.zeros_like(kd[:1]), kd], axis=0)
     kd_full = kd_full.at[-1].set(0.0)

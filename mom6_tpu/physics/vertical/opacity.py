@@ -25,7 +25,7 @@ class GeothermalParams(NamedTuple):
 
 
 def sw_heating(h, sw_flux, GV, p: OpacityParams = OpacityParams(),
-               cp: float = 3925.0):
+               cp: float = 3991.87):
     """Temperature tendency [degC s-1] per layer from penetrating
     shortwave ``sw_flux`` [W m-2] (positive down)."""
     z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
@@ -43,7 +43,7 @@ def sw_heating(h, sw_flux, GV, p: OpacityParams = OpacityParams(),
 
 
 def geothermal_heating(h, GV, p: GeothermalParams = GeothermalParams(),
-                       cp: float = 3925.0, h_min: float = 1.0):
+                       cp: float = 3991.87, h_min: float = 1.0):
     """Temperature tendency [degC s-1]: the geothermal flux warms the
     deepest layer with significant mass (geothermal_in_place role)."""
     # weight ∝ indicator of being the deepest massive layer: find it with

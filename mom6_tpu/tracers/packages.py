@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from mom6_tpu.tracers.registry import TracerRegistry
 
 __all__ = ["TracerPackage", "IdealAge", "RegionalDye", "BoundaryImpulse",
-           "PseudoSalt", "TracerFlowControl"]
+           "PseudoSalt", "CFCPackage", "TracerFlowControl"]
 
 
 @dataclass
@@ -113,6 +113,73 @@ class PseudoSalt(TracerPackage):
 
     def init_fields(self, shape, dtype, S0: float = 35.0):
         return {"pseudo_salt": jnp.full(shape, S0, dtype)}
+
+
+@dataclass
+class CFCPackage(TracerPackage):
+    """CFC-11 + CFC-12 with OCMIP2 air-sea exchange (MOM_OCMIP2_CFC.F90):
+    surface saturation follows the Warner & Weiss (1985) solubility
+    function of the top-layer T/S and a piecewise-linear atmospheric
+    mixing-ratio history; the top layer relaxes toward saturation with a
+    prescribed piston velocity.  Time is carried in a package scalar."""
+    name: str = "cfc"
+    piston_velocity: float = 5.0 / 86400.0   # air-sea exchange [m s-1]
+    year0: float = 1950.0                    # model year at t = 0
+
+    # atmospheric mole fractions [ppt by volume], northern-hemisphere
+    # means at decadal knots (Walker et al. 2000 history, coarse knots)
+    _years = (1950.0, 1960.0, 1970.0, 1980.0, 1990.0, 1995.0, 2000.0,
+              2010.0)
+    _cfc11_atm = (0.0, 9.0, 60.0, 160.0, 255.0, 264.0, 260.0, 240.0)
+    _cfc12_atm = (0.0, 25.0, 110.0, 285.0, 465.0, 500.0, 535.0, 530.0)
+
+    def register(self, reg):
+        reg.register("cfc11", units="mol m-3", longname="CFC-11")
+        reg.register("cfc12", units="mol m-3", longname="CFC-12")
+
+    def init_fields(self, shape, dtype):
+        return {"cfc11": jnp.zeros(shape, dtype),
+                "cfc12": jnp.zeros(shape, dtype),
+                "_cfc_clock": jnp.zeros((), dtype)}
+
+    @staticmethod
+    def _solubility(T, S, a, b):
+        """Warner & Weiss (1985) solubility [mol m-3 patm-1]: coefficients
+        ``a`` (a1..a4) with ln/100 temperature terms and ``b`` (b1..b3)
+        salinity terms; T in degC, returns K0 in mol L-1 atm-1 * 1000."""
+        t100 = (T + 273.15) / 100.0
+        lnk = (a[0] + a[1] / t100 + a[2] * jnp.log(t100)
+               + a[3] * t100 * t100
+               + S * (b[0] + b[1] * t100 + b[2] * t100 * t100))
+        return 1000.0 * jnp.exp(lnk)       # mol m-3 atm-1
+
+    def column_physics(self, fields, h, dt, G, GV):
+        t_sec = fields["_cfc_clock"]
+        year = self.year0 + t_sec / (365.0 * 86400.0)
+        yrs = jnp.asarray(self._years)
+        atm11 = jnp.interp(year, yrs, jnp.asarray(self._cfc11_atm)) * 1e-12
+        atm12 = jnp.interp(year, yrs, jnp.asarray(self._cfc12_atm)) * 1e-12
+        T = fields.get("_sfc_T", None)
+        S = fields.get("_sfc_S", None)
+        if T is None:
+            T = jnp.full_like(h[0], 10.0)
+            S = jnp.full_like(h[0], 35.0)
+        # Warner & Weiss table 5 coefficients
+        k11 = self._solubility(T, S, (-229.9261, 319.6552, 119.4471,
+                                      -1.39165), (0.142382, -0.091459,
+                                                  0.0157274))
+        k12 = self._solubility(T, S, (-218.0971, 298.9702, 113.8049,
+                                      -1.39165), (0.143566, -0.091015,
+                                                  0.0153924))
+        out = dict(fields)
+        for name, atm, k0 in (("cfc11", atm11, k11), ("cfc12", atm12, k12)):
+            sat = k0 * atm                   # saturation conc [mol m-3]
+            c = fields[name]
+            w = dt * self.piston_velocity / jnp.maximum(h[0], 1e-3)
+            out[name] = c.at[0].set(((c[0] + w * sat) / (1.0 + w))
+                                    * G.mask2dT)
+        out["_cfc_clock"] = t_sec + dt
+        return out
 
 
 class TracerFlowControl:

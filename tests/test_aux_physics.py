@@ -126,7 +126,7 @@ class TestOpacityGeothermal:
         assert (dT >= 0).all()
         assert dT[0, 0, 0] > dT[1, 0, 0] > dT[2, 0, 0]  # decays with depth
         # total heating equals the incident flux
-        total = (dT * 10.0).sum(0) * GV.rho0 * 3925.0
+        total = (dT * 10.0).sum(0) * GV.rho0 * 3991.87
         np.testing.assert_allclose(total, 200.0, rtol=1e-3)
 
     def test_geothermal_bottom_only(self):
