@@ -322,16 +322,17 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         la_t = langmuir_number(ustar, forcing.mech.u10, p.waves)
         lang_enh = langmuir_enhancement(la_t)
 
+    kpp_nonlocal = None
     if p.diabatic.boundary_layer_scheme == "KPP":
         from mom6_tpu.physics.vertical.kpp import kpp_diffusivity
         taux = forcing.mech.taux if forcing.mech.taux is not None else \
             jnp.zeros_like(G.mask2dT)
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
-        kd_bl, _ = kpp_diffusivity(state.h, state.u, state.v, state.T,
-                                   state.S, G, GV, eos, taux, tauy,
-                                   forcing.buoy.heat_flux,
-                                   cp=p.diabatic.cp, lang_enh=lang_enh)
+        kd_bl, _, kpp_nonlocal = kpp_diffusivity(
+            state.h, state.u, state.v, state.T, state.S, G, GV, eos,
+            taux, tauy, forcing.buoy.heat_flux,
+            cp=p.diabatic.cp, lang_enh=lang_enh)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     elif p.diabatic.boundary_layer_scheme == "EPBL":
         from mom6_tpu.physics.vertical.epbl import epbl_diffusivity
@@ -341,7 +342,8 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             jnp.zeros_like(G.mask2dT)
         kd_bl, _ = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
                                     taux, tauy, forcing.buoy.heat_flux,
-                                    cp=p.diabatic.cp, lang_enh=lang_enh)
+                                    cp=p.diabatic.cp, lang_enh=lang_enh,
+                                    dt=dt_therm)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     if p.diabatic.use_shear_mixing:
         if p.diabatic.shear_scheme == "JHL":
@@ -388,6 +390,25 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         state.T, state.S, state.h, forcing.buoy, dt_therm, G, GV,
         p.diabatic, kd_extra=kd_extra, extra_tracers=passive, eos=eos,
         u=state.u, v=state.v)
+
+    # --- KPP nonlocal transport of the surface fluxes
+    # (KPP_NonLocalTransport_temp/saln, MOM_CVMix_KPP.F90:1660; applied
+    # to the nonpenetrative heat flux and the net salt flux) ----------------
+    if kpp_nonlocal is not None:
+        from mom6_tpu.physics.vertical.kpp import apply_nonlocal_transport
+        if forcing.buoy.heat_flux is not None:
+            t_sfc = forcing.buoy.heat_flux / (GV.rho0 * p.diabatic.cp)
+            T = apply_nonlocal_transport(T, state.h, kpp_nonlocal, t_sfc,
+                                         dt_therm)
+        s_sfc = None
+        if forcing.buoy.salt_flux is not None:
+            s_sfc = forcing.buoy.salt_flux
+        if forcing.buoy.fw_flux is not None:
+            vsf = -S[0] * forcing.buoy.fw_flux
+            s_sfc = vsf if s_sfc is None else s_sfc + vsf
+        if s_sfc is not None:
+            S = apply_nonlocal_transport(S, state.h, kpp_nonlocal, s_sfc,
+                                         dt_therm)
 
     # --- SPPT: perturb the net diabatic T/S tendency (MOM_stochastics
     # SPPT branch) ----------------------------------------------------------

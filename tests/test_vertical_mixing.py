@@ -41,10 +41,10 @@ class TestKPP:
         u = jnp.zeros_like(h)
         v = jnp.zeros_like(h)
         z = jnp.zeros((8, 8), jnp.float32)
-        kd1, hbl1 = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
-                                    z + 0.05, z, None)
-        kd2, hbl2 = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
-                                    z + 0.8, z, None)
+        kd1, hbl1, _ = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                       z + 0.05, z, None)
+        kd2, hbl2, _ = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                       z + 0.8, z, None)
         assert float(hbl2.mean()) > float(hbl1.mean())
         assert float(kd2.max()) > float(kd1.max())
         assert float(kd1.min()) >= 0.0
@@ -54,17 +54,18 @@ class TestKPP:
         u = v = jnp.zeros_like(h)
         z = jnp.zeros((8, 8), jnp.float32)
         tau = z + 0.1
-        _, hbl_neutral = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
-                                         tau, z, None)
-        _, hbl_cool = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
-                                      tau, z, z - 500.0)  # strong cooling
+        _, hbl_neutral, _ = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                            tau, z, None)
+        _, hbl_cool, _ = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                         tau, z, z - 500.0)  # strong cooling
         assert float(hbl_cool.mean()) > float(hbl_neutral.mean())
 
     def test_kd_shape_and_bounds(self):
         G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
         u = v = jnp.zeros_like(h)
         z = jnp.zeros((8, 8), jnp.float32)
-        kd, hbl = kpp_diffusivity(h, u, v, T, S, G, GV, eos, z + 0.2, z, None)
+        kd, hbl, _ = kpp_diffusivity(h, u, v, T, S, G, GV, eos, z + 0.2, z,
+                                     None)
         assert kd.shape == (26, 8, 8)
         k = np.asarray(kd)
         assert (k >= 0.0).all() and k.max() < 1.0
@@ -163,3 +164,86 @@ class TestKappaShear:
         u = jnp.zeros_like(h).at[0].set(0.6)   # Ri ~ 1.7 > critical
         kd, _ = kappa_shear(h, u, jnp.zeros_like(h), T, S, G, GV, eos)
         assert float(kd.max()) == 0.0
+
+
+class TestKPPNonlocal:
+    def test_nonlocal_active_only_under_cooling(self):
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
+        u = v = jnp.zeros_like(h)
+        z = jnp.zeros((8, 8), jnp.float32)
+        _, _, nlt_warm = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                         z + 0.1, z, z + 200.0)
+        _, _, nlt_cool = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                         z + 0.1, z, z - 200.0)
+        assert float(jnp.abs(nlt_warm).max()) == 0.0
+        assert float(nlt_cool.max()) > 0.1
+
+    def test_nonlocal_redistribution_conserves(self):
+        from mom6_tpu.physics.vertical.kpp import apply_nonlocal_transport
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
+        u = v = jnp.zeros_like(h)
+        z = jnp.zeros((8, 8), jnp.float32)
+        _, _, nlt = kpp_diffusivity(h, u, v, T, S, G, GV, eos,
+                                    z + 0.1, z, z - 200.0)
+        sfc = jnp.full((8, 8), -1e-5, jnp.float32)   # cooling flux
+        T2 = apply_nonlocal_transport(T, h, nlt, sfc, 3600.0)
+        # column heat content unchanged (pure redistribution)
+        c0 = np.asarray(jnp.sum(T * h, axis=0))
+        c1 = np.asarray(jnp.sum(T2 * h, axis=0))
+        np.testing.assert_allclose(c1, c0, rtol=2e-6)
+        # nonlocal moves part of the surface cooling DEEPER: the top layer
+        # is warmed back relative to the purely local application while
+        # subsurface layers take up the cooling
+        assert float((T2[0] - T[0]).min()) > 0.0
+        assert float((T2[1:] - T[1:]).min()) < 0.0
+
+    def test_surface_layer_averaging_differs_from_top_layer(self):
+        from mom6_tpu.physics.vertical.kpp import _surface_layer_means
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=False)
+        z_c = jnp.cumsum(h, axis=0) - 0.5 * h
+        b = -9.8 / 1035.0 * eos.density(T, S, jnp.zeros_like(T),
+                                        rho_ref=1035.0)
+        refs = _surface_layer_means(z_c, h, (b,), 0.1)
+        b_ref = refs[0]
+        # deep levels average over a thick surface layer: the reference
+        # differs from the raw top-layer value
+        assert not np.allclose(np.asarray(b_ref[-1]), np.asarray(b[0]))
+        # but the shallowest level's reference IS the top layer
+        np.testing.assert_allclose(np.asarray(b_ref[0]),
+                                   np.asarray(b[0]), rtol=1e-5)
+
+
+class TestEPBLRH18:
+    def test_mstar_schemes(self):
+        from mom6_tpu.physics.vertical.epbl import EPBLParams, find_mstar
+        b = jnp.zeros((4, 4), jnp.float32)
+        us = jnp.full((4, 4), 0.01, jnp.float32)
+        f = jnp.full((4, 4), 1e-4, jnp.float32)
+        bld = jnp.full((4, 4), 50.0, jnp.float32)
+        m_fix = find_mstar(b, us, bld, f, EPBLParams(mstar_scheme="FIXED"))
+        assert float(m_fix.mean()) == pytest.approx(1.2)
+        m_rh = find_mstar(b, us, bld, f, EPBLParams(mstar_scheme="RH18"))
+        # RH18 neutral limit: cn1 * M/(1+M) <= cn1 = 0.275
+        assert 0.0 < float(m_rh.mean()) <= 0.275 + 1e-6
+        # stabilizing buoyancy flux adds mstar_S
+        m_stab = find_mstar(b + 1e-7, us, bld, f,
+                            EPBLParams(mstar_scheme="RH18"))
+        assert float(m_stab.mean()) > float(m_rh.mean())
+
+    def test_rotation_shuts_down_mstar(self):
+        from mom6_tpu.physics.vertical.epbl import EPBLParams, find_mstar
+        b = jnp.zeros((4, 4), jnp.float32)
+        us = jnp.full((4, 4), 0.01, jnp.float32)
+        bld = jnp.full((4, 4), 100.0, jnp.float32)
+        p = EPBLParams(mstar_scheme="RH18")
+        m_slow = find_mstar(b, us, bld, jnp.full((4, 4), 1e-5, jnp.float32), p)
+        m_fast = find_mstar(b, us, bld, jnp.full((4, 4), 2e-4, jnp.float32), p)
+        assert float(m_fast.mean()) < float(m_slow.mean())
+
+    def test_convection_deepens_mld_and_scales(self):
+        G, GV, eos, h, T, S = setup(nz=25, mixed_layer=True)
+        z = jnp.zeros((8, 8), jnp.float32)
+        _, mld_n = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.1, z, None)
+        _, mld_c = epbl_diffusivity(h, T, S, G, GV, eos, z + 0.1, z,
+                                    z - 800.0)
+        assert float(mld_c.mean()) > float(mld_n.mean())
