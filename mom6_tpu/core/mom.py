@@ -75,6 +75,10 @@ class MOMParams(NamedTuple):
     skeb_scale: float = 0.0                       # SKEB psi scale [m2 s-1]
     waves: Optional["WaveParams"] = None          # Langmuir into KPP/ePBL
     tfc: Optional["TracerFlowControl"] = None     # passive tracer packages
+    # unsplit (no barotropic/baroclinic splitting) stepping: the SPLIT =
+    # False path (MOM_dynamics_unsplit[_RK2].F90); "RK3" or "RK2"
+    unsplit: Optional["UnsplitParams"] = None
+    unsplit_scheme: str = "RK3"
 
 
 class Forcing(NamedTuple):
@@ -234,9 +238,18 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
                                                      p.bbl_visc)
             bbl_piston = (kv_u / jnp.maximum(th_u, 1e-3),
                           kv_v / jnp.maximum(th_v, 1e-3))
-        out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
-                                      pf_fn=pf_fn, hv_fn=hv_fn,
-                                      por=por, bbl_piston=bbl_piston)
+        if p.unsplit is not None:
+            from mom6_tpu.core.dynamics_unsplit import (
+                step_dynamics_unsplit_rk2, step_dynamics_unsplit_rk3)
+            pf1 = (lambda hh: pf_fn(hh, st)) if pf_fn is not None else None
+            stepper = step_dynamics_unsplit_rk2 \
+                if p.unsplit_scheme.upper() == "RK2" \
+                else step_dynamics_unsplit_rk3
+            out = stepper(st, forcing.mech, G, GV, p.unsplit, pf_fn=pf1)
+        else:
+            out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
+                                          pf_fn=pf_fn, hv_fn=hv_fn,
+                                          por=por, bbl_piston=bbl_piston)
         if p.obc is not None:
             from mom6_tpu.core.open_boundary import apply_obc
             out = apply_obc(out, p.obc, G, GV, p.dyn.dt,
@@ -302,7 +315,15 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         h_n, T, S, u_n, v_n, _ = diabatic_layered(
             state.T, state.S, state.h, state.u, state.v, forcing.buoy,
             taux, tauy, dt_therm, G, GV, p.diabatic, eos)
-        return state.replace(h=h_n, T=T, S=S, u=u_n, v=v_n)
+        state = state.replace(h=h_n, T=T, S=S, u=u_n, v=v_n)
+        if p.tfc is not None and state.tr is not None:
+            state = state.replace(
+                tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G,
+                                        GV))
+        if p.sponge is not None:
+            from mom6_tpu.physics.vertical.sponge import apply_sponge
+            state = apply_sponge(state, dt_therm, p.sponge, G)
+        return state
 
     # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
     # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)

@@ -71,6 +71,23 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
         y = (np.arange(ny) + 0.5) / ny - 0.5
         depth = max_depth * (1.0 - 0.8 * (2 * y[:, None]) ** 2) * \
             np.ones((ny, nx))
+    elif topo_config == "benchmark":
+        # reentrant channel to the south with ridges (the benchmark
+        # topography, src/user/benchmark_initialization.F90:60-73)
+        x = ((np.arange(nx) + 0.5) / nx)[None, :]
+        y = ((np.arange(ny) + 0.5) / ny)[:, None]
+        d0 = max_depth / 0.5
+        depth = -d0 * (y * (1.0 + 0.6 * np.cos(4.0 * np.pi * x))
+                       + 0.75 * np.exp(-6.0 * y)
+                       + 0.05 * np.cos(10.0 * np.pi * x) - 0.7)
+        depth = np.clip(depth, 0.0, max_depth)
+    elif topo_config == "halfpipe":
+        # zonally uniform channel with a half-sine profile
+        # (initialize_topography_named, MOM_shared_initialization.F90:358)
+        y = ((np.arange(ny) + 0.5) / ny)[:, None]
+        dedge = min_depth
+        depth = (dedge + (max_depth - dedge)
+                 * np.abs(np.sin(np.pi * y))) * np.ones((ny, nx))
     else:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
@@ -133,6 +150,22 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                    module=m))
     else:
         bt = BTParams(nstep=1, nfilter=0)
+    unsplit = None
+    unsplit_scheme = "RK3"
+    if not split:
+        from mom6_tpu.core.dynamics_unsplit import UnsplitParams
+        unsplit = UnsplitParams(
+            dt=dt,
+            kv=pf.get("KV", float, default=1e-4, units="m2 s-1",
+                      module="MOM_vert_friction"),
+            bottom_drag=pf.get("DRAG_BG_VEL", float, default=0.0,
+                               units="m s-1", module="MOM_vert_friction")
+            * pf.get("CDRAG", float, default=0.003,
+                     module="MOM_vert_friction"))
+        unsplit_scheme = pf.get("UNSPLIT_SCHEME", str, default="RK3",
+                                module="MOM",
+                                desc="RK3 (MOM_dynamics_unsplit) or RK2 "
+                                     "(MOM_dynamics_unsplit_RK2)").upper()
 
     m = "MOM_vert_friction"
     dyn = DynParams(
@@ -314,6 +347,38 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         segs = []
         for n in range(1, n_seg + 1):
             spec = pf.get(f"OBC_SEGMENT_{n:03d}", str, module=m)
+            items = [it.strip() for it in spec.split(",")]
+            if items and items[0].split("=", 1)[0].strip().upper() \
+                    in ("I", "J"):
+                # the reference's segment syntax, e.g.
+                # "J=N,I=N:0,FLATHER,ORLANSKI" (.testing/tc3/MOM_input:
+                # OBC_SEGMENT_001):  first item names the fixed edge,
+                # remaining non-KV items are the schemes
+                axis, pos = items[0].split("=", 1)
+                pos = pos.strip().upper()
+                if axis.strip().upper() == "J":
+                    edge = "N" if pos == "N" else "S"
+                else:
+                    edge = "E" if pos == "N" else "W"
+                schemes = [it.upper() for it in items[1:]
+                           if "=" not in it]
+                scheme = schemes[0] if schemes else "FLATHER"
+                # per-segment DATA string: constant U/V/SSH values
+                data = pf.get(f"OBC_SEGMENT_{n:03d}_DATA", str,
+                              default="", module=m)
+                dvals = {}
+                for item in data.split(","):
+                    if "=" in item:
+                        key, val = item.split("=", 1)
+                        if ":" in val:
+                            dvals[key.strip().upper()] = \
+                                float(val.split(":", 1)[1])
+                segs.append(OBCSegment(
+                    edge=edge, scheme=scheme,
+                    eta_ext=dvals.get("SSH", 0.0),
+                    vel_ext=dvals.get("U" if edge in ("E", "W") else "V",
+                                      0.0)))
+                continue
             kv = dict(item.split("=", 1) for item in spec.split(","))
             segs.append(OBCSegment(
                 edge=kv["EDGE"].strip().upper(),
@@ -522,30 +587,81 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                        interface_filter=iface_filter, porous=porous,
                        zb=zb, bbl_visc=bbl_visc, stanley_coeff=stanley,
                        tides=tides, sal_harmonics=sal_h, sppt=sppt,
-                       skeb_scale=skeb_scale, waves=waves, tfc=tfc)
+                       skeb_scale=skeb_scale, waves=waves, tfc=tfc,
+                       unsplit=unsplit, unsplit_scheme=unsplit_scheme)
 
     # -- initial state ----------------------------------------------------
     m = "MOM_state_initialization"
     thick_cfg = pf.get("THICKNESS_CONFIG", str, default="uniform", module=m)
-    if thick_cfg != "uniform":
+    if thick_cfg not in ("uniform", "circle_obcs", "benchmark"):
         raise NotImplementedError(f"THICKNESS_CONFIG={thick_cfg}")
     state = init_state_resting(G, gv, np.full(nz, max_depth / nz),
                                dtype=dtype, with_thermo=use_thermo)
+    if thick_cfg == "circle_obcs":
+        # raised-disk interface displacement (circle_obcs_initialize_
+        # thickness, src/user/circle_obcs_initialization.F90:100-117)
+        diskrad = pf.get("DISK_RADIUS", float, module=m,
+                         desc="Radius of the elevated disk (grid units)")
+        ic_amp = pf.get("DISK_IC_AMPLITUDE", float, default=5.0,
+                        units="m", module=m)
+        lon = np.asarray(G.geoLonT)
+        lat = np.asarray(G.geoLatT)
+        lon_c = 0.5 * (lon.min() + lon.max())
+        lat_c = 0.5 * (lat.min() + lat.max())
+        rad = np.sqrt((lon - lon_c) ** 2 + (lat - lat_c) ** 2) / diskrad
+        rad = np.minimum(rad, 1.0) * np.pi
+        bell = 0.5 * (1.0 + np.cos(rad))
+        h_np = np.asarray(state.h).copy()
+        if nz == 1:
+            h_np[0] += ic_amp * bell
+        else:
+            for k in range(nz):
+                h_np[k] -= bell * ic_amp * (2 * (k + 1) - nz)
+        state = state.replace(h=jnp.asarray(np.maximum(h_np, 1e-10),
+                                            dtype))
+    elif thick_cfg == "benchmark" and use_thermo:
+        # exponentially-decaying thermocline over linear stratification
+        # (benchmark_initialize_thickness intent; realized here as a z-
+        # uniform grid carrying the benchmark T profile set below)
+        pass
     if meke is not None:
         state = state.replace(E_meke=jnp.zeros((G.ny, G.nx), dtype))
     if int_tides is not None:
         state = state.replace(En_itide=jnp.zeros(
             (int_tides.n_angle, G.ny, G.nx), dtype))
     if use_thermo:
+        ts_cfg = pf.get("TS_CONFIG", str, default="fit", module=m)
         t_ref = pf.get("T_REF", float, default=10.0, units="degC", module=m)
         s_ref = pf.get("S_REF", float, default=35.0, units="ppt", module=m)
-        trange = pf.get("T_RANGE", float, default=0.0, units="degC", module=m)
-        zc = np.cumsum(np.full(nz, max_depth / nz)) - max_depth / nz / 2
-        tprof = t_ref + trange * (0.5 - zc / max_depth)
-        state = state.replace(
-            T=jnp.asarray(np.broadcast_to(tprof[:, None, None],
-                                          state.h.shape), dtype),
-            S=jnp.full(state.h.shape, s_ref, dtype))
+        if ts_cfg == "benchmark":
+            # latitude-dependent SST with an exponentially decaying
+            # thermocline over linear stratification (the benchmark T
+            # structure, src/user/benchmark_initialization.F90:77-80)
+            t_light = pf.get("TS_RANGE_T_LIGHT", float, default=25.0,
+                             units="degC", module=m)
+            t_dense = pf.get("TS_RANGE_T_DENSE", float, default=3.0,
+                             units="degC", module=m)
+            lat = np.asarray(G.geoLatT)
+            yfrac = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+            sst = t_dense + (t_light - t_dense) * yfrac     # (ny, nx)
+            zc = np.cumsum(np.full(nz, max_depth / nz)) - \
+                max_depth / nz / 2
+            zfac = (np.exp(-zc / 800.0) * 0.8
+                    + 0.2 * (1.0 - zc / max_depth))[:, None, None]
+            tprof = t_dense + (sst[None] - t_dense) * zfac
+            state = state.replace(
+                T=jnp.asarray(tprof, dtype),
+                S=jnp.full(state.h.shape, s_ref, dtype))
+        else:
+            trange = pf.get("T_RANGE", float, default=0.0, units="degC",
+                            module=m)
+            zc = np.cumsum(np.full(nz, max_depth / nz)) - \
+                max_depth / nz / 2
+            tprof = t_ref + trange * (0.5 - zc / max_depth)
+            state = state.replace(
+                T=jnp.asarray(np.broadcast_to(tprof[:, None, None],
+                                              state.h.shape), dtype),
+                S=jnp.full(state.h.shape, s_ref, dtype))
 
     # -- surface forcing (solo-driver analytic configs,
     #    config_src/drivers/solo_driver/MOM_surface_forcing.F90) -----------
@@ -553,12 +669,26 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     wind_cfg = pf.get("WIND_CONFIG", str, default="zero", module=m)
     taux = tauy = None
     if wind_cfg == "gyres":
-        tau0 = pf.get("TAUX_MAGNITUDE", float, default=0.1, units="Pa",
-                      module=m)
-        y = np.asarray(G.geoLatT) * 1e3
-        ly = pf.get("LENLAT", float, default=1000.0) * 1e3
-        taux = jnp.asarray(-tau0 * np.cos(2 * np.pi * y / ly),
-                           dtype) * G.mask2dCu
+        # reference formula (wind_forcing_gyres,
+        # MOM_surface_forcing.F90:562): taux = const
+        #   + sin_amp sin(n pi y) + cos_amp cos(n pi y), y normalized.
+        # With no amplitudes given, fall back to the historical
+        # -TAUX_MAGNITUDE cos(2 pi y) double gyre of this repo's configs.
+        sin_amp = pf.get("TAUX_SIN_AMP", float, default=0.0, units="Pa",
+                         module=m)
+        cos_amp = pf.get("TAUX_COS_AMP", float, default=0.0, units="Pa",
+                         module=m)
+        n_pis = pf.get("TAUX_N_PIS", float, default=1.0, module=m)
+        lat = np.asarray(G.geoLatT)
+        yfrac = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+        if sin_amp or cos_amp:
+            taux_np = (sin_amp * np.sin(n_pis * np.pi * yfrac)
+                       + cos_amp * np.cos(n_pis * np.pi * yfrac))
+        else:
+            tau0 = pf.get("TAUX_MAGNITUDE", float, default=0.1, units="Pa",
+                          module=m)
+            taux_np = -tau0 * np.cos(2 * np.pi * yfrac)
+        taux = jnp.asarray(taux_np, dtype) * G.mask2dCu
         tauy = jnp.zeros_like(G.mask2dCv)
     elif wind_cfg == "constant":
         taux = jnp.full((G.ny, G.nx),
@@ -582,11 +712,34 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         q0 = pf.get("SENSIBLE_HEAT_FLUX", float, default=0.0,
                     units="W m-2", module=m)
         heat = jnp.full((G.ny, G.nx), q0, dtype) * G.mask2dT
+    elif buoy_cfg == "linear" and use_thermo:
+        # buoyancy_forcing_linear + RESTOREBUOY
+        # (MOM_surface_forcing.F90): restore SST toward a linear
+        # north-south profile with piston velocity FLUXCONST [m day-1]
+        heat = None
     elif buoy_cfg != "zero":
         raise NotImplementedError(f"BUOY_CONFIG={buoy_cfg}")
 
+    t_restore = s_restore = None
+    restore_rate = 0.0
+    if buoy_cfg == "linear" and use_thermo and \
+            pf.get("RESTOREBUOY", bool, default=False, module=m):
+        fluxconst = pf.get("FLUXCONST", float, default=0.0,
+                           units="m day-1", module=m)
+        restore_rate = fluxconst / 86400.0
+        sst_n = pf.get("SST_NORTH", float, default=25.0, units="degC",
+                       module=m)
+        sst_s = pf.get("SST_SOUTH", float, default=10.0, units="degC",
+                       module=m)
+        lat = np.asarray(G.geoLatT)
+        yfrac = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+        t_restore = jnp.asarray(sst_s + (sst_n - sst_s) * yfrac, dtype)
+
     forcing = Forcing(mech=MechForcing(taux=taux, tauy=tauy),
-                      buoy=BuoyancyForcing(heat_flux=heat))
+                      buoy=BuoyancyForcing(heat_flux=heat,
+                                           t_restore=t_restore,
+                                           s_restore=s_restore,
+                                           restore_rate=restore_rate))
 
     # -- per-subsystem state fields ----------------------------------------
     if waves is not None:

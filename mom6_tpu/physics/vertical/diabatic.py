@@ -39,6 +39,12 @@ class BuoyancyForcing(NamedTuple):
     sw_flux: Optional[jnp.ndarray] = None     # penetrating shortwave [W m-2]
     # net fresh water (P - E + R) [m s-1]; dilutes top-layer salinity
     fw_flux: Optional[jnp.ndarray] = None
+    # restoring surface boundary conditions (buoyancy_forcing_linear +
+    # RESTOREBUOY, MOM_surface_forcing.F90): piston velocity [m s-1]
+    # relaxing the top layer toward the target fields
+    t_restore: Optional[jnp.ndarray] = None   # target SST [degC]
+    s_restore: Optional[jnp.ndarray] = None   # target SSS [ppt]
+    restore_rate: float = 0.0                 # FLUXCONST [m s-1]
 
 
 class DiabaticParams(NamedTuple):
@@ -122,6 +128,14 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
     if sw_top is not None:
         t_flux = sw_top if t_flux is None else t_flux + sw_top
     s_flux = forcing.salt_flux
+    if forcing.restore_rate > 0.0:
+        # restoring surface fluxes (RESTOREBUOY): piston * (target - SST)
+        if forcing.t_restore is not None:
+            rt = forcing.restore_rate * (forcing.t_restore - T[0])
+            t_flux = rt if t_flux is None else t_flux + rt
+        if forcing.s_restore is not None:
+            rs = forcing.restore_rate * (forcing.s_restore - S[0])
+            s_flux = rs if s_flux is None else s_flux + rs
     if forcing.fw_flux is not None:
         # fresh water dilutes the top layer: virtual salt flux -S0 * fw
         vsf = -S[0] * forcing.fw_flux

@@ -88,7 +88,10 @@ def entrainment_diffusive(h, T, S, G, GV, kd_int, dt,
     # shared factor
     loss = jnp.concatenate([ea[1:], zeros1], axis=0) \
         + jnp.concatenate([zeros1, eb[:-1]], axis=0)
-    donor_scale = jnp.minimum(1.0, p.max_frac * hk
+    # cap against the TRUE thickness, not the floored hk: a vanished
+    # layer (h ~ angstrom) floored to 1e-3 would otherwise donate mass
+    # it does not have, driving h negative over steep topography
+    donor_scale = jnp.minimum(1.0, p.max_frac * h
                               / jnp.maximum(loss, 1e-30))
     ea = ea * jnp.concatenate([zeros1 + 1.0, donor_scale[:-1]], axis=0)
     eb = eb * jnp.concatenate([donor_scale[1:], zeros1 + 1.0], axis=0)

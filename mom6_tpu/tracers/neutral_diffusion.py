@@ -81,8 +81,14 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
         sx = sx * 0.5 * (ramp + ip1(ramp))
         sy = sy * 0.5 * (ramp + jp1(ramp))
 
-    h_u = jnp.maximum(0.5 * (h + ip1(h)), _H_EPS) * G.mask2dCu
-    h_v = jnp.maximum(0.5 * (h + jp1(h)), _H_EPS) * G.mask2dCv
+    # HARMONIC-mean face thicknesses: the flux through a face must vanish
+    # with the THINNER neighbor (an arithmetic mean lets a massive layer
+    # drive a finite flux into a vanished one, whose tiny volume then
+    # receives astronomically wrong tracer values — the reference's
+    # neutral-surface fluxes likewise carry no mass through vanished
+    # layers)
+    h_u = (2.0 * h * ip1(h) / (h + ip1(h) + _H_EPS)) * G.mask2dCu
+    h_v = (2.0 * h * jp1(h) / (h + jp1(h) + _H_EPS)) * G.mask2dCv
     vol = jnp.maximum(h * G.areaT, _H_EPS)
 
     dtr_dz = _ddz_centers(tr, h[None])                  # (n_tr, nz, ny, nx)
@@ -106,6 +112,10 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
     sdot = sx_c[None] * gx_c + sy_c[None] * gy_c       # (n_tr, nz, ...)
     sdot_int = 0.5 * (sdot[:, :-1] + sdot[:, 1:])      # interfaces 1..nz-1
     fz = -khtr * sdot_int * G.areaT[None, None] * G.mask2dT[None, None]
+    # gate the cross-interface flux where either bounding layer has
+    # vanished (same massless-layer guard as the horizontal faces)
+    h_int_min = jnp.minimum(h[:-1], h[1:])
+    fz = fz * (h_int_min / (h_int_min + _H_EPS))[None]
     zeros = jnp.zeros_like(fz[:, :1])
     fz_full = jnp.concatenate([zeros, fz, zeros], axis=1)  # (n_tr, nz+1,...)
 
