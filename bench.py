@@ -1,14 +1,20 @@
-"""Headline benchmark: wind-driven basin throughput on one chip.
+"""Headline benchmark: full-physics ocean model throughput on one chip.
 
-Prints ONE JSON line: grid-point-timesteps per second per chip on a
-benchmark-class grid (the reference's .testing/p0 analogue scaled up to a
-production-like resolution; see BASELINE.md).
+Prints ONE JSON line whose headline metric is the FULL-PHYSICS
+benchmark-class case (EOS + KPP boundary layer + GM/MEKE + passive tracer
++ z* ALE regrid/remap, 360x280x32), with an OM4_025-shaped case
+(1440x1080x75) and the adiabatic dynamical-core case as additional
+entries under "cases".
 
-``vs_baseline``: MOM6 publishes no absolute numbers (BASELINE.md); the
-comparison constant below is a CPU-node estimate derived from MOM6's widely
-reported ~1-2 us per gridpoint-timestep per core for the dynamical core
-(so ~5e7 gridpoint-steps/s for a 96-core node at 2 us/pt).  vs_baseline is
-this chip's throughput over that node estimate.
+``vs_baseline`` compares each case against a physics-matched CPU-node
+estimate (MOM6 publishes no absolute numbers in-repo; BASELINE.md
+"Baseline derivation"):
+- full-physics cases vs 1.5e6 gridpoint-steps/s/node, derived from the
+  published OM4_025 throughput (~5 SYPD at dt=900 s on ~200 Broadwell
+  nodes => 2.4e8 total gps/s => ~1.2e6/node; rounded up to be
+  conservative);
+- the adiabatic dynamical-core case vs 5e7 gps/s/node (96 cores at
+  ~2 us per gridpoint-step for the dyn core alone).
 """
 
 from __future__ import annotations
@@ -17,47 +23,109 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
-CPU_NODE_GRIDPOINT_STEPS_PER_S = 5.0e7  # estimate, see module docstring
+CPU_NODE_DYNCORE_GPS = 5.0e7     # dyn-core-only estimate; see BASELINE.md
+CPU_NODE_FULLMODEL_GPS = 1.5e6   # full-model OM4 derivation; see BASELINE.md
 
 
-def main():
+def _full_physics_setup(nx, ny, nz, dt, n_dyn_per_thermo=2):
+    from mom6_tpu.drivers.experiments import thermo_gyre
+    from mom6_tpu.physics.lateral.meke import MEKEParams
+    from mom6_tpu.physics.lateral.thickness_diffuse import GMParams
+    from mom6_tpu.tracers.packages import IdealAge, TracerFlowControl
+
+    G, GV, state, params, forcing = thermo_gyre(
+        nx=nx, ny=ny, nz=nz, len_lon_km=4500.0, len_lat_km=3500.0,
+        dt=dt, n_dyn_per_thermo=n_dyn_per_thermo)
+    tfc = TracerFlowControl([IdealAge()])
+    params = params._replace(
+        gm=GMParams(khth=100.0), meke=MEKEParams(), khtr=50.0, tfc=tfc,
+        diabatic=params.diabatic._replace(boundary_layer_scheme="KPP",
+                                          use_shear_mixing=True))
+    state = state.replace(
+        E_meke=jnp.zeros((ny, nx), jnp.float32),
+        tr=tfc.init_tracers(state.h.shape, jnp.float32))
+    return G, GV, state, params, forcing
+
+
+def _time_case(step_fn, state, n_warm=1, n_calls=4, steps_per_call=1):
+    for _ in range(n_warm):
+        state = step_fn(state)
+    jax.block_until_ready(state.h)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state = step_fn(state)
+    jax.block_until_ready(state.h)
+    return (time.perf_counter() - t0) / (n_calls * steps_per_call)
+
+
+def bench_full(nx=360, ny=280, nz=32, dt=1200.0):
+    """Full-physics thermo cycle throughput (one cycle = 2 dyn steps)."""
+    from mom6_tpu.core.mom import step_mom
+    n_per = 2
+    G, GV, state, params, forcing = _full_physics_setup(
+        nx, ny, nz, dt, n_dyn_per_thermo=n_per)
+    step = jax.jit(lambda s: step_mom(s, forcing, G, GV, params),
+                   donate_argnums=0)
+    sec_per_cycle = _time_case(step, state, n_calls=3)
+    gps = nx * ny * nz * n_per / sec_per_cycle
+    sypd = (n_per * dt / sec_per_cycle) / 365.0
+    return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
+                sypd=round(sypd, 2),
+                bt_substeps=params.dyn.bt.nstep, physics="full")
+
+
+def bench_om4_shape(nx=360, ny=270, nz=75, dt=900.0):
+    """OM4_025 per-chip tile: the 1440x1080x75 grid sharded over a 4x4
+    mesh gives each chip this 360x270x75 tile (the full grid with full
+    physics exceeds one v5e's 16 GB HBM).  Per-chip throughput here is
+    the per-chip term of a 16-chip pod run; its SYPD is the
+    perfect-scaling projection for OM4_025 on 16 chips."""
+    try:
+        return dict(bench_full(nx, ny, nz, dt), physics="full-om4-tile",
+                    note="1/16 tile of 1440x1080x75; SYPD = perfect-"
+                         "scaling 16-chip projection")
+    except Exception as e:                       # noqa: BLE001
+        return dict(grid=f"{nx}x{ny}x{nz}", error=type(e).__name__)
+
+
+def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0):
     from mom6_tpu.drivers.experiments import double_gyre
     from mom6_tpu.drivers.solo import make_stepper
 
-    # benchmark-class grid: 360x280x8 (~OM4-like aspect, laptop of p0 config)
-    nx, ny, nz = 360, 280, 8
-    dt = 1200.0
-    G, GV, state, params, forces = double_gyre(nx=nx, ny=ny, nz=nz,
-                                               len_lon_km=4500.0,
-                                               len_lat_km=3500.0, dt=dt)
+    G, GV, state, params, forces = double_gyre(
+        nx=nx, ny=ny, nz=nz, len_lon_km=4500.0, len_lat_km=3500.0, dt=dt)
     steps_per_call = 10
     stepper = make_stepper(G, GV, params, forces,
                            steps_per_call=steps_per_call)
+    sec_per_step = _time_case(stepper, state, n_calls=5,
+                              steps_per_call=steps_per_call)
+    gps = nx * ny * nz / sec_per_step
+    sypd = (dt / sec_per_step) / 365.0
+    return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
+                sypd=round(sypd, 2), bt_substeps=params.bt.nstep,
+                physics="adiabatic")
 
-    # warmup/compile
-    state = stepper(state)
-    jax.block_until_ready(state.h)
 
-    n_calls = 5
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state = stepper(state)
-    jax.block_until_ready(state.h)
-    elapsed = time.perf_counter() - t0
-
-    steps = n_calls * steps_per_call
-    gps = nx * ny * nz * steps / elapsed
-    sypd = (steps * dt / elapsed) * 86400.0 / (365.0 * 86400.0) * 86400.0 / 86400.0
-    # SYPD = (model seconds per wall second) * (86400 wall s/day) / (365*86400 model s/yr)
-    sypd = (steps * dt / elapsed) * 86400.0 / (365.0 * 86400.0)
-
+def main():
+    full = bench_full()
+    om4 = bench_om4_shape()
+    adia = bench_adiabatic()
+    for c in (full, om4):
+        if "gps" in c:
+            c["vs_cpu_node"] = round(c["gps"] / CPU_NODE_FULLMODEL_GPS, 2)
+    adia["vs_cpu_node"] = round(adia["gps"] / CPU_NODE_DYNCORE_GPS, 2)
+    head = full
     print(json.dumps({
-        "metric": f"gridpoint-timesteps/s/chip ({nx}x{ny}x{nz}, "
-                  f"{params.bt.nstep} BT substeps, SYPD={sypd:.2f})",
-        "value": round(gps, 1),
+        "metric": (f"full-physics gridpoint-timesteps/s/chip "
+                   f"({head['grid']}, KPP+GM/MEKE+tracer+zstar-ALE, "
+                   f"{head['bt_substeps']} BT substeps, "
+                   f"SYPD={head['sypd']})"),
+        "value": head["gps"],
         "unit": "gridpoint-steps/s",
-        "vs_baseline": round(gps / CPU_NODE_GRIDPOINT_STEPS_PER_S, 4),
+        "vs_baseline": head["vs_cpu_node"],
+        "cases": {"full": full, "om4_tile": om4, "adiabatic": adia},
     }))
 
 

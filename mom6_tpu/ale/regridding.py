@@ -86,8 +86,8 @@ def build_rho_grid(h, T, S, GV, eos, rho_targets, *,
     clamp to [0, column depth] so column sums are preserved exactly."""
     import jax
 
-    nz = h.shape[0]
     rho_t = jnp.asarray(rho_targets, h.dtype)
+    nz = rho_t.shape[0]            # output layer count = target count
     rho_int_t = 0.5 * (rho_t[:-1] + rho_t[1:])          # (nz-1,) targets
 
     z_c = jnp.cumsum(h, axis=0) - 0.5 * h               # center depths

@@ -33,7 +33,24 @@ from mom6_tpu.physics.vertical.vert_friction import (limit_velocity, vertvisc,
                                                      vertvisc_coef,
                                                      vertvisc_remnant)
 
-__all__ = ["DynParams", "MechForcing", "step_dynamics_split_rk2"]
+__all__ = ["DynParams", "MechForcing", "AccelDiag",
+           "step_dynamics_split_rk2"]
+
+
+class AccelDiag(NamedTuple):
+    """Corrector-stage acceleration diagnostics (the accel_diag_ptrs of
+    MOM_variables.F90, filled at MOM_dynamics_split_RK2.F90:836-1009),
+    consumed by the KE term budget (MOM_diagnostics.F90)."""
+    PFu: jnp.ndarray
+    PFv: jnp.ndarray
+    CAu: jnp.ndarray
+    CAv: jnp.ndarray
+    diffu: jnp.ndarray          # horizontal viscosity accel
+    diffv: jnp.ndarray
+    u_bt_accel: jnp.ndarray     # barotropic correction accel
+    v_bt_accel: jnp.ndarray
+    du_dt_visc: jnp.ndarray     # implicit vertical friction accel
+    dv_dt_visc: jnp.ndarray
 
 
 class DynParams(NamedTuple):
@@ -81,7 +98,7 @@ def _massless_ramp(h, G, h0: float):
 def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                             G, GV, p: DynParams, *,
                             pf_fn=None, hv_fn=None, por=None,
-                            bbl_piston=None) -> OceanState:
+                            bbl_piston=None, return_accel: bool = False):
     """``pf_fn(h, state) -> PressureForceOut`` overrides the default
     Montgomery pressure force (used for the FV/EOS thermo path);
     ``hv_fn(u, v, h) -> (diffu, diffv)`` adds lateral friction
@@ -189,12 +206,22 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                  dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
                  x_first=p.x_first, bt_cont=bt_cont)
 
-    u_new = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
-    v_new = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
-    u_new = vertvisc(u_new, h_u, cu, dt,
+    u_pre_visc = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
+    v_pre_visc = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
+    u_new = vertvisc(u_pre_visc, h_u, cu, dt,
                      tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
-    v_new = vertvisc(v_new, h_v, cv, dt,
+    v_new = vertvisc(v_pre_visc, h_v, cv, dt,
                      tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+    accel = None
+    if return_accel:
+        accel = AccelDiag(
+            PFu=pf2.PFu * G.mask2dCu, PFv=pf2.PFv * G.mask2dCv,
+            CAu=cau2 * G.mask2dCu, CAv=cav2 * G.mask2dCv,
+            diffu=diffu * jnp.ones_like(u), diffv=diffv * jnp.ones_like(v),
+            u_bt_accel=bt2.accel_layer_u * G.mask2dCu,
+            v_bt_accel=bt2.accel_layer_v * G.mask2dCv,
+            du_dt_visc=(u_new - u_pre_visc) / dt,
+            dv_dt_visc=(v_new - v_pre_visc) / dt)
     # replace the vertical mean with the time-FILTERED barotropic velocity
     # (the u_av construction of MOM_dynamics_split_RK2.F90:125 — "layer
     # velocity with vertical mean replaced by the time-mean barotropic
@@ -225,5 +252,6 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     uhtr = state.uhtr + dt * uh if state.uhtr is not None else None
     vhtr = state.vhtr + dt * vh if state.vhtr is not None else None
 
-    return state.replace(h=h_new, u=u_new, v=v_new, uh=uh, vh=vh,
-                         uhtr=uhtr, vhtr=vhtr)
+    out = state.replace(h=h_new, u=u_new, v=v_new, uh=uh, vh=vh,
+                        uhtr=uhtr, vhtr=vhtr)
+    return (out, accel) if return_accel else out

@@ -41,7 +41,27 @@ from mom6_tpu.physics.vertical.diabatic import (BuoyancyForcing,
                                                 DiabaticParams, diabatic_ale)
 from mom6_tpu.tracers.advect import advect_tracers
 
-__all__ = ["MOMParams", "Forcing", "step_mom"]
+__all__ = ["MOMParams", "Forcing", "step_mom", "dyn_accel_diag"]
+
+
+def dyn_accel_diag(state, forcing, G, GV, p):
+    """One split dynamics step returning (state, AccelDiag) for the KE
+    term budget (MOM_diagnostics.F90 calculate_energy_diagnostics).
+    Diagnostic-cadence only: uses the same PF/hor_visc closures as
+    step_mom's hot path but omits the tidal/Stanley/ZB extras."""
+    eos = get_eos(p.eos_name) if p.thermo_enabled else None
+    pf_fn = None
+    if p.thermo_enabled:
+        def pf_fn(h, st):
+            return pressure_force_fv(h, st.T, st.S, G, GV, eos,
+                                     p_surf=forcing.mech.p_surf)
+    hv_fn = None
+    if p.hor_visc is not None:
+        def hv_fn(u, v, h):
+            return horizontal_viscosity(u, v, h, G, p.hor_visc)
+    return step_dynamics_split_rk2(state, forcing.mech, G, GV, p.dyn,
+                                   pf_fn=pf_fn, hv_fn=hv_fn,
+                                   return_accel=True)
 
 
 class MOMParams(NamedTuple):

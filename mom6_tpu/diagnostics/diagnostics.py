@@ -13,10 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mom6_tpu.framework.repro_sum import reproducing_sum
-from mom6_tpu.framework.stencil import im1, jm1
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
 __all__ = ["SurfaceState", "extract_surface_state", "kinetic_energy_3d",
-           "column_speed", "global_area_mean", "zonal_mean"]
+           "column_speed", "global_area_mean", "zonal_mean", "ke_budget"]
 
 
 class SurfaceState(NamedTuple):
@@ -52,6 +52,45 @@ def kinetic_energy_3d(state, G):
     u2 = 0.5 * (state.u ** 2 + im1(state.u) ** 2)
     v2 = 0.5 * (state.v ** 2 + jm1(state.v) ** 2)
     return 0.5 * (u2 + v2) * G.mask2dT[None]
+
+
+def ke_budget(state_old, state_new, accel, G, dt: float):
+    """Term-by-term kinetic-energy budget [W m-2 per layer / rho0],
+    i.e. h * u·accel averaged to h points (the KE_CorAdv / KE_PG /
+    KE_horvisc / KE_visc / KE_BT diagnostics of MOM_diagnostics.F90:
+    calculate_energy_diagnostics), plus the actual dKE/dt whose
+    difference from the sum of terms is the discretization residual
+    (truncation + barotropic filter replacement).
+
+    ``accel`` is the AccelDiag returned by
+    ``step_dynamics_split_rk2(..., return_accel=True)``; the budget uses
+    the *new* velocities (as the reference does for the corrector-stage
+    accelerations)."""
+    h, u, v = state_new.h, state_new.u, state_new.v
+    h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
+    h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+
+    def t2h(fu, fv):
+        """u·f at faces, thickness-weighted, averaged to h points."""
+        ku = h_u * u * fu
+        kv = h_v * v * fv
+        return (0.5 * (ku + im1(ku)) + 0.5 * (kv + jm1(kv))) \
+            * G.mask2dT[None]
+
+    terms = {
+        "KE_CorAdv": t2h(accel.CAu, accel.CAv),
+        "KE_PG": t2h(accel.PFu, accel.PFv),
+        "KE_horvisc": t2h(accel.diffu, accel.diffv),
+        "KE_visc": t2h(accel.du_dt_visc, accel.dv_dt_visc),
+        "KE_BT": t2h(accel.u_bt_accel, accel.v_bt_accel),
+    }
+    ke_new = state_new.h * kinetic_energy_3d(state_new, G)
+    ke_old = state_old.h * kinetic_energy_3d(state_old, G)
+    terms["dKE_dt"] = (ke_new - ke_old) / dt
+    terms["KE_residual"] = terms["dKE_dt"] - sum(
+        terms[k] for k in ("KE_CorAdv", "KE_PG", "KE_horvisc",
+                           "KE_visc", "KE_BT"))
+    return terms
 
 
 def column_speed(state, G):

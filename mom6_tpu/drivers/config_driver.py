@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +34,16 @@ from mom6_tpu.physics.vertical.set_diffusivity import DiffusivityParams
 __all__ = ["build_model_from_params", "ModelSetup"]
 
 
+def _inputdir(pf: ParamFile, doc_dir) -> str:
+    """Resolve INPUTDIR (reference: Get_MOM_Input / MOM_get_input.F90)
+    against the run directory."""
+    d = pf.get("INPUTDIR", str, default=".", module="MOM_get_input",
+               desc="Directory for input data files")
+    if not os.path.isabs(d):
+        d = os.path.join(doc_dir or ".", d)
+    return d
+
+
 class ModelSetup(NamedTuple):
     grid: Grid
     vgrid: VerticalGrid
@@ -39,6 +51,10 @@ class ModelSetup(NamedTuple):
     params: MOMParams
     forcing: Forcing
     param_file: ParamFile
+    # time-dependent forcing: f(model_time_seconds) -> Forcing, present
+    # when any surface field comes from a file (the solo driver's
+    # set_forcing-per-segment role, MOM_driver.F90:457-481)
+    forcing_provider: Optional[object] = None
 
 
 def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
@@ -697,7 +713,37 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         tauy = jnp.full((G.ny, G.nx),
                         pf.get("CONST_WIND_TAUY", float, default=0.0,
                                module=m), dtype) * G.mask2dCv
-    elif wind_cfg != "zero":
+    wind_ts = None          # (TimeSeriesField x, TimeSeriesField y, bmap)
+    if wind_cfg == "file":
+        # wind_forcing_from_file (MOM_surface_forcing.F90:418-560) with
+        # A-grid stagger: stress at T points, time-interpolated from the
+        # file records, then averaged to the C-grid faces.
+        from mom6_tpu.framework.data_override import (TimeSeriesField,
+                                                      build_bilinear_map)
+        from mom6_tpu.io.netcdf import read_nc
+        wfile = pf.get("WIND_FILE", str, module=m,
+                       desc="NetCDF file with wind stress time series")
+        xvar = pf.get("WINDSTRESS_X_VAR", str, default="STRESS_X", module=m)
+        yvar = pf.get("WINDSTRESS_Y_VAR", str, default="STRESS_Y", module=m)
+        wscale = pf.get("WIND_STRESS_MULTIPLIER", float, default=1.0,
+                        module=m)
+        periodic = pf.get("WIND_PERIODIC", bool, default=True, module=m,
+                          desc="Treat the wind records as a climatology")
+        path = wfile if os.path.isabs(wfile) else \
+            os.path.join(_inputdir(pf, doc_dir), wfile)
+        raw = read_nc(path)
+        tax = raw.get("time", np.arange(raw[xvar].shape[0], dtype=float))
+        fx = TimeSeriesField(tax, raw[xvar] * wscale, periodic=periodic)
+        fy = TimeSeriesField(tax, raw[yvar] * wscale, periodic=periodic)
+        bmap = None
+        if "lon" in raw and "lat" in raw:
+            bmap = build_bilinear_map(raw["lon"], raw["lat"],
+                                      np.asarray(G.geoLonT),
+                                      np.asarray(G.geoLatT))
+        wind_ts = (fx, fy, bmap)
+        taux = jnp.zeros((G.ny, G.nx), dtype)   # filled by the provider
+        tauy = jnp.zeros((G.ny, G.nx), dtype)
+    elif wind_cfg not in ("zero", "gyres", "constant"):
         raise NotImplementedError(f"WIND_CONFIG={wind_cfg}")
 
     buoy_cfg = pf.get("BUOY_CONFIG", str, default="zero", module=m)
@@ -717,7 +763,42 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         # (MOM_surface_forcing.F90): restore SST toward a linear
         # north-south profile with piston velocity FLUXCONST [m day-1]
         heat = None
-    elif buoy_cfg != "zero":
+    buoy_ts = None          # (heat_ts, sw_ts, fw_ts, bmap)
+    if buoy_cfg == "file" and use_thermo:
+        # Condensed analogue of buoyancy_forcing_from_files
+        # (MOM_surface_forcing.F90:760-1100): the reference reads
+        # LW/SW/latent/sensible/evap/precip from separate files and sums
+        # them; here one file supplies the net surface heat flux
+        # (HEAT_VAR, +down), optionally a penetrating-shortwave part
+        # (SW_VAR) and a net freshwater flux (FW_VAR), each a
+        # (time, lat, lon) record.
+        from mom6_tpu.framework.data_override import (TimeSeriesField,
+                                                      build_bilinear_map)
+        from mom6_tpu.io.netcdf import read_nc
+        bfile = pf.get("BUOY_FILE", str, module=m,
+                       desc="NetCDF file with surface buoyancy fluxes")
+        hvar = pf.get("HEAT_VAR", str, default="heat", module=m)
+        swvar = pf.get("SW_VAR", str, default="", module=m)
+        fwvar = pf.get("FW_VAR", str, default="", module=m)
+        periodic = pf.get("BUOY_PERIODIC", bool, default=True, module=m)
+        path = bfile if os.path.isabs(bfile) else \
+            os.path.join(_inputdir(pf, doc_dir), bfile)
+        raw = read_nc(path)
+        tax = raw.get("time", np.arange(raw[hvar].shape[0], dtype=float))
+        h_ts = TimeSeriesField(tax, raw[hvar], periodic=periodic)
+        sw_ts = TimeSeriesField(tax, raw[swvar], periodic=periodic) \
+            if swvar else None
+        fw_ts = TimeSeriesField(tax, raw[fwvar], periodic=periodic) \
+            if fwvar else None
+        bmap = None
+        if "lon" in raw and "lat" in raw:
+            bmap = build_bilinear_map(raw["lon"], raw["lat"],
+                                      np.asarray(G.geoLonT),
+                                      np.asarray(G.geoLatT))
+        buoy_ts = (h_ts, sw_ts, fw_ts, bmap)
+        heat = jnp.zeros((G.ny, G.nx), dtype)   # filled by the provider
+    elif buoy_cfg not in ("zero", "NS_heating", "const") and \
+            not (buoy_cfg in ("linear", "file") and use_thermo):
         raise NotImplementedError(f"BUOY_CONFIG={buoy_cfg}")
 
     t_restore = s_restore = None
@@ -740,6 +821,38 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                            t_restore=t_restore,
                                            s_restore=s_restore,
                                            restore_rate=restore_rate))
+
+    forcing_provider = None
+    if wind_ts is not None or buoy_ts is not None:
+        from mom6_tpu.framework.data_override import data_override
+        from mom6_tpu.framework.stencil import ip1, jp1
+
+        def forcing_provider(t_seconds, _base=forcing):
+            """Forcing at model time [s] (file times are in days)."""
+            f = _base
+            t_days = float(t_seconds) / 86400.0
+            if wind_ts is not None:
+                fx, fy, bmap = wind_ts
+                tx_t = data_override(fx, t_days, bmap, dtype=dtype)
+                ty_t = data_override(fy, t_days, bmap, dtype=dtype)
+                # A-grid stress -> C-grid faces
+                tx = 0.5 * (tx_t + ip1(tx_t)) * G.mask2dCu
+                ty = 0.5 * (ty_t + jp1(ty_t)) * G.mask2dCv
+                f = f._replace(mech=f.mech._replace(taux=tx, tauy=ty))
+            if buoy_ts is not None:
+                h_ts, sw_ts, fw_ts, bmap = buoy_ts
+                b = f.buoy._replace(heat_flux=data_override(
+                    h_ts, t_days, bmap, G.mask2dT, dtype))
+                if sw_ts is not None:
+                    b = b._replace(sw_flux=data_override(
+                        sw_ts, t_days, bmap, G.mask2dT, dtype))
+                if fw_ts is not None:
+                    b = b._replace(fw_flux=data_override(
+                        fw_ts, t_days, bmap, G.mask2dT, dtype))
+                f = f._replace(buoy=b)
+            return f
+
+        forcing = forcing_provider(0.0)
 
     # -- per-subsystem state fields ----------------------------------------
     if waves is not None:
@@ -810,4 +923,5 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             dyn=params.dyn._replace(
                 bt=params.dyn.bt._replace(lin_drag=piston)))
 
-    return ModelSetup(G, gv, state, params, forcing, pf)
+    return ModelSetup(G, gv, state, params, forcing, pf,
+                      forcing_provider=forcing_provider)

@@ -50,6 +50,71 @@ def make_mom_stepper(G, GV, params, forcing, cycles_per_call: int = 1):
     return jax.jit(many, donate_argnums=0)
 
 
+def make_ke_budget_fn(G, GV, params):
+    """Jitted (state, forcing) -> KE term dict for the diag_table KE
+    budget; compiled once and reused across posts."""
+    from mom6_tpu.core.mom import dyn_accel_diag
+    from mom6_tpu.diagnostics.diagnostics import ke_budget
+
+    def f(state, forcing):
+        s2, accel = dyn_accel_diag(state, forcing, G, GV, params)
+        return ke_budget(state, s2, accel, G, params.dyn.dt)
+
+    return jax.jit(f)
+
+
+def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
+    """Post every diag_table-requested field the model can serve:
+    prognostic state, derived surface fields, vertically-remapped
+    (_z/_rho/_sigma) tracers and the KE term budget."""
+    import numpy as np
+
+    from mom6_tpu.diagnostics.diagnostics import (column_speed,
+                                                  extract_surface_state,
+                                                  kinetic_energy_3d)
+    eos = None
+    if params.thermo_enabled:
+        from mom6_tpu.eos import get_eos
+        eos = get_eos(params.eos_name)
+    dm.update_remap_grids(jax.device_get(state.h),
+                          T=None if state.T is None
+                          else jax.device_get(state.T),
+                          S=None if state.S is None
+                          else jax.device_get(state.S),
+                          GV=GV, eos=eos)
+    sfc = None
+    ke_terms = None
+    for key, hid in list(dm._by_name.items()):
+        module, name = key.split(".", 1)
+        base = name
+        for sfx in ("_z", "_rho", "_sigma"):
+            if name.endswith(sfx):
+                base = name[: -len(sfx)]
+        arr = None
+        if base in ("h", "u", "v", "T", "S") and \
+                getattr(state, base, None) is not None:
+            arr = jax.device_get(getattr(state, base))
+        elif state.tr is not None and base in state.tr:
+            arr = jax.device_get(state.tr[base])
+        elif base in ("SSH", "SST", "SSS", "speed"):
+            if sfc is None:
+                sfc = extract_surface_state(state, G, GV)
+            arr = jax.device_get({"SSH": sfc.ssh, "SST": sfc.sst,
+                                  "SSS": sfc.sss, "speed": sfc.speed}[base])
+        elif base == "KE":
+            arr = jax.device_get(kinetic_energy_3d(state, G))
+        elif base == "col_speed":
+            arr = jax.device_get(column_speed(state, G))
+        elif ke_budget_fn is not None and (base.startswith("KE_")
+                                           or base == "dKE_dt"):
+            if ke_terms is None:
+                ke_terms = jax.device_get(ke_budget_fn(state, forcing))
+            if base in ke_terms:
+                arr = jax.device_get(ke_terms[base])
+        if arr is not None:
+            dm.post_data(hid, np.asarray(arr))
+
+
 def main(argv=None):
     """Command-line solo driver (program MOM6 analogue,
     config_src/drivers/solo_driver/MOM_driver.F90:1): reads MOM_input
@@ -98,37 +163,84 @@ def main(argv=None):
     if args.restart_in:
         state, t0, _ = reg.restore_state(args.restart_in, state)
 
-    stepper = make_mom_stepper(G, GV, params, forcing,
-                               cycles_per_call=stats_every)
+    provider = setup.forcing_provider
+    if provider is None:
+        stepper = make_mom_stepper(G, GV, params, forcing,
+                                   cycles_per_call=stats_every)
+    else:
+        # file-driven forcing: re-evaluated each segment (set_forcing per
+        # dt_forcing, MOM_driver.F90:457-481); passing the forcing arrays
+        # as a jit argument keeps one compilation across segments
+        def _many(state, f):
+            def body(s, _):
+                return step_mom(s, f, G, GV, params), None
+            state, _ = jax.lax.scan(body, state, None, length=stats_every)
+            return state
+        stepper = jax.jit(_many, donate_argnums=0)
     writer = StatsWriter(os.path.join(args.rundir, "ocean.stats"))
 
-    # gridded time-mean diagnostics through the mediator (diag_table role)
+    # gridded diagnostics through the mediator; a diag_table file in the
+    # run directory selects fields/reductions/files (FMS diag_table
+    # semantics, framework/_Diagnostics.dox); otherwise a default set of
+    # time means is written
     from mom6_tpu.framework.diag_mediator import DiagMediator
     import numpy as np
-    dm = DiagMediator()
-    diag_ids = {}
-    diag_fields = ["h", "u", "v"] + (["T", "S"] if params.thermo_enabled
-                                     else [])
-    for name in diag_fields:
-        diag_ids[name] = dm.register_diag_field("ocean_model", name,
-                                                time_avg=True)
-    id_ssh = dm.register_diag_field("ocean_model", "SSH", units="m")
+    dt_path = os.path.join(args.rundir, "diag_table")
+    use_table = os.path.exists(dt_path)
+    nz = state.h.shape[0]
+    z_targets = np.asarray(params.ale.dz_nominal) \
+        if (params.ale is not None and params.ale.dz_nominal is not None) \
+        else np.full(nz, float(np.max(np.asarray(G.bathyT))) / nz)
+    rho_targets = None
+    if params.thermo_enabled and GV.Rlay is not None:
+        rho_targets = np.asarray(GV.Rlay, np.float64)   # layer targets
+    if use_table:
+        dm = DiagMediator.from_diag_table(
+            dt_path, z_targets=z_targets, rho_targets=rho_targets,
+            nz_sigma=nz, areaT=np.asarray(G.areaT))
+        diag_ids, id_ssh = {}, None
+        ke_budget_fn = make_ke_budget_fn(G, GV, params) if any(
+            d.name.startswith("KE_") or d.name == "dKE_dt"
+            for d in dm._diags.values()) else None
+    else:
+        dm = DiagMediator(z_targets=z_targets)
+        diag_ids = {}
+        diag_fields = ["h", "u", "v"] + (["T", "S"]
+                                         if params.thermo_enabled else [])
+        for name in diag_fields:
+            diag_ids[name] = dm.register_diag_field("ocean_model", name,
+                                                    time_avg=True)
+        id_ssh = dm.register_diag_field("ocean_model", "SSH", units="m")
+        ke_budget_fn = None
 
     start = time.time()
     for c in range(n_cycles // stats_every):
-        state = stepper(state)
+        if provider is None:
+            state = stepper(state)
+        else:
+            t_mid = t0 + (c + 0.5) * stats_every * dt_cycle
+            state = stepper(state, provider(t_mid))
         jax.block_until_ready(state.h)
         step = (c + 1) * stats_every
         tdays = (t0 + step * dt_cycle) / 86400.0
         s = compute_stats(state, G, GV, params.dyn.dt)
         writer.write(step, tdays, s)
         print(format_stats_line(step, tdays, s))
-        for name in diag_fields:
-            dm.post_data(diag_ids[name], jax.device_get(getattr(state, name)))
-        dm.post_data(id_ssh, np.asarray(jax.device_get(state.h)).sum(0)
-                     - np.asarray(jax.device_get(G.bathyT)))
-    dm.flush(os.path.join(args.rundir, "ocean_diags.nc"),
-             time_seconds=t0 + n_cycles * dt_cycle)
+        if use_table:
+            f_now = provider(t_mid) if provider is not None else forcing
+            _post_table_diags(dm, state, G, GV, params, f_now,
+                              ke_budget_fn)
+        else:
+            for name in diag_fields:
+                dm.post_data(diag_ids[name],
+                             jax.device_get(getattr(state, name)))
+            dm.post_data(id_ssh, np.asarray(jax.device_get(state.h)).sum(0)
+                         - np.asarray(jax.device_get(G.bathyT)))
+    if use_table:
+        dm.flush_all(args.rundir, time_seconds=t0 + n_cycles * dt_cycle)
+    else:
+        dm.flush(os.path.join(args.rundir, "ocean_diags.nc"),
+                 time_seconds=t0 + n_cycles * dt_cycle)
     elapsed = time.time() - start
     reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
                      time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles)

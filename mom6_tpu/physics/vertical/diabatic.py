@@ -128,7 +128,9 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
     if sw_top is not None:
         t_flux = sw_top if t_flux is None else t_flux + sw_top
     s_flux = forcing.salt_flux
-    if forcing.restore_rate > 0.0:
+    # presence of a restoring target gates the branch (structural, so the
+    # forcing pytree can be a traced jit argument)
+    if forcing.t_restore is not None or forcing.s_restore is not None:
         # restoring surface fluxes (RESTOREBUOY): piston * (target - SST)
         if forcing.t_restore is not None:
             rt = forcing.restore_rate * (forcing.t_restore - T[0])
