@@ -18,8 +18,9 @@ is unnecessary here: every shift lowers to a GSPMD CollectivePermute and XLA
 pipelines them; an explicit shard_map variant with redundant-compute halos is
 a planned optimization for pod scale.
 
-Deviations from the reference in this round (tracked for parity):
-* triangular time filter instead of MOM6's full wt_vel shapes.
+The substep averaging uses the reference's filter shapes: a flat-top
+eta/velocity window of half-width ``nfilter`` substeps and
+reverse-cumulative-sum transport/acceleration weights (see ``_weights``).
 
 Transports use either the linearized form ``uhbt = Datu * ubt + uhbt0``
 or, when a ``BTCont`` is supplied, the nonlinear response curves built
@@ -39,18 +40,18 @@ import numpy as np
 
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
-__all__ = ["BTParams", "BTOut", "btstep", "set_dtbt", "btcalc"]
+__all__ = ["BTParams", "BTOut", "btstep", "set_dtbt",
+           "dtbt_max_from_state", "btcalc"]
 
 
 class BTParams(NamedTuple):
     nstep: int            # substeps covering dt (static)
     nfilter: int          # extra filter substeps (static)
-    bebt: float = 0.5     # backward weighting of eta in the PF [0..1].
-    #                         NOTE: the reference defaults to 0.2, but this
-    #                         solver's substep/filter structure differs and
-    #                         0.2 under-damps the barotropic mode at the
-    #                         nominal CFL (slow KE growth over topography);
-    #                         0.5 holds the 180-day resting-basin gate.
+    bebt: float = 0.2     # backward weighting of eta in the PF [0..1]
+    #                         (the reference default; with the reference
+    #                         filter shapes in _weights the 30-day
+    #                         resting-basin gate holds at 0.2 — the
+    #                         earlier triangular filter needed 0.5).
     dgeo_de: float = 1.0  # over-relaxation of the surface-height geopotential
     use_bt_cont: bool = False   # nonlinear transport response curves
     lin_drag: float = 0.0       # linear barotropic drag piston vel [m s-1]
@@ -82,6 +83,36 @@ def set_dtbt(G, GV, max_depth: float, dt: float, cfl: float = 0.7):
     dtbt = cfl * min(dx, dy) / (np.sqrt(2.0) * cg)
     nstep = max(1, int(np.ceil(dt / dtbt)))
     return nstep, dt / nstep
+
+
+def dtbt_max_from_state(h, pbce, G, bebt: float, dgeo_de: float = 1.0):
+    """Maximum stable barotropic substep from the CURRENT state — the
+    exact per-cell stability bound of the reference's set_dtbt
+    (MOM_barotropic.F90:3570-3627): per cell,
+
+      1/dt^2 = (1+2*bebt)/2 * [ IareaT * sum_faces(gtot_face * Dat_face
+               * Idx_face) + sum_corners f^2 ]
+
+    with ``gtot_face`` the pbce column mean weighted by that face's layer
+    fractions, minimized over wet cells.  Jittable; returns a scalar.
+    The solo driver re-evaluates this as the stratification evolves and
+    rebuilds the stepper when the implied substep count changes (the
+    DTBT_RESET_PERIOD role)."""
+    h_u, h_v, frac_u, frac_v = btcalc(h, G)
+    DatIdx_u = G.dyCu * jnp.sum(h_u, axis=0) * G.mask2dCu * G.IdxCu
+    DatIdy_v = G.dxCv * jnp.sum(h_v, axis=0) * G.mask2dCv * G.IdyCv
+    gtot_E = jnp.sum(pbce * frac_u, axis=0)          # east face of cell i
+    gtot_W = jnp.sum(pbce * im1(frac_u), axis=0)
+    gtot_N = jnp.sum(pbce * frac_v, axis=0)
+    gtot_S = jnp.sum(pbce * jm1(frac_v), axis=0)
+    f2 = G.CoriolisBu ** 2
+    cor2 = (f2 + im1(jm1(f2))) + (im1(f2) + jm1(f2))
+    idt2 = 0.5 * (1.0 + 2.0 * bebt) * (
+        G.IareaT * ((gtot_E * DatIdx_u + gtot_W * im1(DatIdx_u))
+                    + (gtot_N * DatIdy_v + gtot_S * jm1(DatIdy_v)))
+        + cor2)
+    idt2_max = jnp.max(jnp.where(G.mask2dT > 0.5, idt2, 0.0))
+    return jnp.sqrt(1.0 / jnp.maximum(idt2_max * dgeo_de, 1e-30))
 
 
 def btcalc(h, G, *, h_u=None, h_v=None):
@@ -117,24 +148,29 @@ def _coriolis_v(q, Uw):
 
 
 def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
-    """Per-substep averaging weights (MOM6 wt_trans/wt_vel/wt_accel) and
-    the alternating update-order parity (inverted when the rotated frame
-    must lead with the other physical direction).
+    """Per-substep averaging weights and the alternating update-order
+    parity (inverted when the rotated frame must lead with the other
+    physical direction).
 
-    The velocity/eta filter is a WIDE triangular window (half-width
-    ~nstep/2, centred on substep nstep).  A narrow window (the previous
-    half-width of nfilter+1 substeps) under-filters the marginally
-    damped barotropic mode, which then aliases into the baroclinic step
-    and grows with a few-day e-folding over topography (the split-mode
-    consistency problem of Hallberg & Adcroft 2009); widening the window
-    over the substeps that already exist suppresses that growth by ~100x
-    at no extra cost (90-day resting-bowl gate)."""
+    These are the reference's filter shapes (MOM_barotropic.F90:
+    1739-1781, post-20190101 normalization):
+    * ``wt_vel``/``wt_eta`` — a flat-top window of half-width
+      ``nfilter`` substeps centred on substep ``nstep`` (the linear-ramp
+      branch of the reference's dt_filt window is empty when dt_filt is
+      an integer multiple of dtbt, as it is here with
+      dt_filt = nfilter*dtbt), normalized;
+    * ``wt_trans``/``wt_accel`` — the REVERSE CUMULATIVE SUM of the
+      eta/vel window, normalized.  This pairing makes the filtered eta
+      exactly the initial eta plus dt times the divergence of the
+      weight-averaged transports, the split-mode consistency requirement
+      of Hallberg & Adcroft (2009).  (wt_accel == wt_trans here because
+      wt_vel == wt_eta, as in the reference's default filter.)"""
     n_tot = nstep + nfilter
     n = np.arange(1, n_tot + 1, dtype=np.float64)
-    wt_trans = np.where(n <= nstep, 1.0 / nstep, 0.0)
-    hw = max(nstep // 2, nfilter, 1)
-    tri = np.maximum(0.0, 1.0 - np.abs(n - nstep) / (hw + 1))
-    wt_vel = tri / tri.sum()
+    wt_eta = np.where(np.abs(n - nstep) <= nfilter, 1.0, 0.0)
+    wt_vel = wt_eta / wt_eta.sum()
+    rev = np.cumsum(wt_eta[::-1])[::-1]
+    wt_trans = rev / rev.sum()
     parity = (n % 2 == 0) if x_first else (n % 2 == 1)
     return (jnp.asarray(wt_trans, dtype), jnp.asarray(wt_vel, dtype),
             jnp.asarray(parity.astype(np.int32)))
@@ -143,11 +179,16 @@ def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
 def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
            visc_rem_u, visc_rem_v, pbce, eta_PF, dt, G, GV, params: BTParams,
            taux=None, tauy=None, x_first: bool = True,
-           bt_cont=None) -> BTOut:
+           bt_cont=None, obc=None) -> BTOut:
     """One barotropic cycle covering a baroclinic step of length ``dt``.
 
     ``bt_cont``: optional BTCont response curves (set_bt_cont) making the
-    barotropic transports consistent with the layer PPM continuity."""
+    barotropic transports consistent with the layer PPM continuity.
+
+    ``obc``: optional OBCParams; Flather radiation is then applied to the
+    barotropic velocities INSIDE every substep (apply_velocity_OBCs,
+    MOM_barotropic.F90:3639-3825), so the external mode radiates at the
+    substep cadence rather than only at the baroclinic step boundary."""
     dtype = u_in.dtype
     nstep, nfilter = params.nstep, params.nfilter
     dtbt = dtype.type(dt / nstep)
@@ -258,6 +299,37 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     def dragged_v(x):
         return x * drag_v if drag_v is not None else x
 
+    if obc is not None:
+        # Flather radiation inside the subcycle (same face-mask geometry
+        # as open_boundary.apply_obc, which handles the layer velocities).
+        # The eta entering the radiation condition is the INTERIOR-side
+        # cell of each boundary face: the face index itself on E/N edges
+        # (sign>0), one cell inward (ip1/jp1) on W/S edges.
+        c_fl = jnp.sqrt(GV.g_earth / jnp.maximum(G.bathyT, 1.0))
+
+        def obc_bt(ubt, vbt, eta):
+            eta_u = jnp.where(obc.sign_u >= 0.0, eta, ip1(eta))
+            eta_v = jnp.where(obc.sign_v >= 0.0, eta, jp1(eta))
+            u_fl = obc.uvel_ext + obc.sign_u * c_fl * (eta_u - obc.eta_ext)
+            v_fl = obc.vvel_ext + obc.sign_v * c_fl * (eta_v - obc.eta_ext)
+            ubt = ubt * (1.0 - obc.mask_u) + obc.mask_u * u_fl
+            vbt = vbt * (1.0 - obc.mask_v) + obc.mask_v * v_fl
+            return ubt, vbt
+
+        def obc_eta(eta):
+            # the one-cell exterior strip is the reservoir: its surface
+            # height is prescribed, not prognostic, inside the subcycle
+            # (otherwise the radiated outflow re-feeds the Flather
+            # condition through the accumulating strip and the external
+            # mode e-folds per substep)
+            return jnp.where(obc.mask_cell > 0.5, obc.eta_ext, eta)
+    else:
+        def obc_bt(ubt, vbt, eta):
+            return ubt, vbt
+
+        def obc_eta(eta):
+            return eta
+
     def half_step(ubt, vbt, eta, u_leads: bool):
         """One forward-backward substep with a STATIC update order —
         the alternating parity is unrolled into pairs below, so there is
@@ -283,9 +355,10 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
             cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
             ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
                 * G.mask2dCu
+        ubt, vbt = obc_bt(ubt, vbt, eta_w)
         # 4. eta corrector (backward, with the new transports)
         uhbt, vhbt = transports(ubt, vbt)
-        eta = eta + dtbt * div_eta(uhbt, vhbt)
+        eta = obc_eta(eta + dtbt * div_eta(uhbt, vhbt))
         return ubt, vbt, eta, uhbt, vhbt, cor_u + pfu, cor_v + pfv
 
     # substep 1 order (reference's alternating u/v-first with the

@@ -29,7 +29,8 @@ from mom6_tpu.core.coriolis_adv import SADOURNY75_ENERGY, coriolis_adv
 from mom6_tpu.core.pressure_force import find_eta, pressure_force_montgomery
 from mom6_tpu.core.state import OceanState
 from mom6_tpu.framework.stencil import ip1, jp1
-from mom6_tpu.physics.vertical.vert_friction import (limit_velocity, vertvisc,
+from mom6_tpu.physics.vertical.vert_friction import (gl90_coupling,
+                                                     limit_velocity, vertvisc,
                                                      vertvisc_coef,
                                                      vertvisc_remnant)
 
@@ -58,6 +59,13 @@ class DynParams(NamedTuple):
     bt: BTParams                 # barotropic solver parameters
     be: float = 0.6              # predictor fraction (MOM6 BE)
     kv: float = 1e-4             # background vertical viscosity [m2 s-1]
+    # GL90 interfacial viscosity (Greatbatch & Lamb 1990; the TWA form of
+    # GM): kappa>0 selects nu = kappa f^2/N^2 via 1/N^2 = h/g'; alpha>0
+    # the depth-independent form (find_coupling_coef_gl90,
+    # MOM_vert_friction.F90:428)
+    kappa_gl90: float = 0.0      # [m2 s-1]
+    alpha_gl90: float = 0.0      # [m2]
+    hbbl_gl90: float = 5.0       # bottom taper scale [m]
     bottom_drag: float = 0.0     # linear bottom drag piston velocity [m s-1]
     cdrag: float = 0.0           # quadratic bottom drag coefficient
     coriolis_scheme: str = SADOURNY75_ENERGY
@@ -98,7 +106,8 @@ def _massless_ramp(h, G, h0: float):
 def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                             G, GV, p: DynParams, *,
                             pf_fn=None, hv_fn=None, por=None,
-                            bbl_piston=None, return_accel: bool = False):
+                            bbl_piston=None, obc=None,
+                            return_accel: bool = False):
     """``pf_fn(h, state) -> PressureForceOut`` overrides the default
     Montgomery pressure force (used for the FV/EOS thermo path);
     ``hv_fn(u, v, h) -> (diffu, diffv)`` adds lateral friction
@@ -133,10 +142,22 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     drag_u = bbl_piston[0] if bbl_piston is not None else p.bottom_drag
     drag_v = bbl_piston[1] if bbl_piston is not None else p.bottom_drag
     cdrag_eff = 0.0 if bbl_piston is not None else p.cdrag
+    agl_u = agl_v = None
+    if p.kappa_gl90 > 0.0 or p.alpha_gl90 > 0.0:
+        f_u = 0.5 * (G.CoriolisBu + jm1(G.CoriolisBu))
+        f_v = 0.5 * (G.CoriolisBu + im1(G.CoriolisBu))
+        agl_u = gl90_coupling(h_u, f_u ** 2, GV.g_prime,
+                              kappa_gl90=p.kappa_gl90,
+                              alpha_gl90=p.alpha_gl90,
+                              hbbl_gl90=p.hbbl_gl90)
+        agl_v = gl90_coupling(h_v, f_v ** 2, GV.g_prime,
+                              kappa_gl90=p.kappa_gl90,
+                              alpha_gl90=p.alpha_gl90,
+                              hbbl_gl90=p.hbbl_gl90)
     cu = vertvisc_coef(h_u, p.kv, bottom_drag=drag_u,
-                       u_bot=u_bot, cdrag=cdrag_eff)
+                       u_bot=u_bot, cdrag=cdrag_eff, a_gl90=agl_u)
     cv = vertvisc_coef(h_v, p.kv, bottom_drag=drag_v,
-                       u_bot=v_bot, cdrag=cdrag_eff)
+                       u_bot=v_bot, cdrag=cdrag_eff, a_gl90=agl_v)
     visc_rem_u = vertvisc_remnant(h_u, cu, dt)
     visc_rem_v = vertvisc_remnant(h_v, cv, dt)
 
@@ -165,7 +186,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     bt1 = btstep(u, v, eta, u_bc, v_bc, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
                  dt_pred, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
-                 x_first=p.x_first, bt_cont=bt_cont)
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc)
 
     up = (u + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
     vp = (v + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
@@ -204,7 +225,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     bt2 = btstep(u, v, eta, u_bc2, v_bc2, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf2.pbce, pf2.eta_PF,
                  dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
-                 x_first=p.x_first, bt_cont=bt_cont)
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc)
 
     u_pre_visc = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
     v_pre_visc = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv

@@ -269,7 +269,8 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
         else:
             out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
                                           pf_fn=pf_fn, hv_fn=hv_fn,
-                                          por=por, bbl_piston=bbl_piston)
+                                          por=por, bbl_piston=bbl_piston,
+                                          obc=p.obc)
         if p.obc is not None:
             from mom6_tpu.core.open_boundary import apply_obc
             out = apply_obc(out, p.obc, G, GV, p.dyn.dt,

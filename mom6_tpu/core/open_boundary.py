@@ -202,9 +202,14 @@ def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
     d = jnp.maximum(G.bathyT, 1.0)
     c_fac = jnp.sqrt(GV.g_earth / d)
     # Flather normal velocity at boundary cells, applied to every layer of
-    # the corresponding face; sign: outward-positive radiation
-    u_fl = obc.uvel_ext + obc.sign_u * c_fac * (eta - obc.eta_ext)
-    v_fl = obc.vvel_ext + obc.sign_v * c_fac * (eta - obc.eta_ext)
+    # the corresponding face; sign: outward-positive radiation.  eta is
+    # taken on the INTERIOR side of each face: the face index itself on
+    # E/N edges (sign>0), one cell inward on W/S edges (where the face
+    # index coincides with the exterior-strip cell).
+    eta_u = jnp.where(obc.sign_u >= 0.0, eta, ip1(eta))
+    eta_v = jnp.where(obc.sign_v >= 0.0, eta, jp1(eta))
+    u_fl = obc.uvel_ext + obc.sign_u * c_fac * (eta_u - obc.eta_ext)
+    v_fl = obc.vvel_ext + obc.sign_v * c_fac * (eta_v - obc.eta_ext)
     u = state.u * (1.0 - obc.mask_u)[None] + (obc.mask_u * u_fl)[None]
     v = state.v * (1.0 - obc.mask_v)[None] + (obc.mask_v * v_fl)[None]
 

@@ -156,8 +156,15 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                            desc="Barotropic step; <0 => fraction of stable")
         nstep = nstep_auto if dtbt_frac < 0 else max(
             1, int(np.ceil(dt / dtbt_frac)))
-        bt = BTParams(nstep=nstep, nfilter=max(1, nstep // 8),
-                      bebt=pf.get("BEBT", float, default=0.5, module=m),
+        # DT_BT_FILTER (reference default -0.25): <0 is a fraction of dt,
+        # >=0 a time in s; the filter window half-width in substeps
+        dt_filt = pf.get("DT_BT_FILTER", float, default=-0.25, module=m,
+                         desc="Barotropic filter window; <0 => fraction "
+                         "of DT, >=0 => seconds")
+        nfilter = int(np.ceil(abs(dt_filt) * nstep)) if dt_filt < 0 \
+            else int(np.ceil(dt_filt / (dt / nstep)))
+        bt = BTParams(nstep=nstep, nfilter=max(1, nfilter),
+                      bebt=pf.get("BEBT", float, default=0.2, module=m),
                       use_bt_cont=pf.get("USE_BT_CONT_TYPE", bool,
                                          default=False, module=m),
                       lin_drag=pf.get("BT_LIN_DRAG", float, default=0.0,
@@ -193,7 +200,23 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         bottom_drag=pf.get("DRAG_BG_VEL", float, default=0.0, units="m s-1",
                            module=m) * pf.get("CDRAG", float, default=0.003,
                                               module=m),
-        cdrag=pf.get("CDRAG", float, default=0.003, module=m))
+        cdrag=pf.get("CDRAG", float, default=0.003, module=m),
+        coriolis_scheme=pf.get(
+            "CORIOLIS_SCHEME", str, default="SADOURNY75_ENERGY",
+            module="MOM_CoriolisAdv",
+            desc="SADOURNY75_ENERGY|SADOURNY75_ENSTRO|ARAKAWA_HSU90|"
+            "ARAKAWA_LAMB81|ARAKAWA_LAMB_BLEND").upper())
+    if pf.get("USE_GL90_IN_SSW", bool, default=False, module=m,
+              desc="GL90 interfacial viscosity (TWA form of GM)"):
+        dyn = dyn._replace(
+            kappa_gl90=pf.get("KD_GL90", float, default=0.0,
+                              units="m2 s-1", module=m),
+            alpha_gl90=pf.get("ALPHA_GL90", float, default=0.0,
+                              units="m2", module=m)
+            if pf.get("USE_GL90_N2", bool, default=False, module=m)
+            else 0.0,
+            hbbl_gl90=pf.get("HBBL_GL90", float, default=5.0, units="m",
+                             module=m))
 
     m = "MOM_hor_visc"
     hv = None

@@ -164,10 +164,11 @@ def main(argv=None):
         state, t0, _ = reg.restore_state(args.restart_in, state)
 
     provider = setup.forcing_provider
-    if provider is None:
-        stepper = make_mom_stepper(G, GV, params, forcing,
-                                   cycles_per_call=stats_every)
-    else:
+
+    def build_stepper(params):
+        if provider is None:
+            return make_mom_stepper(G, GV, params, forcing,
+                                    cycles_per_call=stats_every)
         # file-driven forcing: re-evaluated each segment (set_forcing per
         # dt_forcing, MOM_driver.F90:457-481); passing the forcing arrays
         # as a jit argument keeps one compilation across segments
@@ -176,7 +177,37 @@ def main(argv=None):
                 return step_mom(s, f, G, GV, params), None
             state, _ = jax.lax.scan(body, state, None, length=stats_every)
             return state
-        stepper = jax.jit(_many, donate_argnums=0)
+        return jax.jit(_many, donate_argnums=0)
+
+    stepper = build_stepper(params)
+
+    # dynamic barotropic substep reset (the DTBT_RESET_PERIOD role:
+    # set_dtbt is re-called as the stratification evolves,
+    # MOM_dynamics_split_RK2.F90:661-668 / MOM_barotropic.F90:3509).  A
+    # changed substep count swaps in a stepper recompiled for the new
+    # static nstep (cached per nstep by jit / the persistent XLA cache).
+    dtbt_reset_period = pf.get(
+        "DTBT_RESET_PERIOD", float, default=-1.0, units="s",
+        module="MOM", desc="Period between dtbt recalculations; 0 every "
+        "segment, <0 never")
+    dtbt_fn = None
+    if params.unsplit is None and dtbt_reset_period >= 0.0:
+        from mom6_tpu.core.barotropic import dtbt_max_from_state
+        from mom6_tpu.core.pressure_force import (pressure_force_fv,
+                                                  pressure_force_montgomery)
+        dtbt_frac = abs(pf.get("DTBT", float, default=-0.98, module="MOM"))
+
+        def _dtbt(state):
+            if params.thermo_enabled:
+                from mom6_tpu.eos import get_eos
+                out = pressure_force_fv(state.h, state.T, state.S, G, GV,
+                                        get_eos(params.eos_name))
+            else:
+                out = pressure_force_montgomery(state.h, G, GV)
+            return dtbt_max_from_state(state.h, out.pbce, G,
+                                       params.dyn.bt.bebt)
+        dtbt_fn = jax.jit(_dtbt)
+    t_last_reset = t0
     writer = StatsWriter(os.path.join(args.rundir, "ocean.stats"))
 
     # gridded diagnostics through the mediator; a diag_table file in the
@@ -222,7 +253,23 @@ def main(argv=None):
             state = stepper(state, provider(t_mid))
         jax.block_until_ready(state.h)
         step = (c + 1) * stats_every
-        tdays = (t0 + step * dt_cycle) / 86400.0
+        t_now = t0 + step * dt_cycle
+        if dtbt_fn is not None and \
+                t_now - t_last_reset >= dtbt_reset_period:
+            t_last_reset = t_now
+            dtbt_max = float(dtbt_fn(state))
+            nstep_new = max(1, int(np.ceil(
+                params.dyn.dt / (dtbt_frac * dtbt_max))))
+            bt = params.dyn.bt
+            if nstep_new != bt.nstep:
+                print(f"set_dtbt: nstep {bt.nstep} -> {nstep_new} "
+                      f"(dtbt_max {dtbt_max:.1f} s)")
+                bt = bt._replace(nstep=nstep_new,
+                                 nfilter=max(1, nstep_new // 8))
+                params = params._replace(
+                    dyn=params.dyn._replace(bt=bt))
+                stepper = build_stepper(params)
+        tdays = t_now / 86400.0
         s = compute_stats(state, G, GV, params.dyn.dt)
         writer.write(step, tdays, s)
         print(format_stats_line(step, tdays, s))

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from mom6_tpu.framework.solvers import tridiag_solve
 
-__all__ = ["ViscCoeffs", "vertvisc_coef", "vertvisc", "vertvisc_remnant"]
+__all__ = ["ViscCoeffs", "gl90_coupling", "vertvisc_coef", "vertvisc",
+           "vertvisc_remnant"]
 
 # Thickness floor for the implicit solve [m].  Must be large enough that the
 # float32 Thomas recursion stays well conditioned when layers are massless
@@ -39,18 +40,50 @@ class ViscCoeffs(NamedTuple):
     drag_diag: Optional[jnp.ndarray] = None  # bottom-drag piston per layer
 
 
+def gl90_coupling(h_face, f2, g_prime, *, kappa_gl90: float = 0.0,
+                  alpha_gl90: float = 0.0, hbbl_gl90: float = 5.0):
+    """Greatbatch & Lamb (1990) interfacial viscosity coupling — the TWA
+    equivalent of GM, redistributing momentum vertically with
+    nu = kappa_GM f^2 / N^2 (find_coupling_coef_gl90,
+    MOM_vert_friction.F90:428-545).  Returns the extra interface
+    coupling [m s-1] at interfaces 2..nz (stress-free top/bottom).
+
+    ``f2``: (ny, nx) squared Coriolis parameter at the velocity point.
+    ``g_prime``: (nz,) reduced gravities at layer-top interfaces (the
+    stacked-shallow-water 1/N^2 = h/g' closure: a = f^2 kappa / g').
+    ``alpha_gl90`` > 0 selects the depth-independent form
+    a = 2 f^2 alpha / (h_k + h_{k-1}) instead.
+    The coupling is tapered to zero within the bottom boundary layer by
+    (1 - botfn), botfn = 1/(1 + 0.09 z^6), z = height above bottom in
+    units of ``hbbl_gl90``."""
+    if alpha_gl90 > 0.0:
+        a = 2.0 * f2[None] * alpha_gl90 \
+            / jnp.maximum(h_face[:-1] + h_face[1:], _H_EPS)
+    else:
+        gp = jnp.asarray(g_prime)[1:, None, None]      # interfaces 2..nz
+        a = f2[None] * kappa_gl90 / jnp.maximum(gp, 1e-12)
+    # height of each interior interface above the bottom
+    z_i = jnp.cumsum(h_face[::-1], axis=0)[::-1][1:] / hbbl_gl90
+    botfn = 1.0 / (1.0 + 0.09 * z_i ** 6)
+    return a * (1.0 - botfn)
+
+
 def vertvisc_coef(h_face, kv: float, *, bottom_drag: float = 0.0,
                   u_bot: Optional[jnp.ndarray] = None,
-                  cdrag: float = 0.0) -> ViscCoeffs:
+                  cdrag: float = 0.0,
+                  a_gl90=None) -> ViscCoeffs:
     """Viscous coupling coefficients at a velocity point.
 
     ``h_face``: (nz, ny, nx) layer thicknesses at the velocity point.
     ``kv``: background vertical viscosity [m2 s-1].
     ``bottom_drag``: linear bottom drag piston velocity r [m s-1].
     ``cdrag``/``u_bot``: quadratic drag c_d*|u_bot| added to r.
+    ``a_gl90``: optional extra interface coupling from ``gl90_coupling``.
     """
     dz_int = 0.5 * (h_face[:-1] + h_face[1:])          # interfaces 2..nz
     a_int = kv / jnp.maximum(dz_int, _H_EPS)
+    if a_gl90 is not None:
+        a_int = a_int + a_gl90
     # f32 conditioning cap, cf. tracers/vert_diff.py: keep coupling/mass
     # ratios resolvable while still locking massless layers to neighbors
     a_cap = 1e4 * jnp.minimum(h_face[:-1], h_face[1:]).clip(_H_EPS) / 3600.0
