@@ -26,11 +26,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["remap_column", "reconstruct", "PCM", "PLM", "PPM_H4",
-           "PQM_IH4IH3"]
+           "PPM_IH4", "PPM_H6", "P3M_H4", "PQM_IH4IH3"]
 
 PCM = "PCM"
 PLM = "PLM"
 PPM_H4 = "PPM_H4"
+PPM_IH4 = "PPM_IH4"      # implicit (compact) 4th-order edges, non-uniform
+PPM_H6 = "PPM_H6"        # 6th-order explicit edges (uniform weights)
+P3M_H4 = "P3M_H4"        # monotone cubic interpolant (interpolation use)
 PQM_IH4IH3 = "PQM_IH4IH3"
 
 _EPS = 1e-30
@@ -78,6 +81,99 @@ def _edge_values_h4(u, h):
         e_top = e_top.at[nz - 1].set(0.5 * (u[nz - 2] + u[nz - 1]))
     e_bot = jnp.concatenate([e_top[1:], u[-1:]], axis=0)
     e_bot = e_bot.at[-1].set(u[-1])
+    return e_top, e_bot
+
+
+def _edge_values_implicit_h4(u, h):
+    """Implicit (compact) 4th-order edge values on NON-UNIFORM grids:
+    the tridiagonal system  alpha_i e_{i-1} + e_i + beta_i e_{i+1} = rhs_i
+    of regrid_edge_values.F90 edge_values_implicit_h4 (post-2019
+    coefficients): at the interface between cells of widths h0, h1,
+
+      alpha = h1^2/(h0+h1)^2,  beta = h0^2/(h0+h1)^2,
+      rhs = a*u0 + b*u1,  a = 2 alpha (alpha + 2 beta + 3 ab),
+                          b = 2 beta (beta + 2 alpha + 3 ab).
+
+    Solved as one batched tridiagonal over the column (interfaces 0..nz
+    with Dirichlet cell-mean boundaries).  Returns (e_top, e_bot)."""
+    from mom6_tpu.framework.solvers import tridiag_solve
+    nz = u.shape[0]
+    h0 = jnp.maximum(h[:-1], 1e-10)
+    h1 = jnp.maximum(h[1:], 1e-10)
+    h0 = jnp.maximum(h0, 1e-12 * h1)
+    h1 = jnp.maximum(h1, 1e-12 * h0)
+    i_h2 = 1.0 / (h0 + h1) ** 2
+    alpha = h1 * h1 * i_h2
+    beta = h0 * h0 * i_h2
+    abmix = h0 * h1 * i_h2
+    a = 2.0 * alpha * (alpha + 2.0 * beta + 3.0 * abmix)
+    b = 2.0 * beta * (beta + 2.0 * alpha + 3.0 * abmix)
+    z1 = jnp.zeros_like(u[:1])
+    # interfaces 0..nz: rows 1..nz-1 are the compact relations; rows 0
+    # and nz pin the boundary edges to a cubic fitted through the 4
+    # boundary-adjacent cell averages (the reference's 4x4 Asys solve)
+    lo = jnp.concatenate([z1, alpha, z1], axis=0)       # sub-diagonal
+    up = jnp.concatenate([z1, beta, z1], axis=0)        # super-diagonal
+    di = jnp.ones_like(lo)
+    nfit = min(4, nz)
+    e_sfc = _boundary_fit(u[:nfit], h[:nfit])
+    e_bot = _boundary_fit(u[::-1][:nfit], h[::-1][:nfit])
+    rhs = jnp.concatenate([e_sfc[None], a * u[:-1] + b * u[1:],
+                           e_bot[None]], axis=0)
+    e = tridiag_solve(lo, di, up, rhs)
+    return e[:-1], e[1:]
+
+
+def _boundary_fit(u, h):
+    """Value at the outer boundary of a cubic (or lower-degree) polynomial
+    whose averages over the ``u.shape[0]`` cells nearest the boundary
+    match u (regrid_edge_values.F90's boundary Asys/Bsys solve).  The
+    cells are ordered outward-first; returns the value at z=0."""
+    n = u.shape[0]
+    zi = jnp.concatenate([jnp.zeros_like(h[:1]),
+                          jnp.cumsum(h, axis=0)], axis=0)
+    # constraint rows: mean of z^m over cell j = (z_{j+1}^{m+1} -
+    # z_j^{m+1}) / ((m+1) h_j); value at the boundary is coeff of z^0
+    rows = []
+    for m in range(n):
+        rows.append((zi[1:] ** (m + 1) - zi[:-1] ** (m + 1))
+                    / ((m + 1) * jnp.maximum(h, 1e-30)))
+    A = jnp.stack(rows, axis=-1)          # (n_cells, ..., n_coeff)
+    A = jnp.moveaxis(A, 0, -2)            # (..., n_cells, n_coeff)
+    b = jnp.moveaxis(u, 0, -1)[..., None]  # (..., n_cells, 1)
+    coef = jnp.linalg.solve(A, b)[..., 0, 0]   # P(0) = c0
+    return coef
+
+
+def _edge_values_h6(u, h):
+    """6th-order explicit edge values with uniform-grid weights
+    (37, -8, 1)/60 (the uniform limit of edge_values_implicit_h6,
+    regrid_edge_values.F90:1223; the full non-uniform pentadiagonal
+    scheme is approximated here by its uniform-spacing weights, falling
+    back to h4 near the boundaries)."""
+    nz = u.shape[0]
+    if nz < 6:
+        return _edge_values_h4(u, h)
+
+    def sh(k):
+        """u shifted k cells toward the surface (edge-replicated)."""
+        if k > 0:
+            return jnp.concatenate([jnp.repeat(u[:1], k, axis=0),
+                                    u[:-k]], axis=0)
+        if k < 0:
+            return jnp.concatenate([u[-k:],
+                                    jnp.repeat(u[-1:], -k, axis=0)], axis=0)
+        return u
+    c1, c2, c3 = 37.0 / 60.0, -8.0 / 60.0, 1.0 / 60.0
+    # interface k (top of cell k): stencil u[k-3..k+2]
+    e_top = (c1 * (sh(1) + u) + c2 * (sh(2) + sh(-1))
+             + c3 * (sh(3) + sh(-2)))
+    e4_t, e4_b = _edge_values_h4(u, h)
+    # fall back to the h4 estimates within 3 cells of either boundary
+    k = jnp.arange(nz).reshape((nz,) + (1,) * (u.ndim - 1))
+    interior = (k >= 3) & (k <= nz - 3)
+    e_top = jnp.where(interior, e_top, e4_t)
+    e_bot = jnp.concatenate([e_top[1:], e4_b[-1:]], axis=0)
     return e_top, e_bot
 
 
@@ -139,19 +235,72 @@ def reconstruct(u, h, scheme: str):
     if scheme == PLM:
         slp = _plm_slopes(u, h)
         return u - 0.5 * slp, slp, z, z, z
-    if scheme == PPM_H4:
-        e_l, e_r = _edge_values_h4(u, h)
+    if scheme in (PPM_H4, PPM_IH4, PPM_H6):
+        if scheme == PPM_IH4:
+            e_l, e_r = _edge_values_implicit_h4(u, h)
+        elif scheme == PPM_H6:
+            e_l, e_r = _edge_values_h6(u, h)
+        else:
+            e_l, e_r = _edge_values_h4(u, h)
         e_l, e_r = _ppm_limit(u, e_l, e_r)
         # u(xi) = eL + xi[(eR-eL) + 6(1-xi)(u - (eL+eR)/2)]  (CW84)
         c0 = e_l
         c1 = 6.0 * u - 4.0 * e_l - 2.0 * e_r
         c2 = 3.0 * ((e_l + e_r) - 2.0 * u)
         return c0, c1, c2, z, z
+    if scheme == P3M_H4:
+        # Monotone piecewise cubic (P3M_functions.F90: build from h4 edge
+        # values + limited edge slopes; a3 from the slope constraints).
+        # NOTE: P3M interpolates edges/slopes, it does NOT preserve the
+        # cell mean — it is the INTERPOLATION scheme used by regridding
+        # (regrid_interp INTERPOLATION_P3M_H4), not a remapping scheme.
+        e_l, e_r = _edge_values_h4(u, h)
+        e_l, e_r = _ppm_limit(u, e_l, e_r)
+        s_l, s_r = _edge_slopes(u, h)
+        # limit edge slopes by the one-sided slopes (P3M_limiter)
+        u_m = jnp.concatenate([u[:1], u[:-1]], axis=0)
+        u_p = jnp.concatenate([u[1:], u[-1:]], axis=0)
+        hn = jnp.maximum(h, _EPS)
+        sig_l = 2.0 * (u - u_m) / hn
+        sig_r = 2.0 * (u_p - u) / hn
+        s_l = jnp.where(jnp.abs(s_l) > jnp.abs(sig_l), sig_l, s_l)
+        s_r = jnp.where(jnp.abs(s_r) > jnp.abs(sig_r), sig_r, s_r)
+        # monotonicity of the cubic: its derivative must not change sign
+        # inside (0,1); where it would, drop the slope dofs (-> PPM-like)
+        u1l, u1r = s_l * h, s_r * h
+
+        def cubic(u1l, u1r):
+            a1 = u1l
+            a2 = 3.0 * (e_r - e_l) - u1r - 2.0 * u1l
+            a3 = u1r + u1l + 2.0 * (e_l - e_r)
+            return a1, a2, a3
+        a1, a2, a3 = cubic(u1l, u1r)
+        # monotone iff the derivative q(xi) = a1 + 2 a2 xi + 3 a3 xi^2
+        # keeps one sign on [0,1]: check the endpoints AND the interior
+        # vertex (is_cubic_monotonic, P3M_functions.F90); where it fails,
+        # drop the slope dofs — the resulting cubic's derivative is
+        # 6 (eR-eL) xi (1-xi), monotone by construction (monotonize_cubic
+        # fallback)
+        q0 = a1
+        q1 = a1 + 2.0 * a2 + 3.0 * a3
+        xi_v = jnp.where(jnp.abs(a3) > 1e-12,
+                         -a2 / (3.0 * a3 + jnp.where(a3 >= 0, 1e-30,
+                                                     -1e-30)), 0.5)
+        xi_v = jnp.clip(xi_v, 0.0, 1.0)
+        qv = a1 + xi_v * (2.0 * a2 + 3.0 * a3 * xi_v)
+        non_mono = (q0 * q1 < 0.0) | (q0 * qv < 0.0) | (qv * q1 < 0.0)
+        u1l = jnp.where(non_mono, 0.0, u1l)
+        u1r = jnp.where(non_mono, 0.0, u1r)
+        a1, a2, a3 = cubic(u1l, u1r)
+        return e_l, a1, a2, a3, z
     if scheme == PQM_IH4IH3:
         # quartic (White & Adcroft 2008; MOM_remapping.F90 REMAPPING_PQM_IH4IH3
         # role): h4 edge values + interface slopes, monotonized, with a
         # pointwise-bounds fallback to the PPM parabola where the quartic
-        # would overshoot
+        # would overshoot.  The EXPLICIT h4 edges are used here: at f32
+        # the compact tridiagonal's longer accumulation chain costs more
+        # than its non-uniform-grid accuracy gains (use PPM_IH4 for the
+        # implicit edge path)
         e_l, e_r = _edge_values_h4(u, h)
         e_l, e_r = _ppm_limit(u, e_l, e_r)
         s_l, s_r = _edge_slopes(u, h)

@@ -177,10 +177,21 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     # coupling)
     hv_fn = None
     if p.hor_visc is not None or p.zb is not None:
+        # MEKE backscatter amplitude (MEKE_VISCOSITY_COEFF_KU): a
+        # negative Laplacian viscosity returning parameterized eddy
+        # energy to the resolved flow, evaluated once per thermo cycle
+        # from the current eddy energy
+        ku_bs = None
+        if (p.meke is not None and state.E_meke is not None
+                and p.meke.ku_coeff > 0.0):
+            from mom6_tpu.physics.lateral.meke import meke_viscosity
+            ku_bs = meke_viscosity(state.E_meke, p.meke, h=state.h, G=G)
+
         def hv_fn(u, v, h):
             du = dv = 0.0
             if p.hor_visc is not None:
-                du, dv = horizontal_viscosity(u, v, h, G, p.hor_visc)
+                du, dv = horizontal_viscosity(u, v, h, G, p.hor_visc,
+                                              ku_backscatter=ku_bs)
             if p.zb is not None:
                 from mom6_tpu.physics.lateral.zanna_bolton import \
                     zanna_bolton_accel
@@ -204,14 +215,29 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             thickness_diffuse
         khth_2d = None
         if p.meke is not None and state.E_meke is not None:
-            khth_2d = p.gm.khth + meke_diffusivity(state.E_meke, p.meke)
+            khth_2d = p.gm.khth + meke_diffusivity(state.E_meke, p.meke,
+                                                   h=state.h, G=G)
         h_gm, uhd, vhd = thickness_diffuse(state.h, G, GV, dt_therm, p.gm,
                                            khth_2d=khth_2d,
                                            T=state.T, S=state.S, eos=eos)
         if p.meke is not None and state.E_meke is not None:
             src = gm_pe_release(state.h, uhd, vhd, G, GV)
+            # frictional backscatter source: work extracted by the
+            # lateral friction, -(u.F_u + v.F_v), column mean
+            # (MEKE%mom_src via MEKE_FRCOEFF)
+            src_mom = None
+            if p.meke.fr_coeff > 0.0 and p.hor_visc is not None:
+                du, dv = horizontal_viscosity(state.u, state.v, state.h,
+                                              G, p.hor_visc)
+                from mom6_tpu.framework.stencil import im1 as _im1
+                from mom6_tpu.framework.stencil import jm1 as _jm1
+                wu = state.h * 0.5 * (state.u * du + _im1(state.u * du))
+                wv = state.h * 0.5 * (state.v * dv + _jm1(state.v * dv))
+                col = jnp.maximum(jnp.sum(state.h, axis=0), 1.0)
+                src_mom = jnp.maximum(
+                    -jnp.sum(wu + wv, axis=0) / col, 0.0)
             e_new = step_meke(state.E_meke, src, state.h, G, dt_therm,
-                              p.meke)
+                              p.meke, src_mom=src_mom)
             state = state.replace(E_meke=e_new)
         state = state.replace(h=h_gm,
                               uhtr=state.uhtr + dt_therm * uhd,

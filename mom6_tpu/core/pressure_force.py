@@ -63,6 +63,11 @@ def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None):
 
     Returns (dpa [Pa], intz_dpa [Pa m]): dpa = pa(e_b) - pa(e_t) and
     intz_dpa = int over the layer of (pa(z) - pa(e_t)) dz."""
+    if varT is None and getattr(eos, "int_density_dz", None) is not None:
+        # Wright-family EOS: exact closed-form layer integral
+        # (int_density_dz_wright, MOM_EOS_Wright.F90:389) — no
+        # quadrature error and ~5x fewer density evaluations
+        return eos.int_density_dz(T, S, e_t, e_b, g, rho0, rho_ref=rho0)
     dz = e_t - e_b
     gxrho = g * rho0
     # 5 sample heights from the top of the layer downward

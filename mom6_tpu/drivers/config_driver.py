@@ -244,7 +244,37 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         from mom6_tpu.physics.lateral.meke import MEKEParams
         meke = MEKEParams(
             damping=pf.get("MEKE_DAMPING", float, default=1e-6, module=m),
-            ke_coeff=pf.get("MEKE_KHCOEFF", float, default=0.2, module=m))
+            ke_coeff=pf.get("MEKE_KHCOEFF", float, default=0.2, module=m),
+            gm_src_frac=pf.get("MEKE_GMCOEFF", float, default=1.0,
+                               module=m),
+            fr_coeff=pf.get("MEKE_FRCOEFF", float, default=0.0, module=m,
+                            desc="Fraction of lateral friction work fed "
+                            "back as MEKE"),
+            bgsrc=pf.get("MEKE_BGSRC", float, default=0.0,
+                         units="m2 s-3", module=m),
+            cd_scale=pf.get("MEKE_CD_SCALE", float, default=0.0, module=m),
+            cb=pf.get("MEKE_CB", float, default=25.0, module=m),
+            ct=pf.get("MEKE_CT", float, default=50.0, module=m),
+            uscale=pf.get("MEKE_USCALE", float, default=0.0,
+                          units="m s-1", module=m),
+            kh_meke=pf.get("MEKE_KH", float, default=100.0,
+                           units="m2 s-1", module=m),
+            cdrag=pf.get("CDRAG", float, default=0.003, module=m),
+            a_deform=pf.get("MEKE_ALPHA_DEFORM", float, default=0.0,
+                            module=m),
+            a_frict=pf.get("MEKE_ALPHA_FRICT", float, default=0.0,
+                           module=m),
+            a_rhines=pf.get("MEKE_ALPHA_RHINES", float, default=0.0,
+                            module=m),
+            a_eady=pf.get("MEKE_ALPHA_EADY", float, default=0.0, module=m),
+            a_grid=pf.get("MEKE_ALPHA_GRID", float, default=0.0, module=m),
+            l_fixed=pf.get("MEKE_FIXED_MIXING_LENGTH", float, default=0.0,
+                           units="m", module=m),
+            topo_beta=pf.get("MEKE_TOPOGRAPHIC_BETA", float, default=0.0,
+                             module=m),
+            ku_coeff=pf.get("MEKE_VISCOSITY_COEFF_KU", float, default=0.0,
+                            module=m, desc="Backscatter (negative "
+                            "viscosity) amplitude from MEKE"))
 
     m = "MOM_mixed_layer_restrat"
     mlr = None
@@ -435,9 +465,18 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     if pf.get("INTERNAL_TIDES", bool, default=False, module=m):
         from mom6_tpu.physics.lateral.internal_tides import \
             InternalTidesParams
+        # M2 / S2 / K1 / O1 frequencies selectable by count
+        # (ENERGIZED_ANGULAR_FREQS role); conversion split equally
+        freq_table = (1.4052e-4, 1.4544e-4, 7.2921e-5, 6.7598e-5)
+        nfreq = pf.get("INTERNAL_TIDE_FREQS", int, default=1, module=m,
+                       desc="Number of tidal frequencies (M2,S2,K1,O1)")
         int_tides = InternalTidesParams(
             n_angle=pf.get("INTERNAL_TIDE_ANGLES", int, default=8,
                            module=m),
+            freqs=freq_table[:max(1, min(nfreq, 4))],
+            freq_frac=(1.0,) * max(1, min(nfreq, 4)),
+            n_mode=pf.get("INTERNAL_TIDE_MODES", int, default=1, module=m,
+                          desc="Number of vertical modes propagated"),
             decay_rate=pf.get("INT_TIDE_BACKGROUND_DECAY", float,
                               default=0.0, units="s-1", module=m),
             drag_coef=pf.get("INT_TIDE_DRAG_COEF", float, default=1e-4,
@@ -666,8 +705,10 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     if meke is not None:
         state = state.replace(E_meke=jnp.zeros((G.ny, G.nx), dtype))
     if int_tides is not None:
-        state = state.replace(En_itide=jnp.zeros(
-            (int_tides.n_angle, G.ny, G.nx), dtype))
+        from mom6_tpu.physics.lateral.internal_tides import \
+            init_int_tide_energy
+        state = state.replace(
+            En_itide=init_int_tide_energy(int_tides, G.ny, G.nx, dtype))
     if use_thermo:
         ts_cfg = pf.get("TS_CONFIG", str, default="fit", module=m)
         t_ref = pf.get("T_REF", float, default=10.0, units="degC", module=m)

@@ -14,6 +14,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
                                               step_dynamics_split_rk2)
@@ -134,6 +135,12 @@ def main(argv=None):
     ap.add_argument("--days", type=float, default=None,
                     help="override DAYMAX")
     ap.add_argument("--restart-in", default=None)
+    ap.add_argument("--offline", default=None, metavar="ARCHIVE",
+                    help="offline tracer mode: advance tracers with the "
+                    "stored transports in ARCHIVE (written by a prior "
+                    "online run with OFFLINE_TRANSPORT_FILE), without "
+                    "re-running the dynamics (step_offline; "
+                    "MOM.F90 step_offline:1983)")
     args = ap.parse_args(argv)
 
     import os
@@ -142,7 +149,16 @@ def main(argv=None):
     if os.path.exists(ov):
         paths.append(ov)
     pf = ParamFile(paths)
-    setup = build_model_from_params(pf, doc_dir=args.rundir)
+    # DOUBLE_PRECISION: run the whole model in float64 — the reference's
+    # native precision, for machine-precision ocean.stats verification
+    # against it (SURVEY.md §4).  Intended for CPU verification runs;
+    # TPU hardware has no native f64 path.
+    dtype = jnp.float32
+    if pf.get("DOUBLE_PRECISION", bool, default=False, module="MOM",
+              desc="Integrate in float64 (CPU verification mode)"):
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    setup = build_model_from_params(pf, dtype=dtype, doc_dir=args.rundir)
     G, GV, state, params, forcing = (setup.grid, setup.vgrid, setup.state,
                                      setup.params, setup.forcing)
     days = pf.get("DAYMAX", float, default=1.0, units="days",
@@ -162,6 +178,18 @@ def main(argv=None):
     t0 = 0.0
     if args.restart_in:
         state, t0, _ = reg.restore_state(args.restart_in, state)
+
+    if args.offline:
+        return _run_offline(args, setup, pf, dt_cycle, stats_every)
+
+    # online transport archiving for later offline-tracer runs
+    # (the accumulated uhtr/vhtr + start/end thicknesses per interval
+    # that MOM_offline_main.F90 reads back)
+    archive_file = pf.get(
+        "OFFLINE_TRANSPORT_FILE", str, default="", module="MOM",
+        desc="If set, archive per-segment transports for offline mode")
+    arc_rec = {"h_start": [], "h_end": [], "uhtr": [], "vhtr": []} \
+        if archive_file else None
 
     provider = setup.forcing_provider
 
@@ -246,12 +274,23 @@ def main(argv=None):
 
     start = time.time()
     for c in range(n_cycles // stats_every):
+        if arc_rec is not None:
+            h_pre = np.asarray(jax.device_get(state.h))
+            uhtr_pre = np.asarray(jax.device_get(state.uhtr))
+            vhtr_pre = np.asarray(jax.device_get(state.vhtr))
         if provider is None:
             state = stepper(state)
         else:
             t_mid = t0 + (c + 0.5) * stats_every * dt_cycle
             state = stepper(state, provider(t_mid))
         jax.block_until_ready(state.h)
+        if arc_rec is not None:
+            arc_rec["h_start"].append(h_pre)
+            arc_rec["h_end"].append(np.asarray(jax.device_get(state.h)))
+            arc_rec["uhtr"].append(
+                np.asarray(jax.device_get(state.uhtr)) - uhtr_pre)
+            arc_rec["vhtr"].append(
+                np.asarray(jax.device_get(state.vhtr)) - vhtr_pre)
         step = (c + 1) * stats_every
         t_now = t0 + step * dt_cycle
         if dtbt_fn is not None and \
@@ -289,6 +328,14 @@ def main(argv=None):
         dm.flush(os.path.join(args.rundir, "ocean_diags.nc"),
                  time_seconds=t0 + n_cycles * dt_cycle)
     elapsed = time.time() - start
+    if arc_rec is not None and arc_rec["uhtr"]:
+        from mom6_tpu.io.netcdf import NCWriter
+        w = NCWriter(os.path.join(args.rundir, archive_file),
+                     global_attrs={"interval_seconds":
+                                   float(stats_every * dt_cycle)})
+        for k, recs in arc_rec.items():
+            w.write_static(k, np.stack(recs))
+        w.close()
     reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
                      time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles)
     # chksum_diag-style fingerprint of the final state (the second half of
@@ -312,6 +359,54 @@ def main(argv=None):
     if unused:
         print("WARNING: unused parameters:", ", ".join(unused))
     return state
+
+
+def _run_offline(args, setup, pf, dt_cycle, stats_every):
+    """Offline tracer transport from an archived online run (the
+    step_offline path, MOM.F90:1983 -> MOM_offline_main.F90): advect
+    the initialized T/S plus an ideal-age tracer with the STORED
+    interval transports, and report per-interval tracer totals."""
+    import os
+
+    import numpy as np
+
+    from mom6_tpu.io.netcdf import read_nc
+    from mom6_tpu.tracers.offline import OfflineFields, step_offline
+
+    G, state = setup.grid, setup.state
+    arc_path = args.offline if os.path.isabs(args.offline) \
+        else os.path.join(args.rundir, args.offline)
+    # NetCDF-3 stores big-endian; convert to native for jax
+    arc = {k: np.asarray(v, np.float32) for k, v in read_nc(arc_path).items()
+           if np.ndim(v)}
+    n_rec = arc["uhtr"].shape[0]
+    dt_rec = stats_every * dt_cycle
+
+    names = ["T", "S", "ideal_age"]
+    tr = jnp.stack([state.T, state.S, jnp.zeros_like(state.T)])
+    h = jnp.asarray(arc["h_start"][0])
+    area = np.asarray(G.areaT, np.float64)
+    print(f"offline: {n_rec} intervals of {dt_rec:.0f} s from {arc_path}")
+    for r in range(n_rec):
+        fields = OfflineFields(
+            h_start=jnp.asarray(arc["h_start"][r]),
+            h_end=jnp.asarray(arc["h_end"][r]),
+            uhtr=jnp.asarray(arc["uhtr"][r]),
+            vhtr=jnp.asarray(arc["vhtr"][r]))
+        tr = tr.at[2].add(dt_rec / (365.0 * 86400.0))   # age source [yr]
+        tr, h = step_offline(tr, fields, dt_rec, G)
+        tots = [float((np.asarray(tr[i], np.float64)
+                       * np.asarray(h, np.float64) * area).sum())
+                for i in range(len(names))]
+        print(f"  rec {r + 1:3d}: " + "  ".join(
+            f"{n}*V {v:.6e}" for n, v in zip(names, tots)))
+    from mom6_tpu.io.netcdf import NCWriter
+    w = NCWriter(os.path.join(args.rundir, "offline_tracers.nc"))
+    for i, n in enumerate(names):
+        w.write_static(n, np.asarray(tr[i]))
+    w.write_static("h", np.asarray(h))
+    w.close()
+    return tr
 
 
 def run_segment(state, G, GV, params: DynParams, forces: MechForcing, *,

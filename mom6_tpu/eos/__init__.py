@@ -66,6 +66,9 @@ class EOS:
     specific_volume: Callable
     density_second_derivs: Optional[Callable] = None
     # (T, S, p) -> (d2_SS, d2_ST, d2_TT, d2_Sp, d2_Tp)
+    # analytic layer integral of g*(rho - rho_ref) dz (Wright family);
+    # None -> the pressure force falls back to Boole quadrature
+    int_density_dz: Optional[Callable] = None
 
     def __hash__(self):
         return hash(self.name)
@@ -79,7 +82,8 @@ def _register(name: str, mod) -> None:
         name=name, density=mod.density,
         density_derivs=mod.density_derivs,
         specific_volume=mod.specific_volume,
-        density_second_derivs=_second_derivs_from(mod.density_derivs))
+        density_second_derivs=_second_derivs_from(mod.density_derivs),
+        int_density_dz=getattr(mod, "int_density_dz", None))
 
 
 _register("LINEAR", linear)

@@ -84,3 +84,43 @@ def compressibility(T, S, p):
     pp = p + p0
     denom = lam + al0 * pp
     return lam / (denom * denom)
+
+
+def int_density_dz(T, S, e_t, e_b, g: float, rho0: float,
+                   rho_ref: float = 0.0):
+    """ANALYTIC layer integral of g*(rho - rho_ref) dz under the
+    Boussinesq linear pressure p = -g*rho0*z, exploiting the rational
+    form of the Wright EOS (int_density_dz_wright,
+    reference MOM_EOS_Wright.F90:389-655):
+
+      rho(z) = (p(z)+p0) / (lambda + al0*(p(z)+p0))
+
+    integrates in closed form via the odd-power series in
+    eps = GxRho*dz/2 / (p0 + lambda/al0 + p_ave), accurate to eps^9 —
+    machine precision for any ocean layer (eps ~ 1e-3), with no
+    quadrature error (the 5-point Boole PCM path carries O(dz^6)).
+
+    Returns (dpa [Pa], intz_dpa [Pa m]) with the same conventions as
+    pressure_force._dpa_column: dpa = pa(e_b) - pa(e_t), intz_dpa the
+    in-layer integral of (pa(z) - pa(e_t)) dz."""
+    return _analytic_int(_fits(T, S), e_t, e_b, g, rho0, rho_ref)
+
+
+def _analytic_int(fits, e_t, e_b, g: float, rho0: float, rho_ref: float):
+    """Shared closed form for any Wright-family coefficient set (also
+    used by wright_full)."""
+    al0, p0, lam = fits
+    gxrho = g * rho0
+    dz = e_t - e_b
+    p_ave = -gxrho * 0.5 * (e_t + e_b)
+    i_al0 = 1.0 / al0
+    i_lzz = 1.0 / (p0 + lam * i_al0 + p_ave)
+    eps = 0.5 * gxrho * dz * i_lzz
+    eps2 = eps * eps
+    rho_anom = (p0 + p_ave) * (i_lzz * i_al0) - rho_ref
+    rem = (1.0 / rho0) * (lam * i_al0 * i_al0) * eps2 * (
+        (1.0 / 3.0) + eps2 * (0.2 + eps2 * ((1.0 / 7.0)
+                                            + (1.0 / 9.0) * eps2)))
+    dpa = g * rho_anom * dz - 2.0 * eps * rem
+    intz_dpa = 0.5 * g * rho_anom * dz * dz - dz * (1.0 + eps) * rem
+    return dpa, intz_dpa

@@ -76,3 +76,12 @@ def compressibility(T, S, p):
     pp = p + p0
     denom = lam + al0 * pp
     return lam / (denom * denom)
+
+
+def int_density_dz(T, S, e_t, e_b, g: float, rho0: float,
+                   rho_ref: float = 0.0):
+    """Analytic layer density integral with the full-range Wright fit
+    (int_density_dz_wright_full, MOM_EOS_Wright_full.F90; closed form
+    shared with eos/wright.py)."""
+    from mom6_tpu.eos.wright import _analytic_int
+    return _analytic_int(_fits(T, S), e_t, e_b, g, rho0, rho_ref)

@@ -15,7 +15,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["bitcount_checksum", "chksum_stats", "chksum_line"]
+__all__ = ["bitcount_checksum", "chksum_stats", "chksum_line",
+           "hchksum", "uvchksum", "Bchksum"]
 
 _MOD = 1_000_000_000
 
@@ -25,8 +26,15 @@ def bitcount_checksum(x) -> int:
 
     Invariant to array layout/partitioning (it is a sum of per-element
     integers), like MOM6's ``subchk``/bitcount (MOM_checksums.F90:110).
+    Native C++ popcount when available, numpy lookup-table otherwise.
     """
     a = np.asarray(x)
+    try:
+        from mom6_tpu import native
+        if native.available() and a.dtype in (np.float32, np.float64):
+            return native.bitcount(a)
+    except Exception:        # noqa: BLE001
+        pass
     if a.dtype == np.float64:
         bits = a.view(np.uint64)
     elif a.dtype == np.float32:
@@ -62,3 +70,26 @@ def chksum_line(name: str, x, mask=None) -> str:
     s = chksum_stats(x, mask)
     return (f"{name:>24s}: chksum={s['chksum']:09d} "
             f"min={s['min']: .17e} max={s['max']: .17e} mean={s['mean']: .17e}")
+
+
+# -- staggered-grid variants (the hchksum/uvchksum/Bchksum interfaces of
+# MOM_checksums.F90).  Under GSPMD there are no redundant halo points to
+# exclude, so each variant reduces to the same layout-invariant stats on
+# its natively-staggered array; the separate entry points keep the
+# reference's API surface (and its per-location masks).
+
+def hchksum(x, mesg: str = "", mask=None) -> str:
+    """Checksum of an h-point (cell center) field."""
+    return chksum_line(mesg or "h-field", x, mask)
+
+
+def uvchksum(mesg: str, u, v, mask_u=None, mask_v=None) -> str:
+    """Paired checksum of a C-grid vector's u and v components
+    (uvchksum of MOM_checksums.F90)."""
+    return (chksum_line(f"{mesg}[u]", u, mask_u) + "\n"
+            + chksum_line(f"{mesg}[v]", v, mask_v))
+
+
+def Bchksum(x, mesg: str = "", mask=None) -> str:
+    """Checksum of a B-grid (corner) field."""
+    return chksum_line(mesg or "B-field", x, mask)

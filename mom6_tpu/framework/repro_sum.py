@@ -33,10 +33,19 @@ _TOP_EXP = 3 * _BITS - 63  # largest representable magnitude ~ 2^75
 
 
 def reproducing_sum(x, scale: float = 1.0) -> float:
-    """Exact order-invariant sum of a real array (host-side, numpy).
+    """Exact order-invariant sum of a real array (host-side).
 
     The result is identical for any permutation/partition of ``x``.
+    Uses the native C++ kernel when available (mom6_tpu/native —
+    bit-identical, same 6 x 2^46 EFP decomposition, one pass); numpy
+    otherwise.
     """
+    try:
+        from mom6_tpu import native
+        if native.available():
+            return native.repro_sum(x, scale)
+    except Exception:        # noqa: BLE001 — any native failure -> numpy
+        pass
     x = np.asarray(x, dtype=np.float64).ravel() * scale
     if x.size == 0:
         return 0.0

@@ -102,17 +102,32 @@ def _lap_uv(u, v, h, G):
     return _stress_accel(h, sh_xx, sh_xy, G)
 
 
-def horizontal_viscosity(u, v, h, G, p: HorViscParams
+def horizontal_viscosity(u, v, h, G, p: HorViscParams,
+                         ku_backscatter=None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Frictional accelerations (diffu, diffv) [m s-2] on (nz, ny, nx)."""
+    """Frictional accelerations (diffu, diffv) [m s-2] on (nz, ny, nx).
+
+    ``ku_backscatter``: optional (ny, nx) NEGATIVE-viscosity amplitude
+    from MEKE (MEKE_VISCOSITY_COEFF_KU, MOM_hor_visc.F90's m_leithy /
+    MEKE backscatter path): subtracted from the Laplacian coefficient so
+    sub-grid eddy energy is returned to the resolved flow; the net
+    coefficient is bounded by the explicit stability limit on BOTH
+    signs."""
     sh_xx, sh_xy = _strains(u, v, G)
     kh_h, ah_h = _coefficients(u, v, sh_xx, sh_xy, G, p)
+    if ku_backscatter is not None:
+        kh_h = kh_h - ku_backscatter
+        if p.dt > 0.0:
+            denom = G.IdxT ** 2 + G.IdyT ** 2
+            bound = 0.2 / (p.dt * denom)
+            kh_h = jnp.clip(kh_h, -bound, bound)
     kh_q = 0.25 * ((kh_h + ip1(kh_h)) + (jp1(kh_h) + ip1(jp1(kh_h))))
 
     diffu = jnp.zeros_like(u)
     diffv = jnp.zeros_like(v)
 
-    if p.kh or p.smag_lap_const or p.leith_lap_const:
+    if p.kh or p.smag_lap_const or p.leith_lap_const \
+            or ku_backscatter is not None:
         du, dv = _stress_accel(h, kh_h * sh_xx, kh_q * sh_xy, G)
         diffu = diffu + du
         diffv = diffv + dv

@@ -40,46 +40,35 @@ __all__ = ["InternalTidesParams", "init_int_tide_energy",
 
 class InternalTidesParams(NamedTuple):
     n_angle: int = 8                 # angular bins (INTERNAL_TIDE_ANGLES)
-    freq: float = 1.4052e-4          # M2 frequency [s-1]
+    # frequencies [s-1] and their shares of the conversion energy
+    # (INTERNAL_TIDE_FREQS of the reference; default M2 only — add K1/S2
+    # etc. via config ENERGIZED_ANGULAR_FREQS)
+    freqs: tuple = (1.4052e-4,)
+    freq_frac: tuple = (1.0,)
+    n_mode: int = 1                  # vertical modes (INTERNAL_TIDE_MODES);
+    #                                   mode-m speed = cn / m (WKB), input
+    #                                   partitioned as 1/m^2
     q_local: float = 0.3333          # locally dissipated fraction (Gamma)
     decay_rate: float = 0.0          # uniform background loss [s-1]
     drag_coef: float = 1e-4          # quadratic saturation drag [m-1]-ish
     cg_max: float = 4.0              # group-speed cap [m s-1]
     en_check: float = 1e-20          # negative-energy floor
 
+    @property
+    def freq(self):                  # first (M2) frequency, legacy name
+        return self.freqs[0]
+
 
 def init_int_tide_energy(p: InternalTidesParams, ny: int, nx: int,
                          dtype=jnp.float32):
-    """Zero energy density (n_angle, ny, nx) [J m-2 per bin]."""
-    return jnp.zeros((p.n_angle, ny, nx), dtype)
-
-
-def _upwind_div_x(E, cgx, G):
-    """Flux-form upwind x transport divergence for (na, ny, nx) energy
-    with per-angle face speeds cgx (na, ny, nx at u faces)."""
-    face = (G.dyCu * G.mask2dCu)[None]
-    flux = face * (jnp.maximum(cgx, 0.0) * E
-                   + jnp.minimum(cgx, 0.0) * ip1(E))
-    return G.IareaT[None] * (flux - im1(flux))
-
-
-def _upwind_div_y(E, cgy, G):
-    face = (G.dxCv * G.mask2dCv)[None]
-    flux = face * (jnp.maximum(cgy, 0.0) * E
-                   + jnp.minimum(cgy, 0.0) * jp1(E))
-    return G.IareaT[None] * (flux - jm1(flux))
-
-
-def _refract(E, rate, dt):
-    """Periodic upwind transport in the angle dimension (axis 0) with
-    per-cell-per-angle turning rate [rad s-1] scaled to bins."""
-    na = E.shape[0]
-    dth = 2.0 * np.pi / na
-    w = rate * dt / dth                         # bins moved this step
-    w = jnp.clip(w, -1.0, 1.0)                  # angular CFL
-    flux = jnp.maximum(w, 0.0) * E + jnp.minimum(w, 0.0) * jnp.roll(E, -1,
-                                                                    axis=0)
-    return E - (flux - jnp.roll(flux, 1, axis=0))
+    """Zero energy density [J m-2 per bin] — one propagating field per
+    frequency and vertical mode (the En(:,:,:,fr,m) of
+    MOM_internal_tides.F90).  Shape (n_freq, n_mode, n_angle, ny, nx),
+    squeezed to (n_angle, ny, nx) for the single-frequency single-mode
+    default (the round-1 interface)."""
+    if len(p.freqs) == 1 and p.n_mode == 1:
+        return jnp.zeros((p.n_angle, ny, nx), dtype)
+    return jnp.zeros((len(p.freqs), p.n_mode, p.n_angle, ny, nx), dtype)
 
 
 def step_internal_tides(En, tke_input, cn, G, GV, dt,
@@ -90,42 +79,82 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
     barotropic conversion; cn: (ny, nx) mode speed [m s-1].
 
     Returns (En_new, loss) with loss the column dissipation [W m-2]
-    available to tidal mixing's lowmode deposition."""
-    na = p.n_angle
+    available to tidal mixing's lowmode deposition.
+
+    ``En`` may be (n_angle, ny, nx) (legacy single freq/mode) or the
+    full (n_freq, n_mode, n_angle, ny, nx); every frequency and mode
+    propagates with its own group speed (mode m at cn/m, WKB) and
+    sub-inertial cutoff, all in one vectorized update."""
+    legacy = En.ndim == 3
+    if legacy:
+        En = En[None, None]
+    nf, nm, na = En.shape[:3]
     dtype = En.dtype
     th = jnp.asarray(2.0 * np.pi * (np.arange(na) + 0.5) / na, dtype)
-    cos_t = jnp.cos(th)[:, None, None]
+    cos_t = jnp.cos(th)[:, None, None]          # (na, 1, 1)
     sin_t = jnp.sin(th)[:, None, None]
 
     f2 = G.CoriolisBu ** 2
     f2_h = 0.25 * (f2 + im1(f2) + jm1(f2) + im1(jm1(f2)))
-    sub = jnp.maximum(1.0 - f2_h / (p.freq ** 2), 0.0)
-    cg = jnp.minimum(cn * jnp.sqrt(sub), p.cg_max) * G.mask2dT
+    freqs = jnp.asarray(p.freqs[:nf], dtype).reshape(nf, 1, 1, 1, 1)
+    sub = jnp.maximum(1.0 - f2_h[None, None, None] / freqs ** 2, 0.0)
+    inv_m = (1.0 / jnp.arange(1, nm + 1, dtype=dtype)
+             ).reshape(1, nm, 1, 1, 1)          # WKB: cn_m = cn / m
+    cg = jnp.minimum(cn[None, None, None] * inv_m * jnp.sqrt(sub),
+                     p.cg_max) * G.mask2dT      # (nf, nm, na(1), ny, nx)
+    cg = jnp.broadcast_to(cg, (nf, nm, 1) + cn.shape)
 
-    # --- forcing: (1-q_local) of the conversion, isotropic over bins ---
-    En = En + (dt * (1.0 - p.q_local) / na) * tke_input[None]
+    # --- forcing: (1-q_local) of the conversion, isotropic over bins,
+    # split over frequencies by freq_frac and modes as 1/m^2 ------------
+    ffrac = jnp.asarray((p.freq_frac + (1.0,) * nf)[:nf], dtype)
+    ffrac = (ffrac / jnp.sum(ffrac)).reshape(nf, 1, 1, 1, 1)
+    mfrac = inv_m ** 2
+    mfrac = mfrac / jnp.sum(mfrac)
+    En = En + (dt * (1.0 - p.q_local) / na) * ffrac * mfrac \
+        * tke_input[None, None, None]
 
     # --- refraction (ray turning as c varies) --------------------------
     dcdx = (ip1(cg) - im1(cg)) * (0.5 * G.IdxT)
     dcdy = (jp1(cg) - jm1(cg)) * (0.5 * G.IdyT)
-    rate = sin_t * dcdx[None] - cos_t * dcdy[None]
-    En = _refract(En, rate, dt)
+    rate = sin_t * dcdx - cos_t * dcdy
+    # angle axis is -3 for the vectorized field
+    En = _refract_axis(En, rate, dt, axis=-3)
 
     # --- propagation (upwind, per angle) -------------------------------
     cg_u = 0.5 * (cg + ip1(cg)) * G.mask2dCu
     cg_v = 0.5 * (cg + jp1(cg)) * G.mask2dCv
-    cgx = cos_t * cg_u[None]
-    cgy = sin_t * cg_v[None]
-    En = En - dt * (_upwind_div_x(En, cgx, G) + _upwind_div_y(En, cgy, G))
-    En = jnp.maximum(En, 0.0)
+    cgx = cos_t * cg_u
+    cgy = sin_t * cg_v
+    face_x = G.dyCu * G.mask2dCu
+    flux = face_x * (jnp.maximum(cgx, 0.0) * En
+                     + jnp.minimum(cgx, 0.0) * ip1(En))
+    div = G.IareaT * (flux - im1(flux))
+    face_y = G.dxCv * G.mask2dCv
+    flux = face_y * (jnp.maximum(cgy, 0.0) * En
+                     + jnp.minimum(cgy, 0.0) * jp1(En))
+    div = div + G.IareaT * (flux - jm1(flux))
+    En = jnp.maximum(En - dt * div, 0.0)
 
     # --- losses ---------------------------------------------------------
-    e_tot = jnp.sum(En, axis=0)
+    e_tot = jnp.sum(En, axis=(0, 1, 2))
     # quadratic saturation: rate grows with the energy itself (Froude-like
     # capping of large E), plus the uniform background
     rate_loss = p.decay_rate + p.drag_coef * jnp.sqrt(
         jnp.maximum(e_tot, 0.0) / GV.rho0)
     damp = 1.0 / (1.0 + dt * rate_loss)
-    En_new = En * damp[None]
-    loss = jnp.sum(En - En_new, axis=0) / dt     # [W m-2]
-    return En_new * G.mask2dT[None], loss * G.mask2dT
+    En_new = En * damp
+    loss = jnp.sum(En - En_new, axis=(0, 1, 2)) / dt     # [W m-2]
+    En_new = En_new * G.mask2dT
+    if legacy:
+        En_new = En_new[0, 0]
+    return En_new, loss * G.mask2dT
+
+
+def _refract_axis(E, rate, dt, axis: int):
+    """Periodic upwind transport along ``axis`` (the angle dimension)."""
+    na = E.shape[axis]
+    dth = 2.0 * np.pi / na
+    w = jnp.clip(rate * dt / dth, -1.0, 1.0)
+    flux = jnp.maximum(w, 0.0) * E \
+        + jnp.minimum(w, 0.0) * jnp.roll(E, -1, axis=axis)
+    return E - (flux - jnp.roll(flux, 1, axis=axis))

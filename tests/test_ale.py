@@ -475,3 +475,83 @@ class TestStreamingFilter:
         assert err.max() < 0.35, err.max()      # K1 amplitude is 0.8
         amp = np.abs(np.asarray(got[-3000:])).max()
         assert 1.2 < amp < 1.8, amp
+
+
+def test_implicit_h4_edges_exact_for_cubic():
+    """The compact h4 edge scheme reproduces the exact interface values
+    of a cubic profile on a NON-UNIFORM grid in the interior (4th-order:
+    exact through cubics; edge_values_implicit_h4 parity)."""
+    from mom6_tpu.ale.remapping import (_edge_values_h4,
+                                        _edge_values_implicit_h4)
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.uniform(0.5, 2.0, 12), jnp.float64)[:, None]
+    zi = np.concatenate([[0.0], np.cumsum(np.asarray(h[:, 0]))])
+
+    def F(z):     # antiderivative of the cubic p(z) = 1 + z + z^2 + z^3
+        return z + z**2 / 2 + z**3 / 3 + z**4 / 4
+    u = jnp.asarray((F(zi[1:]) - F(zi[:-1])) / np.asarray(h[:, 0]),
+                    jnp.float64)[:, None]
+    e_t, _ = _edge_values_implicit_h4(u, h)
+    zt = zi[:-1]                      # top interface of each cell
+    exact = 1 + zt + zt**2 + zt**3
+    got = np.asarray(e_t[:, 0])
+    err_imp = np.abs(got[2:-1] - exact[2:-1])
+    assert err_imp.max() < 5e-3 * np.abs(exact[2:-1]).max()
+    # and it beats the explicit scheme's uniform-weight approximation on
+    # this non-uniform grid
+    e4_t, _ = _edge_values_h4(u, h)
+    err_exp = np.abs(np.asarray(e4_t[:, 0])[2:-1] - exact[2:-1])
+    assert err_imp.mean() <= err_exp.mean()
+
+
+def test_h6_edges_beat_h4_on_smooth_profile():
+    from mom6_tpu.ale.remapping import _edge_values_h4, _edge_values_h6
+    nz = 24
+    h = jnp.full((nz, 1), 1.0, jnp.float64)
+    zi = np.arange(nz + 1, dtype=np.float64)
+    k = 2 * np.pi / nz
+
+    def F(z):
+        return -np.cos(k * z) / k
+    u = jnp.asarray((F(zi[1:]) - F(zi[:-1])), jnp.float64)[:, None]
+    exact = np.sin(k * zi[:-1])
+    e4, _ = _edge_values_h4(u, h)
+    e6, _ = _edge_values_h6(u, h)
+    err4 = np.abs(np.asarray(e4[:, 0])[4:-4] - exact[4:-4]).max()
+    err6 = np.abs(np.asarray(e6[:, 0])[4:-4] - exact[4:-4]).max()
+    assert err6 < err4
+
+
+def test_p3m_monotone_interpolant():
+    """P3M: continuous monotone cubic through monotone data; no new
+    extrema anywhere in each cell (P3M_limiter role)."""
+    from mom6_tpu.ale.remapping import P3M_H4, reconstruct
+    u = jnp.asarray([0.0, 1.0, 1.5, 1.6, 4.0, 9.0],
+                    jnp.float64)[:, None]
+    h = jnp.ones((6, 1), jnp.float64)
+    c0, c1, c2, c3, c4 = reconstruct(u, h, P3M_H4)
+    xi = np.linspace(0, 1, 21)
+    vals = (np.asarray(c0)[:, None] + xi[None, :, None] * (
+        np.asarray(c1)[:, None] + xi[None, :, None] * (
+            np.asarray(c2)[:, None] + xi[None, :, None]
+            * np.asarray(c3)[:, None])))
+    # within-cell monotone: values sorted along xi for every cell
+    dif = np.diff(vals[:, :, 0], axis=1)
+    assert (dif >= -1e-9).all()
+
+
+def test_new_ppm_variants_remap_conservatively():
+    from mom6_tpu.ale.remapping import (PPM_H6, PPM_IH4, PQM_IH4IH3,
+                                        remap_column)
+    rng = np.random.default_rng(11)
+    nz = 10
+    h0 = jnp.asarray(rng.uniform(5.0, 50.0, (nz, 3, 3)), jnp.float32)
+    u0 = jnp.asarray(np.cumsum(rng.normal(0, 1, (nz, 3, 3)), 0),
+                     jnp.float32)
+    col = jnp.sum(h0, axis=0)
+    h1 = jnp.broadcast_to(col / (nz + 2), (nz + 2,) + col.shape)
+    for sch in (PPM_IH4, PPM_H6, PQM_IH4IH3):
+        u1 = remap_column(u0, h0, h1, sch)
+        m0 = np.asarray(jnp.sum(u0 * h0, axis=0), np.float64)
+        m1 = np.asarray(jnp.sum(u1 * h1, axis=0), np.float64)
+        np.testing.assert_allclose(m1, m0, rtol=2e-4), sch

@@ -109,3 +109,49 @@ def test_land_mask_blocks(setup):
         En, _ = step_internal_tides(En, zero, cn, G, GV, 600.0, p)
     assert np.isfinite(np.asarray(En)).all()
     assert float(jnp.min(En)) >= 0.0
+
+
+def test_multi_freq_mode_propagation():
+    """Multi-frequency / multi-mode energy: K1 is sub-inertial where M2
+    propagates (f > w_K1 cutoff), higher modes move slower (cn/m), and
+    the full-field update conserves energy in the loss accounting."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+    from mom6_tpu.physics.lateral.internal_tides import (
+        InternalTidesParams, init_int_tide_energy, step_internal_tides)
+    ny = nx = 16
+    # f = 1e-4 > K1 frequency 7.29e-5: K1 cannot propagate here
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=600.0,
+                             len_lat_km=600.0, max_depth=3000.0, f0=1e-4,
+                             beta=0.0)
+    GV = build_layered_vgrid(2)
+    p = InternalTidesParams(n_angle=8,
+                            freqs=(1.4052e-4, 7.2921e-5),
+                            freq_frac=(1.0, 1.0), n_mode=2,
+                            q_local=0.0, decay_rate=0.0, drag_coef=0.0)
+    En = init_int_tide_energy(p, ny, nx)
+    assert En.shape == (2, 2, 8, ny, nx)
+    src = jnp.zeros((ny, nx)).at[8, 8].set(1.0)   # point source [W m-2]
+    cn = jnp.full((ny, nx), 2.0, jnp.float32)
+    dt = 1800.0
+    for _ in range(6):
+        En, loss = step_internal_tides(En, src, cn, G, GV, dt, p)
+    e = np.asarray(En)
+    # M2 mode-1 energy has left the source cell; K1 is evanescent
+    # (cg = 0) so its energy stays exactly where it was deposited
+    m2_spread = (e[0, 0].sum(axis=0) > 0).sum()
+    k1_spread = (e[1, 0].sum(axis=0) > 0).sum()
+    assert m2_spread > k1_spread == 1
+    # mode 2 spreads more slowly than mode 1
+    def radius(fld):
+        tot = fld.sum(axis=0)
+        jj, ii = np.nonzero(tot > 1e-12 * tot.max())
+        return max(np.abs(jj - 8).max(), np.abs(ii - 8).max())
+    assert radius(e[0, 0]) >= radius(e[0, 1])
+    # legacy 3-D interface still works
+    En3 = jnp.zeros((8, ny, nx)).at[:, 8, 8].set(1.0)
+    En3b, _ = step_internal_tides(En3, src, cn, G, GV, dt,
+                                  InternalTidesParams(n_angle=8))
+    assert En3b.shape == En3.shape

@@ -226,3 +226,68 @@ class TestZannaBolton:
         tot = abs(float(np.asarray(du1, np.float64).sum()))
         scale = float(np.abs(np.asarray(du1, np.float64)).sum()) + 1e-30
         assert tot < 1e-4 * scale
+
+
+def test_meke_length_scales_and_budget():
+    """Full MEKE machinery: gamma_b/gamma_t in [min_gamma, ~1], harmonic
+    mixing length below each component scale, implicit drag damps E, and
+    the friction source grows it (MEKE_lengthScales_0d /
+    step_forward_MEKE parity)."""
+    import jax.numpy as jnp
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.physics.lateral.meke import (MEKEParams,
+                                               meke_diffusivity,
+                                               meke_length_scales,
+                                               meke_viscosity, step_meke)
+    ny = nx = 8
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=800.0,
+                             len_lat_km=800.0, max_depth=4000.0, f0=1e-4,
+                             beta=2e-11)
+    h = jnp.full((4, ny, nx), 1000.0, jnp.float32)
+    E = jnp.full((ny, nx), 1e-2, jnp.float32)
+    p = MEKEParams(cd_scale=0.0, cb=25.0, ct=50.0, a_deform=0.0,
+                   a_grid=1.0, a_rhines=1.0, a_frict=1.0)
+    b2, t2, lmix = meke_length_scales(E, h, G, p, rd_dx=0.5)
+    assert float(jnp.min(b2)) >= p.min_gamma
+    assert float(jnp.max(t2)) <= 1.0 + 1e-6
+    l_grid = float(jnp.sqrt(G.areaT)[0, 0])
+    assert float(jnp.max(lmix)) <= l_grid  # harmonic mean < min component
+    # drag damps, friction source grows
+    e_damp = step_meke(E, jnp.zeros_like(E), h, G, 86400.0,
+                       p._replace(cd_scale=1.0))
+    assert float(jnp.max(e_damp)) < float(jnp.max(E))
+    e_src = step_meke(E, jnp.zeros_like(E), h, G, 86400.0, p,
+                      src_mom=jnp.full_like(E, 1e-7))
+    assert float(jnp.mean(e_src)) > float(jnp.mean(e_damp))
+    # feedbacks
+    kh = meke_diffusivity(E, p, h=h, G=G, rd_dx=0.5)
+    assert float(jnp.max(kh)) > 0.0
+    ku = meke_viscosity(E, p._replace(ku_coeff=0.2), h=h, G=G)
+    assert ku is not None and float(jnp.max(ku)) > 0.0
+
+
+def test_meke_backscatter_injects_energy():
+    """A negative-viscosity coefficient increases resolved KE through
+    hor_visc (the MEKE_VISCOSITY_COEFF_KU backscatter path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.physics.lateral.hor_visc import (HorViscParams,
+                                                   horizontal_viscosity)
+    rng = np.random.default_rng(5)
+    ny = nx = 16
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=800.0,
+                             len_lat_km=800.0, max_depth=1000.0)
+    h = jnp.full((2, ny, nx), 500.0, jnp.float32)
+    u = jnp.asarray(rng.normal(0, 0.1, (2, ny, nx)),
+                    jnp.float32) * G.mask2dCu
+    v = jnp.asarray(rng.normal(0, 0.1, (2, ny, nx)),
+                    jnp.float32) * G.mask2dCv
+    p = HorViscParams(kh=100.0, dt=600.0)
+    du0, dv0 = horizontal_viscosity(u, v, h, G, p)
+    ku = jnp.full((ny, nx), 500.0, jnp.float32)
+    du1, dv1 = horizontal_viscosity(u, v, h, G, p, ku_backscatter=ku)
+    w0 = float(jnp.sum(u * du0) + jnp.sum(v * dv0))   # < 0 (dissipative)
+    w1 = float(jnp.sum(u * du1) + jnp.sum(v * dv1))
+    assert w0 < 0.0
+    assert w1 > w0          # net coefficient is negative -> energy input
