@@ -78,6 +78,10 @@ class MOMParams(NamedTuple):
     int_tides: Optional["InternalTidesParams"] = None  # low-mode propagation
     khtr: float = 0.0          # epineutral/horizontal tracer diff [m2 s-1]
     neutral_diffusion: bool = False   # rotate KHTR along neutral surfaces
+    # "redi": small-slope rotated tensor with implicit K S^2 vertical
+    # piece; "surfaces": matched neutral-surface positions with sublayer
+    # exchange (the reference's polynomial surface-finding design)
+    ndiff_scheme: str = "redi"
     khtr_bl: float = 0.0       # along-boundary-layer diffusivity [m2 s-1]
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
@@ -332,7 +336,12 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     kd_redi = None
     if p.khtr > 0.0:
         tr, names = _stack_tracers(state, p)
-        if p.neutral_diffusion:
+        if p.neutral_diffusion and p.ndiff_scheme == "surfaces":
+            from mom6_tpu.tracers.neutral_diffusion import \
+                neutral_diffusion_surfaces
+            tr = neutral_diffusion_surfaces(tr, state.h, state.T, state.S,
+                                            G, GV, eos, p.khtr, dt_therm)
+        elif p.neutral_diffusion:
             from mom6_tpu.tracers.neutral_diffusion import neutral_diffusion
             tr, kd_redi = neutral_diffusion(tr, state.h, state.T, state.S,
                                             G, GV, eos, p.khtr, dt_therm)

@@ -228,9 +228,29 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         if smag_lap else 0.0
     smag_bi_c = pf.get("SMAG_BI_CONST", float, default=0.06, module=m) \
         if smag_bi else 0.0
-    if kh or ah or smag_lap_c or smag_bi_c:
+    leith = pf.get("LEITH_KH", bool, default=False, module=m)
+    leith_c = pf.get("LEITH_LAP_CONST", float, default=1.0, module=m) \
+        if leith else 0.0
+    qg_leith = pf.get("USE_QG_LEITH_VISC", bool, default=False, module=m,
+                      desc="Use the QG (absolute) vorticity in Leith")
+    kh_aniso = 0.0
+    aniso_mode = 0
+    aniso_n = (1.0, 0.0)
+    if pf.get("ANISOTROPIC_VISCOSITY", bool, default=False, module=m):
+        kh_aniso = pf.get("KH_ANISO", float, default=0.0, units="m2 s-1",
+                          module=m)
+        aniso_mode = pf.get("ANISOTROPIC_MODE", int, default=0, module=m,
+                            desc="0 fixed direction; 2 along the flow")
+        aniso_n = (pf.get("ANISO_GRID_DIR_X", float, default=1.0,
+                          module=m),
+                   pf.get("ANISO_GRID_DIR_Y", float, default=0.0,
+                          module=m))
+    if kh or ah or smag_lap_c or smag_bi_c or leith_c or kh_aniso:
         hv = HorViscParams(kh=kh, ah=ah, smag_lap_const=smag_lap_c,
-                           smag_bi_const=smag_bi_c, dt=dt)
+                           smag_bi_const=smag_bi_c,
+                           leith_lap_const=leith_c,
+                           use_qg_leith=qg_leith, kh_aniso=kh_aniso,
+                           aniso_mode=aniso_mode, aniso_n=aniso_n, dt=dt)
 
     m = "MOM_thickness_diffuse"
     gm = None
@@ -660,6 +680,11 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
                        obc=obc, int_tides=int_tides,
                        khtr=khtr, neutral_diffusion=use_ndiff,
+                       ndiff_scheme=pf.get(
+                           "NDIFF_SCHEME", str, default="redi",
+                           module="MOM_neutral_diffusion",
+                           desc="redi (rotated tensor) or surfaces "
+                           "(matched neutral positions)").lower(),
                        khtr_bl=khtr_bl,
                        n_dyn_per_thermo=n_dyn_per_thermo,
                        interface_filter=iface_filter, porous=porous,

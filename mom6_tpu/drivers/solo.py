@@ -272,18 +272,30 @@ def main(argv=None):
         id_ssh = dm.register_diag_field("ocean_model", "SSH", units="m")
         ke_budget_fn = None
 
+    # MAXCPU graceful stop (write_cputime's MAXCPU projection,
+    # config_src/infra/FMS2/../MOM_write_cputime.F90 role): if the next
+    # segment is projected to exceed the budget, stop cleanly with a
+    # restart instead of being killed mid-segment.
+    maxcpu = pf.get("MAXCPU", float, default=-1.0, units="wall s",
+                    module="MOM", desc="Wall-clock budget; <0 no limit")
+    from mom6_tpu.framework.timers import report as timer_report
+    from mom6_tpu.framework.timers import timer
     start = time.time()
+    seg_wall = 0.0
+    n_done = 0
     for c in range(n_cycles // stats_every):
+        t_seg = time.perf_counter()
         if arc_rec is not None:
             h_pre = np.asarray(jax.device_get(state.h))
             uhtr_pre = np.asarray(jax.device_get(state.uhtr))
             vhtr_pre = np.asarray(jax.device_get(state.vhtr))
-        if provider is None:
-            state = stepper(state)
-        else:
-            t_mid = t0 + (c + 0.5) * stats_every * dt_cycle
-            state = stepper(state, provider(t_mid))
-        jax.block_until_ready(state.h)
+        with timer("ocean dynamics+thermo"):
+            if provider is None:
+                state = stepper(state)
+            else:
+                t_mid = t0 + (c + 0.5) * stats_every * dt_cycle
+                state = stepper(state, provider(t_mid))
+            jax.block_until_ready(state.h)
         if arc_rec is not None:
             arc_rec["h_start"].append(h_pre)
             arc_rec["h_end"].append(np.asarray(jax.device_get(state.h)))
@@ -309,19 +321,30 @@ def main(argv=None):
                     dyn=params.dyn._replace(bt=bt))
                 stepper = build_stepper(params)
         tdays = t_now / 86400.0
-        s = compute_stats(state, G, GV, params.dyn.dt)
-        writer.write(step, tdays, s)
+        with timer("ocean.stats"):
+            s = compute_stats(state, G, GV, params.dyn.dt)
+            writer.write(step, tdays, s)
         print(format_stats_line(step, tdays, s))
-        if use_table:
-            f_now = provider(t_mid) if provider is not None else forcing
-            _post_table_diags(dm, state, G, GV, params, f_now,
-                              ke_budget_fn)
-        else:
-            for name in diag_fields:
-                dm.post_data(diag_ids[name],
-                             jax.device_get(getattr(state, name)))
-            dm.post_data(id_ssh, np.asarray(jax.device_get(state.h)).sum(0)
-                         - np.asarray(jax.device_get(G.bathyT)))
+        with timer("diag mediator"):
+            if use_table:
+                f_now = provider(t_mid) if provider is not None else forcing
+                _post_table_diags(dm, state, G, GV, params, f_now,
+                                  ke_budget_fn)
+            else:
+                for name in diag_fields:
+                    dm.post_data(diag_ids[name],
+                                 jax.device_get(getattr(state, name)))
+                dm.post_data(id_ssh,
+                             np.asarray(jax.device_get(state.h)).sum(0)
+                             - np.asarray(jax.device_get(G.bathyT)))
+        n_done = step
+        seg_wall = time.perf_counter() - t_seg
+        if maxcpu > 0.0 and \
+                (time.time() - start) + 1.5 * seg_wall > maxcpu:
+            print(f"MAXCPU: projected to exceed {maxcpu:.0f} s wall "
+                  f"budget; stopping after {n_done} of {n_cycles} steps "
+                  "and writing the restart")
+            break
     if use_table:
         dm.flush_all(args.rundir, time_seconds=t0 + n_cycles * dt_cycle)
     else:
@@ -346,7 +369,8 @@ def main(argv=None):
             val = getattr(state, name)
             if val is not None:
                 f.write(chksum_line(name, jax.device_get(val)) + "\n")
-    sypd = (n_cycles * dt_cycle / max(elapsed, 1e-9)) / 365.0
+    steps_run = n_done if n_done else n_cycles
+    sypd = (steps_run * dt_cycle / max(elapsed, 1e-9)) / 365.0
     # ocean.cputime log (MOM_write_cputime role): cumulative cpu/wall
     # seconds per model day for perf monitoring across segments
     import resource
@@ -354,6 +378,7 @@ def main(argv=None):
     with open(os.path.join(args.rundir, "ocean.cputime"), "a") as f:
         f.write(f"{days:12.4f} days  wall {elapsed:10.2f} s  "
                 f"cpu {cpu:10.2f} s  SYPD {sypd:8.2f}\n")
+        f.write(timer_report(min_frac=0.001) + "\n")
     print(f"run complete: {days} days in {elapsed:.1f}s ({sypd:.1f} SYPD)")
     unused = pf.unused_params()
     if unused:

@@ -31,6 +31,19 @@ class HorViscParams(NamedTuple):
     smag_lap_const: float = 0.0    # Smagorinsky C for Laplacian (~0.15)
     smag_bi_const: float = 0.0     # Smagorinsky C for biharmonic (~0.06)
     leith_lap_const: float = 0.0   # Leith C (~1.0)
+    # QG Leith (USE_QG_LEITH_VISC): the Leith vorticity gradient uses the
+    # QG (absolute) vorticity zeta + f, capped by the relative-vorticity
+    # gradient (the min(grad_vort, grad_vort_qg) of MOM_hor_visc.F90:1141;
+    # the reference's full stretching term from VarMix slopes is folded
+    # into the planetary-gradient part here)
+    use_qg_leith: bool = False
+    # anisotropic viscosity (ANISOTROPIC_VISCOSITY / ANISOTROPIC_MODE):
+    # an extra Kh_aniso acting only along the direction n, with the
+    # reference's 2*n1*n2 / (n1^2-n2^2) direction-tensor algebra
+    # (MOM_hor_visc.F90:1216-1290, :1665-1733, align_* :3318)
+    kh_aniso: float = 0.0      # [m2 s-1]
+    aniso_mode: int = 0        # 0: fixed direction aniso_n; 2: along flow
+    aniso_n: tuple = (1.0, 0.0)
     bound_coef: bool = True
     dt: float = 0.0            # needed for the stability bound
 
@@ -81,6 +94,18 @@ def _coefficients(u, v, sh_xx, sh_xy, G, p: HorViscParams):
         dzx = (zeta_h - im1(zeta_h)) * G.IdxT
         dzy = (zeta_h - jm1(zeta_h)) * G.IdyT
         grad_zeta = jnp.sqrt(dzx * dzx + dzy * dzy)
+        if p.use_qg_leith:
+            # QG Leith: the gradient of the ABSOLUTE (QG) vorticity
+            # zeta + f, capped by the relative gradient so planetary
+            # beta cannot dominate in quiescent flow
+            # (min(grad_vort, grad_vort_qg), MOM_hor_visc.F90:1141)
+            f_q = G.CoriolisBu
+            f_h = 0.25 * ((f_q + im1(f_q)) + (jm1(f_q) + im1(jm1(f_q))))
+            za = zeta_h + f_h
+            dax = (za - im1(za)) * G.IdxT
+            day = (za - jm1(za)) * G.IdyT
+            grad_qg = jnp.sqrt(dax * dax + day * day)
+            grad_zeta = jnp.minimum(grad_zeta, grad_qg)
         kh = kh + (p.leith_lap_const ** 3 / 3.14159 ** 3) * \
             dx2 * jnp.sqrt(dx2) * grad_zeta
 
@@ -115,6 +140,25 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
     signs."""
     sh_xx, sh_xy = _strains(u, v, G)
     kh_h, ah_h = _coefficients(u, v, sh_xx, sh_xy, G, p)
+    if p.kh_aniso > 0.0:
+        # direction tensor: s2t = 2 n1 n2 (sin 2theta), c2t = n1^2-n2^2
+        if p.aniso_mode == 2:
+            # flow-aligned, per layer (dynamic_aniso)
+            u_h = 0.5 * (u + im1(u))
+            v_h = 0.5 * (v + jm1(v))
+            mag2 = jnp.maximum(u_h ** 2 + v_h ** 2, 1e-20)
+            s2t_h = 2.0 * u_h * v_h / mag2
+            c2t_h = (u_h ** 2 - v_h ** 2) / mag2
+            u_q = 0.5 * (u + jp1(u))
+            v_q = 0.5 * (v + ip1(v))
+            mag2q = jnp.maximum(u_q ** 2 + v_q ** 2, 1e-20)
+            s2t_q = 2.0 * u_q * v_q / mag2q
+            c2t_q = (u_q ** 2 - v_q ** 2) / mag2q
+        else:
+            n1, n2 = p.aniso_n
+            inv = 1.0 / max(n1 * n1 + n2 * n2, 1e-20)
+            s2t_h = s2t_q = 2.0 * n1 * n2 * inv
+            c2t_h = c2t_q = (n1 * n1 - n2 * n2) * inv
     if ku_backscatter is not None:
         kh_h = kh_h - ku_backscatter
         if p.dt > 0.0:
@@ -122,13 +166,31 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
             bound = 0.2 / (p.dt * denom)
             kh_h = jnp.clip(kh_h, -bound, bound)
     kh_q = 0.25 * ((kh_h + ip1(kh_h)) + (jp1(kh_h) + ip1(jp1(kh_h))))
+    if p.kh_aniso > 0.0:
+        # tension part at h, shear part at q — each added AFTER the q
+        # interpolation so the anisotropy is not smeared isotropic
+        # (the reference adds them to the independently-built h and q
+        # coefficients, :1219 and :1668)
+        kh_h = kh_h + p.kh_aniso * (1.0 - s2t_h ** 2)
+        kh_q = kh_q + p.kh_aniso * (s2t_q ** 2)
 
     diffu = jnp.zeros_like(u)
     diffv = jnp.zeros_like(v)
 
-    if p.kh or p.smag_lap_const or p.leith_lap_const \
+    str_xx = kh_h * sh_xx
+    str_xy = kh_q * sh_xy
+    if p.kh_aniso > 0.0:
+        # shear part of the anisotropic viscosity into the q stress, plus
+        # the tension<->shear cross terms (str_xx :1289, str_xy :1733)
+        sh_xy_h = 0.25 * ((sh_xy + im1(sh_xy))
+                          + (jm1(sh_xy) + im1(jm1(sh_xy))))
+        sh_xx_q = 0.25 * ((sh_xx + ip1(sh_xx))
+                          + (jp1(sh_xx) + ip1(jp1(sh_xx))))
+        str_xx = str_xx - p.kh_aniso * s2t_h * c2t_h * sh_xy_h
+        str_xy = str_xy - p.kh_aniso * s2t_q * c2t_q * sh_xx_q
+    if p.kh or p.smag_lap_const or p.leith_lap_const or p.kh_aniso \
             or ku_backscatter is not None:
-        du, dv = _stress_accel(h, kh_h * sh_xx, kh_q * sh_xy, G)
+        du, dv = _stress_accel(h, str_xx, str_xy, G)
         diffu = diffu + du
         diffv = diffv + dv
 

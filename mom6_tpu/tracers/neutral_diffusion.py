@@ -29,9 +29,165 @@ import jax.numpy as jnp
 from mom6_tpu.core.isopycnal_slopes import isopycnal_slopes
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
-__all__ = ["neutral_diffusion"]
+__all__ = ["neutral_diffusion", "neutral_diffusion_surfaces"]
 
 _H_EPS = 1e-3
+
+
+def _interface_density(T, S, h, eos, rho0, p_ref: float):
+    """Monotonicized potential density at layer interfaces (nz+1)
+    referenced to ``p_ref`` — the column profile whose crossings define
+    the neutral-surface positions."""
+    p = jnp.full_like(T, p_ref)
+    rho_c = rho0 + eos.density(T, S, p, rho_ref=rho0)
+    rho_c = jax.lax.cummax(rho_c, axis=0)           # statically stable
+    rho_i = 0.5 * (rho_c[:-1] + rho_c[1:])
+    return jnp.concatenate([rho_c[:1], rho_i, rho_c[-1:]], axis=0)
+
+
+def _position_of_density(rho_tgt, rho_i, z_i):
+    """Depth in a column (interface density profile rho_i at interface
+    depths z_i, both monotone in k) where the density equals rho_tgt —
+    piecewise-linear inversion, vectorized over all targets at once
+    (the find_neutral_surface_positions search of
+    MOM_neutral_diffusion.F90, in dense branchless form).
+
+    rho_tgt: (nt, ny, nx); rho_i/z_i: (nz+1, ny, nx)."""
+    r_lo, r_hi = rho_i[:-1], rho_i[1:]              # per segment (nz)
+    z_lo, z_hi = z_i[:-1], z_i[1:]
+    dr = jnp.maximum(r_hi - r_lo, 1e-12)
+    # fraction of each segment lying above the target density
+    frac = jnp.clip((rho_tgt[:, None] - r_lo[None]) / dr[None], 0.0, 1.0)
+    frac = jnp.where((r_hi - r_lo)[None] < 1e-12,
+                     jnp.where(r_lo[None] < rho_tgt[:, None], 1.0, 0.0),
+                     frac)
+    return jnp.sum((z_hi - z_lo)[None] * frac, axis=1)   # (nt, ny, nx)
+
+
+def _mean_over_spans(tr, h, z_lo, z_hi):
+    """Mean of each tracer over depth spans [z_lo, z_hi) of a column
+    with LIMITED-LINEAR sub-layer reconstruction (the reference's
+    sublayer tracer averages with its linear polynomial option; PCM
+    granularity leaves O(layer-jump) errors for spans interior to one
+    layer, which show up as spurious along-surface fluxes).
+
+    tr: (n_tr, nz, ny, nx); z_lo/z_hi: (ns, ny, nx)."""
+    from mom6_tpu.ale.remapping import PLM, reconstruct
+    z_i = jnp.concatenate([jnp.zeros_like(h[:1]),
+                           jnp.cumsum(h, axis=0)], axis=0)
+    c0, c1 = [], []
+    for i in range(tr.shape[0]):
+        a0, a1, _, _, _ = reconstruct(tr[i], h, PLM)
+        c0.append(a0)
+        c1.append(a1)
+    c0 = jnp.stack(c0)
+    c1 = jnp.stack(c1)                              # (n_tr, nz, ny, nx)
+    cell_int = h[None] * (c0 + 0.5 * c1)
+    icum = jnp.concatenate(
+        [jnp.zeros_like(tr[:, :1]), jnp.cumsum(cell_int, axis=1)], axis=1)
+
+    def I_at(z):
+        # z: (ns, ny, nx) -> cumulative integral at depth z per tracer
+        cmp = (z[:, None] >= z_i[None, 1:-1]).astype(jnp.int32)
+        k = jnp.sum(cmp, axis=1)                    # containing cell
+        h_k = jnp.take_along_axis(h, k, axis=0)
+        z_k = jnp.take_along_axis(z_i[:-1], k, axis=0)
+        xi = jnp.clip((z - z_k) / jnp.maximum(h_k, _H_EPS), 0.0, 1.0)
+        kk = k[None].repeat(tr.shape[0], 0)
+        i_k = jnp.take_along_axis(icum, kk, axis=1)
+        a0 = jnp.take_along_axis(c0, kk, axis=1)
+        a1 = jnp.take_along_axis(c1, kk, axis=1)
+        return i_k + h_k[None] * xi[None] * (a0 + 0.5 * a1 * xi[None])
+    span = jnp.maximum(z_hi - z_lo, 0.0)
+    mean = (I_at(z_hi) - I_at(z_lo)) / jnp.maximum(span, _H_EPS)[None]
+    return mean, span
+
+
+def _deposit(F, z_lo, z_hi, h):
+    """Distribute per-span fluxes F over the layers of a column by
+    depth-overlap fractions (conservative: sum over layers == sum F).
+
+    F: (n_tr, ns, ny, nx) on spans [z_lo, z_hi); returns
+    (n_tr, nz, ny, nx)."""
+    z_i = jnp.concatenate([jnp.zeros_like(h[:1]),
+                           jnp.cumsum(h, axis=0)], axis=0)
+    span = jnp.maximum(z_hi - z_lo, _H_EPS)
+
+    def body(carry, args):
+        f_k, zl, zh, sp = args
+        # overlap of [zl, zh) with every layer [z_i[m], z_i[m+1])
+        ov = jnp.maximum(
+            jnp.minimum(z_i[1:], zh[None]) - jnp.maximum(z_i[:-1],
+                                                         zl[None]), 0.0)
+        return carry + f_k[:, None] * (ov / sp[None])[None], None
+
+    out0 = jnp.zeros(F.shape[:1] + h.shape, F.dtype)
+    out, _ = jax.lax.scan(
+        body, out0,
+        (jnp.moveaxis(F, 1, 0), z_lo, z_hi, span))
+    return out
+
+
+def neutral_diffusion_surfaces(tr, h, T, S, G, GV, eos, khtr, dt, *,
+                               p_ref: float = 2e7):
+    """Neutral-surface tracer diffusion by matched density positions —
+    the surface-finding design of MOM_neutral_diffusion.F90 (continuous
+    reconstruction): for every face, the local column's interface
+    densities are located in the neighbor column by inverting its
+    (monotonicized) density profile; tracers are exchanged between the
+    local layer and the neighbor's matched sublayer, thickness-weighted
+    by the sublayer overlap, and the received flux is deposited into the
+    neighbor's layers by depth overlap — exactly conservative, and a
+    tracer that is a function of density alone feels no flux by
+    construction (matched sublayers have equal tracer).
+
+    Simplification vs the reference: positions use potential density
+    referenced to ``p_ref`` (sigma-2 by default) instead of the
+    interface-local alpha/beta linearization, and sublayer tracer
+    averages are PCM (the reference offers linear/parabolic).
+    """
+    rho0 = GV.rho0
+    rho_i = _interface_density(T, S, h, eos, rho0, p_ref)
+    z_i = jnp.concatenate([jnp.zeros_like(h[:1]),
+                           jnp.cumsum(h, axis=0)], axis=0)
+
+    def exchange(shift_p, shift_m, face_len, inv_dx, mask):
+        """Flux exchange with the +1 neighbor along one axis."""
+        rho_nb = shift_p(rho_i)
+        z_nb = shift_p(z_i)
+        h_nb = shift_p(h)
+        tr_nb = shift_p(tr)
+        # positions of MY interface densities in the NEIGHBOR column
+        zs = _position_of_density(rho_i, rho_nb, z_nb)      # (nz+1,...)
+        zs = jax.lax.cummax(zs, axis=0)
+        z_lo, z_hi = zs[:-1], zs[1:]
+        tr_match, span = _mean_over_spans(tr_nb, h_nb, z_lo, z_hi)
+        # sublayer-thickness weight: both my layer and the matched span
+        # must carry mass (harmonic mean)
+        h_eff = 2.0 * h * span / (h + span + _H_EPS)
+        # only the MATCHED fraction of my layer's density range has a
+        # neutral connection to the neighbor: where a layer outcrops
+        # beyond the neighbor's density range, the position inversion
+        # clamps to the neighbor's surface/bottom and would connect
+        # un-neutral water — the reference leaves such sublayer portions
+        # fluxless (find_neutral_surface_positions' unmatched ends)
+        num = jnp.maximum(jnp.minimum(rho_i[1:], rho_nb[-1:])
+                          - jnp.maximum(rho_i[:-1], rho_nb[:1]), 0.0)
+        den = jnp.maximum(rho_i[1:] - rho_i[:-1], 1e-12)
+        w_match = jnp.clip(num / den, 0.0, 1.0)
+        F = -khtr * (face_len * inv_dx * mask * h_eff * w_match)[None] \
+            * (tr - tr_match)            # flux OUT of me, per layer
+        # neighbor receives -F distributed over its layers by overlap
+        recv = _deposit(-F, z_lo, z_hi, h_nb)
+        recv_here = shift_m(recv)        # pulled back to my cell index
+        return F, recv_here
+
+    fx, rx = exchange(ip1, im1, G.dyCu, G.IdxCu, G.mask2dCu)
+    fy, ry = exchange(jp1, jm1, G.dxCv, G.IdyCv, G.mask2dCv)
+    vol = jnp.maximum(h * G.areaT, _H_EPS)
+    dtr = dt * ((fx + rx) + (fy + ry)) / vol[None]
+    tr_new = tr + dtr
+    return jnp.where(G.mask2dT[None, None] > 0.5, tr_new, tr)
 
 
 def _ddz_centers(f, h):

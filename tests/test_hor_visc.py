@@ -95,3 +95,66 @@ def test_leith_dissipates_and_scales_with_vorticity_gradient():
     # Leith coefficient ~ |grad zeta| => accel ~ cubic in velocity
     r = float(jnp.max(jnp.abs(du2))) / max(float(jnp.max(jnp.abs(du))), 1e-30)
     assert 3.9 <= r < 16.0   # bound-clamped cells can cap at quadratic
+
+
+def test_anisotropic_viscosity_prefers_direction():
+    """Kh_aniso with a fixed x-aligned direction damps a pure-tension
+    (du/dx) flow more than the same flow rotated into shear; total
+    dissipation stays negative (stable)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.physics.lateral.hor_visc import (HorViscParams,
+                                                   horizontal_viscosity)
+    ny = nx = 16
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=400.0,
+                             len_lat_km=400.0, max_depth=1000.0,
+                             cyclic_x=True, reentrant_y=True)
+    h = jnp.full((1, ny, nx), 1000.0, jnp.float32)
+    x = jnp.arange(nx, dtype=jnp.float32)
+    # tension flow: u = sin(x), v = 0  (sh_xx dominant)
+    u_t = jnp.broadcast_to(jnp.sin(2 * jnp.pi * x / nx), (1, ny, nx)) \
+        * G.mask2dCu
+    v_t = jnp.zeros_like(u_t)
+    # shear flow: u = sin(y), v = 0  (sh_xy dominant)
+    y = jnp.arange(ny, dtype=jnp.float32)[:, None]
+    u_s = jnp.broadcast_to(jnp.sin(2 * jnp.pi * y / ny), (1, ny, nx)) \
+        * G.mask2dCu
+    v_s = jnp.zeros_like(u_s)
+    # x-aligned direction: n=(1,0) -> s2t=0, c2t=1: full Kh_aniso acts
+    # on tension, none on shear
+    p = HorViscParams(kh=0.0, kh_aniso=300.0, aniso_mode=0,
+                      aniso_n=(1.0, 0.0), dt=0.0)
+
+    def dissipation(u, v):
+        du, dv = horizontal_viscosity(u, v, h, G, p)
+        return float(jnp.sum(u * du) + jnp.sum(v * dv))
+
+    d_tension = dissipation(u_t, v_t)
+    d_shear = dissipation(u_s, v_s)
+    assert d_tension < 0.0                      # damps tension flow
+    assert abs(d_shear) < 0.05 * abs(d_tension)  # ~blind to shear flow
+
+
+def test_qg_leith_bounded_by_relative_gradient():
+    """QG Leith's vorticity gradient never exceeds the relative-only
+    gradient (the min() cap), so kh_qg <= kh_leith pointwise."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.physics.lateral.hor_visc import (HorViscParams,
+                                                   _coefficients, _strains)
+    rng = np.random.default_rng(9)
+    ny = nx = 16
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=400.0,
+                             len_lat_km=400.0, max_depth=1000.0, f0=1e-4,
+                             beta=2e-11)
+    u = jnp.asarray(rng.normal(0, 0.1, (1, ny, nx)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.1, (1, ny, nx)), jnp.float32)
+    sh_xx, sh_xy = _strains(u, v, G)
+    kh_l, _ = _coefficients(u, v, sh_xx, sh_xy, G,
+                            HorViscParams(leith_lap_const=1.0))
+    kh_qg, _ = _coefficients(u, v, sh_xx, sh_xy, G,
+                             HorViscParams(leith_lap_const=1.0,
+                                           use_qg_leith=True))
+    assert (np.asarray(kh_qg) <= np.asarray(kh_l) + 1e-6).all()

@@ -112,3 +112,53 @@ def test_boundary_tapering_suppresses_cross_terms():
     q_t = float(jnp.sum(out_t[0] * h * G.areaT))
     q_in = float(jnp.sum(T * h * G.areaT))
     assert abs(q_t - q_in) / abs(q_in) < 1e-5
+
+
+def test_neutral_surfaces_no_flux_for_density_tracer():
+    """Neutral-surface (matched-position) diffusion: a tracer that is a
+    function of density alone is (nearly) unchanged even with strongly
+    tilted isopycnals, while a horizontally-varying tracer is mixed, and
+    total content is conserved exactly (MOM_neutral_diffusion.F90
+    find_neutral_surface_positions behavior)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.eos import get_eos
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+    from mom6_tpu.tracers.neutral_diffusion import \
+        neutral_diffusion_surfaces
+    ny, nx, nz = 4, 8, 8
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=400.0,
+                             len_lat_km=200.0, max_depth=1000.0)
+    GV = build_layered_vgrid(nz)
+    eos = get_eos("LINEAR")
+    h = jnp.full((nz, ny, nx), 1000.0 / nz, jnp.float32)
+    # temperature surfaces tilt strongly in x: T(k, x)
+    x = jnp.arange(nx, dtype=jnp.float32)[None, None, :]
+    k = jnp.arange(nz, dtype=jnp.float32)[:, None, None]
+    T = (20.0 - 1.5 * k - 0.8 * x) * jnp.ones((nz, ny, nx))
+    S = jnp.full_like(T, 35.0)
+    # tracer1 = linear function of T (hence of density): no neutral flux
+    # tracer2 = curved function of x: nonzero flux DIVERGENCE (a linear
+    # tracer has zero Laplacian, so curvature is what a diffusion test
+    # must supply)
+    x2 = (x - nx / 2.0) ** 2
+    tr = jnp.stack([2.0 * T + 1.0,
+                    jnp.broadcast_to(x2, T.shape).astype(jnp.float32)])
+    dt, khtr = 3600.0, 1000.0
+    tr_new = neutral_diffusion_surfaces(tr, h, T, S, G, GV, eos, khtr, dt)
+    # conservation (volume-weighted totals)
+    vol = np.asarray(h, np.float64) * np.asarray(G.areaT, np.float64)
+    for i in range(2):
+        tot0 = (np.asarray(tr[i], np.float64) * vol).sum()
+        tot1 = (np.asarray(tr_new[i], np.float64) * vol).sum()
+        np.testing.assert_allclose(tot1, tot0, rtol=5e-6)
+    # interior change (away from the top/bottom outcrop layers, where
+    # PLM end-cell slope limiting and unmatched density ranges leave the
+    # reference-scheme's own reduced accuracy): density tracer ~still,
+    # x tracer mixed at the diffusive rate
+    ch_rho = float(jnp.abs(tr_new[0] - tr[0])[2:-2, :, 2:-2].max())
+    ch_x = float(jnp.abs(tr_new[1] - tr[1])[2:-2, :, 2:-2].max())
+    assert ch_x > 50.0 * max(ch_rho, 1e-12), (ch_rho, ch_x)
+    # outcrop layers stay bounded (no runaway clamped-position fluxes)
+    assert float(jnp.abs(tr_new[0] - tr[0]).max()) < 0.01
