@@ -101,14 +101,26 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
         raise ValueError(f"unknown ALE mode {p.mode}")
     h_new = jnp.where(G.mask2dT[None] > 0.5, h_new, h)
 
-    def remap(x):
-        return remap_column(x, h, h_new, p.scheme) if x is not None else None
-
-    T_new = remap(state.T)
-    S_new = remap(state.S)
-    extra_new = (jnp.stack([remap(extra_tracers[i])
-                            for i in range(extra_tracers.shape[0])])
-                 if extra_tracers is not None else None)
+    # all cell-centered fields share one column geometry: stack them into
+    # a single multi-field remap so the target-position fractions are
+    # computed once (remap_columns_multi's gather-free scan)
+    from mom6_tpu.ale.remapping import remap_columns_multi
+    cell_fields = []
+    T_new = S_new = extra_new = None
+    if state.T is not None:
+        cell_fields += [state.T, state.S]
+    n_extra = 0 if extra_tracers is None else extra_tracers.shape[0]
+    if n_extra:
+        cell_fields += [extra_tracers[i] for i in range(n_extra)]
+    if cell_fields:
+        out = remap_columns_multi(jnp.stack(cell_fields), h, h_new,
+                                  p.scheme)
+        idx = 0
+        if state.T is not None:
+            T_new, S_new = out[0], out[1]
+            idx = 2
+        if n_extra:
+            extra_new = out[idx:idx + n_extra]
 
     # velocities on face columns
     h_u_old = 0.5 * (h + ip1(h))

@@ -23,10 +23,11 @@ thicknesses must agree (regridding guarantees this).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["remap_column", "reconstruct", "PCM", "PLM", "PPM_H4",
-           "PPM_IH4", "PPM_H6", "P3M_H4", "PQM_IH4IH3"]
+__all__ = ["remap_column", "remap_columns_multi", "reconstruct", "PCM",
+           "PLM", "PPM_H4", "PPM_IH4", "PPM_H6", "P3M_H4", "PQM_IH4IH3"]
 
 PCM = "PCM"
 PLM = "PLM"
@@ -331,54 +332,64 @@ def reconstruct(u, h, scheme: str):
     raise ValueError(f"unknown remapping scheme {scheme}")
 
 
-def _cumulative(c0, c1, c2, c3, c4, h):
-    """Cumulative integral at source interfaces: I[k] = sum_{m<k} h_m*u_m."""
-    cell_int = h * (c0 + 0.5 * c1 + c2 / 3.0 + 0.25 * c3 + 0.2 * c4)
-    zeros = jnp.zeros_like(h[:1])
-    return jnp.concatenate([zeros, jnp.cumsum(cell_int, axis=0)], axis=0)
-
-
 def remap_column(u0, h0, h1, scheme: str = PPM_H4):
     """Remap cell averages ``u0`` on thicknesses ``h0`` to grid ``h1``.
 
     Shapes: (nz0, ...) -> (nz1, ...); trailing dims are batch (ny, nx).
     Assumes sum(h0) == sum(h1) per column (same column depth)."""
-    c0, c1, c2, c3, c4 = reconstruct(u0, h0, scheme)
-    icum = _cumulative(c0, c1, c2, c3, c4, h0)                # (nz0+1, ...)
+    return remap_columns_multi(u0[None], h0, h1, scheme)[0]
 
-    z0 = jnp.concatenate([jnp.zeros_like(h0[:1]),
-                          jnp.cumsum(h0, axis=0)], axis=0)    # source interfaces
+
+def remap_columns_multi(fields, h0, h1, scheme: str = PPM_H4):
+    """Remap several fields (nf, nz0, ...) sharing one column geometry.
+
+    TPU-native evaluation: the cumulative integral at every target
+    interface is the GATHER-FREE sum over source cells
+
+        I(z) = sum_k h_k * P_k( clip((z - z0_k)/h_k, 0, 1) )
+
+    (each cell's antiderivative clipped at its own boundaries), realized
+    as a lax.scan over the nz0 source cells with the per-cell position
+    fraction computed ONCE and reused by every field.  This replaces the
+    earlier take_along_axis formulation: on TPU a gather lowers to
+    serialized dynamic-slices, and seven of them per remap made ALE ~80%
+    of the full-physics step; the scan is pure fused VPU arithmetic."""
+    nf = fields.shape[0]
+    recon = [reconstruct(fields[i], h0, scheme) for i in range(nf)]
+    # (nz0, nf, 5, ...) with the polynomial already in antiderivative
+    # form: P(xi) = xi*(b0 + xi*(b1 + xi*(b2 + xi*(b3 + xi*b4))))
+    coef = jnp.stack(
+        [jnp.stack([jnp.stack([c0, 0.5 * c1, c2 / 3.0, 0.25 * c3,
+                               0.2 * c4])
+                    for (c0, c1, c2, c3, c4) in recon])], 0)[0]
+    coef = jnp.moveaxis(coef, 2, 0)          # (nz0, nf, 5, ny, nx)
+
+    z0_top = jnp.concatenate([jnp.zeros_like(h0[:1]),
+                              jnp.cumsum(h0, axis=0)[:-1]], axis=0)
+    col = jnp.sum(h0, axis=0)
     z1 = jnp.concatenate([jnp.zeros_like(h1[:1]),
-                          jnp.cumsum(h1, axis=0)], axis=0)    # target interfaces
-    z1 = jnp.minimum(z1, z0[-1:])                             # clamp to column
+                          jnp.cumsum(h1, axis=0)], axis=0)
+    z1 = jnp.minimum(z1, col[None])          # (nz1+1, ny, nx)
 
-    # locate each target interface in the source grid:
-    # k(z) = number of source interfaces (excluding top) strictly above z
-    # dense compare: (nz1+1, nz0-1, ...) -> sum over source axis
-    cmp = (z1[:, None] >= z0[None, 1:-1]).astype(jnp.int32)   # interior ifaces
-    k_idx = jnp.sum(cmp, axis=1)                              # in [0, nz0-1]
+    def body(acc, xs):
+        c_k, h_k, z_k = xs                   # (nf,5,ny,nx), (ny,nx), (ny,nx)
+        xi = jnp.clip((z1 - z_k[None]) / jnp.maximum(h_k, _EPS)[None],
+                      0.0, 1.0)              # (nz1+1, ny, nx)
+        b = c_k[:, :, None]                  # (nf, 5, 1, ny, nx)
+        poly = xi * (b[:, 0] + xi * (b[:, 1] + xi * (
+            b[:, 2] + xi * (b[:, 3] + xi * b[:, 4]))))
+        return acc + h_k[None, None] * poly, None
 
-    take = lambda a: jnp.take_along_axis(a, k_idx, axis=0)
-    h_k = take(h0)
-    z_k = take(z0[:-1])
-    i_k = take(icum[:-1])
-    a0, a1, a2 = take(c0), take(c1), take(c2)
-    a3, a4 = take(c3), take(c4)
+    acc0 = jnp.zeros((nf,) + z1.shape, fields.dtype)
+    i_at_z1, _ = jax.lax.scan(body, acc0, (coef, h0, z0_top), unroll=2)
 
-    xi = jnp.clip((z1 - z_k) / jnp.maximum(h_k, _EPS), 0.0, 1.0)
-    # antiderivative within the cell
-    F = h_k * (xi * (a0 + xi * (0.5 * a1 + xi * ((a2 / 3.0)
-                                                 + xi * (0.25 * a3
-                                                         + 0.2 * a4 * xi)))))
-    i_at_z1 = i_k + F
-
-    du = i_at_z1[1:] - i_at_z1[:-1]
-    u1 = du / jnp.maximum(h1, _EPS)
+    u1 = (i_at_z1[:, 1:] - i_at_z1[:, :-1]) \
+        / jnp.maximum(h1, _EPS)[None]
     # massless target cells (vanished layers over topography) divide f32
     # roundoff of the cumulative integral by ~0 thickness; bound every
     # output by the source column's range (harmless for conservation —
     # the affected cells carry negligible mass, and the clamp is the
     # monotone bound a valid reconstruction must satisfy anyway)
-    col_min = jnp.min(u0, axis=0, keepdims=True)
-    col_max = jnp.max(u0, axis=0, keepdims=True)
+    col_min = jnp.min(fields, axis=1, keepdims=True)
+    col_max = jnp.max(fields, axis=1, keepdims=True)
     return jnp.clip(u1, col_min, col_max)

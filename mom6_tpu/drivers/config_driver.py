@@ -104,6 +104,54 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
         dedge = min_depth
         depth = (dedge + (max_depth - dedge)
                  * np.abs(np.sin(np.pi * y))) * np.ones((ny, nx))
+    elif topo_config == "seamount":
+        # Gaussian seamount on a flat bottom
+        # (seamount_initialization.F90 seamount_initialize_topography)
+        delta = pf.get("SEAMOUNT_DELTA", float, default=0.5, module=m,
+                       desc="Fractional height of the seamount")
+        Lsm = pf.get("SEAMOUNT_LENGTH_SCALE", float, default=20.0,
+                     units="km", module=m)
+        x = ((np.arange(nx) + 0.5) / nx - 0.5) * lenlon
+        y = ((np.arange(ny) + 0.5) / ny - 0.5) * lenlat
+        r2 = (x[None, :] ** 2 + y[:, None] ** 2) / max(Lsm, 1e-3) ** 2
+        depth = max_depth * (1.0 - delta * np.exp(-r2))
+    elif topo_config == "dome2d":
+        # shelf + linear slope to the deep basin
+        # (DOME2d_initialization.F90 DOME2d_initialize_topography)
+        shelf_frac = pf.get("DOME2D_SHELF_DEPTH", float, default=0.2,
+                            module=m, desc="Shelf depth / max depth")
+        ls = pf.get("DOME2D_SHELF_FRAC", float, default=0.25, module=m)
+        lb = pf.get("DOME2D_BASIN_FRAC", float, default=0.45, module=m)
+        xf = ((np.arange(nx) + 0.5) / nx)[None, :]
+        d = np.where(xf < ls, shelf_frac,
+                     np.where(xf < 1.0 - lb,
+                              shelf_frac + (1.0 - shelf_frac)
+                              * (xf - ls) / max(1.0 - lb - ls, 1e-6),
+                              1.0))
+        depth = max_depth * d * np.ones((ny, nx))
+    elif topo_config == "dumbbell":
+        # two deep basins joined by a shallow narrow strait
+        # (dumbbell_initialization.F90 dumbbell_initialize_topography)
+        sill = pf.get("DUMBBELL_SILL_DEPTH", float,
+                      default=0.1 * max_depth, units="m", module=m)
+        lenf = pf.get("DUMBBELL_LEN_FRAC", float, default=0.2, module=m,
+                      desc="Strait length fraction of the domain")
+        widf = pf.get("DUMBBELL_WIDTH_FRAC", float, default=0.25,
+                      module=m)
+        xf = np.abs((np.arange(nx) + 0.5) / nx - 0.5)[None, :]
+        yf = np.abs((np.arange(ny) + 0.5) / ny - 0.5)[:, None]
+        in_strait = (xf < 0.5 * lenf)
+        strait_open = (yf < 0.5 * widf)
+        depth = np.where(in_strait & ~strait_open, 0.0,
+                         np.where(in_strait, sill, max_depth)
+                         ) * np.ones((ny, nx))
+    elif topo_config == "slope":
+        # linear cross-shore slope from the shelf to the deep ocean
+        # (shelfwave/RGC-style coastal shelf)
+        shelf_d = pf.get("SHELF_DEPTH", float, default=100.0, units="m",
+                         module=m)
+        yf = ((np.arange(ny) + 0.5) / ny)[:, None]
+        depth = (shelf_d + (max_depth - shelf_d) * yf) * np.ones((ny, nx))
     else:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
@@ -696,7 +744,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     # -- initial state ----------------------------------------------------
     m = "MOM_state_initialization"
     thick_cfg = pf.get("THICKNESS_CONFIG", str, default="uniform", module=m)
-    if thick_cfg not in ("uniform", "circle_obcs", "benchmark"):
+    if thick_cfg not in ("uniform", "circle_obcs", "benchmark",
+                         "sloshing", "internal_wave", "phillips"):
         raise NotImplementedError(f"THICKNESS_CONFIG={thick_cfg}")
     state = init_state_resting(G, gv, np.full(nz, max_depth / nz),
                                dtype=dtype, with_thermo=use_thermo)
@@ -727,6 +776,72 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         # (benchmark_initialize_thickness intent; realized here as a z-
         # uniform grid carrying the benchmark T profile set below)
         pass
+    elif thick_cfg in ("sloshing", "internal_wave"):
+        # interface displacements of a resting stratified column:
+        # "sloshing" tilts every interior interface with the first-mode
+        # vertical structure (sloshing_initialization.F90
+        # sloshing_initialize_thickness); "internal_wave" displaces ONE
+        # interior interface sinusoidally
+        amp = pf.get("IC_AMPLITUDE", float, default=20.0, units="m",
+                     module=m, desc="Interface displacement amplitude")
+        lon = np.asarray(G.geoLonT)
+        xfrac = (lon - lon.min()) / max(lon.max() - lon.min(), 1e-30)
+        h0 = np.asarray(state.h)
+        e = np.concatenate([np.zeros((1, G.ny, G.nx)),
+                            np.cumsum(h0, axis=0)], axis=0)
+        col = e[-1]
+        if thick_cfg == "sloshing":
+            # half-wave across the basin, sine mode in the vertical
+            for k in range(1, nz):
+                mode = np.sin(np.pi * e[k] / np.maximum(col, 1e-3))
+                e[k] = e[k] + amp * np.sin(np.pi * xfrac) * mode
+        else:
+            k0 = pf.get("IC_INTERFACE", int, default=nz // 2, module=m)
+            wl = pf.get("IC_WAVELENGTH_FRAC", float, default=0.5,
+                        module=m)
+            e[k0] = e[k0] + amp * np.sin(2.0 * np.pi * xfrac / wl)
+        e = np.minimum(np.maximum.accumulate(e, axis=0), col[None])
+        h_new = np.maximum(e[1:] - e[:-1], float(gv.angstrom))
+        state = state.replace(h=jnp.asarray(h_new, dtype))
+    elif thick_cfg == "phillips":
+        # Phillips 2-layer instability: interior interfaces tilted by a
+        # tanh jet in y, with the geostrophically balanced zonal flow
+        # (Phillips_initialization.F90 Phillips_initialize_thickness /
+        # _velocity): u_k - u_{k+1} = -(g'_{k+1}/f) d(eta_{k+1})/dy
+        jet_h = pf.get("JET_HEIGHT", float, default=200.0, units="m",
+                       module=m)
+        jet_w = pf.get("JET_WIDTH", float, default=0.1, module=m,
+                       desc="Jet width as a fraction of the domain")
+        lat = np.asarray(G.geoLatT)
+        yfrac = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+        arg = (yfrac - 0.5) / max(jet_w, 1e-6)
+        h0 = np.asarray(state.h)
+        e = np.concatenate([np.zeros((1, G.ny, G.nx)),
+                            np.cumsum(h0, axis=0)], axis=0)
+        col = e[-1]
+        for k in range(1, nz):
+            zfac = np.sin(np.pi * k / nz)        # interior-mode shape
+            e[k] = e[k] + jet_h * np.tanh(arg) * zfac
+        e = np.minimum(np.maximum.accumulate(e, axis=0), col[None])
+        h_new = np.maximum(e[1:] - e[:-1], float(gv.angstrom))
+        # geostrophic shear from the interface slopes, bottom at rest
+        f_h = np.asarray(G.CoriolisBu)
+        f_h = 0.25 * (f_h + np.roll(f_h, 1, 0) + np.roll(f_h, 1, 1)
+                      + np.roll(np.roll(f_h, 1, 0), 1, 1))
+        f_h = np.where(np.abs(f_h) < 1e-12, 1e-12, f_h)
+        dy = np.asarray(G.dyT)
+        gp = np.asarray(gv.g_prime)
+        u = np.zeros_like(h0)
+        for k in range(nz - 2, -1, -1):
+            # thermal wind: f (u_k - u_{k+1}) = +g' d(e_{k+1})/dy with e
+            # positive DOWN (interface height eta = -e); centered in y,
+            # averaged to the u faces
+            de = (np.roll(e[k + 1], -1, axis=0)
+                  - np.roll(e[k + 1], 1, axis=0)) / (2.0 * dy)
+            de_u = 0.5 * (de + np.roll(de, -1, axis=1))
+            u[k] = u[k + 1] + gp[k + 1] / f_h * de_u
+        state = state.replace(h=jnp.asarray(h_new, dtype),
+                              u=jnp.asarray(u, dtype) * G.mask2dCu)
     if meke is not None:
         state = state.replace(E_meke=jnp.zeros((G.ny, G.nx), dtype))
     if int_tides is not None:
@@ -756,6 +871,54 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             tprof = t_dense + (sst[None] - t_dense) * zfac
             state = state.replace(
                 T=jnp.asarray(tprof, dtype),
+                S=jnp.full(state.h.shape, s_ref, dtype))
+        elif ts_cfg == "front":
+            # lock-exchange / adjustment front: T jumps by T_RANGE across
+            # a (possibly perturbed) front at mid-domain
+            # (lock_exchange_initialization.F90 /
+            # adjustment_initialization.F90)
+            trange = pf.get("T_RANGE", float, default=2.0, units="degC",
+                            module=m)
+            axis = pf.get("FRONT_AXIS", str, default="x", module=m)
+            lf = pf.get("FRONT_WIDTH_FRAC", float, default=0.02, module=m)
+            wavelen = pf.get("FRONT_WAVE_FRAC", float, default=0.0,
+                             module=m, desc="Along-front perturbation "
+                             "wavelength fraction (0 = straight front)")
+            wamp = pf.get("FRONT_WAVE_AMP", float, default=0.05, module=m)
+            lon = np.asarray(G.geoLonT)
+            lat = np.asarray(G.geoLatT)
+            xfr = (lon - lon.min()) / max(lon.max() - lon.min(), 1e-30)
+            yfr = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+            across, along = (xfr, yfr) if axis == "x" else (yfr, xfr)
+            x0 = 0.5 * np.ones_like(across)
+            if wavelen > 0.0:
+                x0 = x0 + wamp * np.sin(2.0 * np.pi * along / wavelen)
+            tfield = t_ref + 0.5 * trange * np.tanh(
+                (across - x0) / max(lf, 1e-6))
+            state = state.replace(
+                T=jnp.asarray(np.broadcast_to(tfield[None], state.h.shape),
+                              dtype),
+                S=jnp.full(state.h.shape, s_ref, dtype))
+        elif ts_cfg == "rossby_front":
+            # 2-D Rossby adjustment front: a mixed layer whose depth
+            # varies linearly with y over stratification
+            # (Rossby_front_2d_initialization.F90)
+            trange = pf.get("T_RANGE", float, default=2.0, units="degC",
+                            module=m)
+            hml_max = pf.get("ML_DEPTH_MAX", float,
+                             default=0.5 * max_depth, units="m", module=m)
+            lat = np.asarray(G.geoLatT)
+            yfr = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+            hml = hml_max * yfr                           # (ny, nx)
+            zc = (np.cumsum(np.full(nz, max_depth / nz))
+                  - max_depth / nz / 2)[:, None, None]
+            in_ml = zc < hml[None]
+            t_deep = t_ref - 0.5 * trange \
+                - trange * (zc - hml[None]) / max_depth
+            tfield = np.where(in_ml, t_ref + 0.5 * trange, t_deep)
+            state = state.replace(
+                T=jnp.asarray(np.broadcast_to(tfield, state.h.shape),
+                              dtype),
                 S=jnp.full(state.h.shape, s_ref, dtype))
         else:
             trange = pf.get("T_RANGE", float, default=0.0, units="degC",
