@@ -9,12 +9,12 @@ Algorithm (vectorized over whole (nz, ny, nx) columns, no per-cell loops):
 
 1. reconstruct a piecewise polynomial u_k(xi) in every source cell
    (PCM constant / PLM limited linear / PPM_H4 limited parabola);
-2. form the cumulative integral I(z) of the reconstruction, a piecewise
-   polynomial in depth whose breakpoints are the source interfaces;
-3. evaluate I at every target interface (cell location found with a
-   comparison-sum index, gathered with take_along_axis — dense O(nz^2)
-   compare ops beat data-dependent loops on TPU);
-4. difference and divide by target thicknesses.
+2. evaluate the cumulative integral of the reconstruction at every
+   target interface as a GATHER-FREE sum over source cells (each cell's
+   antiderivative clipped at its own boundaries; see
+   remap_columns_multi — on TPU a gather lowers to serialized
+   dynamic-slices, so the dense O(nz^2) clip-sum wins by ~20x);
+3. difference and divide by target thicknesses.
 
 This is exactly conservative by construction: the integral over the whole
 column is I(bottom) for any target grid.  Total source and target column

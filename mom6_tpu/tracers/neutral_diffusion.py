@@ -82,22 +82,24 @@ def _mean_over_spans(tr, h, z_lo, z_hi):
         c1.append(a1)
     c0 = jnp.stack(c0)
     c1 = jnp.stack(c1)                              # (n_tr, nz, ny, nx)
-    cell_int = h[None] * (c0 + 0.5 * c1)
-    icum = jnp.concatenate(
-        [jnp.zeros_like(tr[:, :1]), jnp.cumsum(cell_int, axis=1)], axis=1)
 
     def I_at(z):
-        # z: (ns, ny, nx) -> cumulative integral at depth z per tracer
-        cmp = (z[:, None] >= z_i[None, 1:-1]).astype(jnp.int32)
-        k = jnp.sum(cmp, axis=1)                    # containing cell
-        h_k = jnp.take_along_axis(h, k, axis=0)
-        z_k = jnp.take_along_axis(z_i[:-1], k, axis=0)
-        xi = jnp.clip((z - z_k) / jnp.maximum(h_k, _H_EPS), 0.0, 1.0)
-        kk = k[None].repeat(tr.shape[0], 0)
-        i_k = jnp.take_along_axis(icum, kk, axis=1)
-        a0 = jnp.take_along_axis(c0, kk, axis=1)
-        a1 = jnp.take_along_axis(c1, kk, axis=1)
-        return i_k + h_k[None] * xi[None] * (a0 + 0.5 * a1 * xi[None])
+        # gather-free cumulative integral at depth z (same clip-sum
+        # form as ale/remapping.remap_columns_multi — gathers serialize
+        # on TPU): I(z) = sum_k h_k (a0 xi + a1 xi^2 / 2) with
+        # xi = clip((z - z_k)/h_k, 0, 1)
+        def body(acc, xs):
+            a0_k, a1_k, h_k, z_k = xs
+            xi = jnp.clip((z - z_k[None]) / jnp.maximum(h_k, _H_EPS)[None],
+                          0.0, 1.0)                 # (ns, ny, nx)
+            return acc + h_k[None, None] * xi[None] \
+                * (a0_k[:, None] + 0.5 * a1_k[:, None] * xi[None]), None
+        acc0 = jnp.zeros(tr.shape[:1] + z.shape, tr.dtype)
+        out, _ = jax.lax.scan(
+            body, acc0,
+            (jnp.moveaxis(c0, 1, 0), jnp.moveaxis(c1, 1, 0), h,
+             z_i[:-1]))
+        return out
     span = jnp.maximum(z_hi - z_lo, 0.0)
     mean = (I_at(z_hi) - I_at(z_lo)) / jnp.maximum(span, _H_EPS)[None]
     return mean, span
