@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from mom6_tpu.ale.regridding import (AdaptParams, build_adaptive_grid,
                                      build_hybgen_grid, build_hycom1_grid,
                                      build_rho_grid, build_sigma_grid,
+                                     build_sigma_shelf_zstar_grid,
                                      build_zstar_grid)
 from mom6_tpu.ale.remapping import PPM_H4, remap_column
 from mom6_tpu.framework.stencil import ip1, jp1
@@ -30,11 +31,13 @@ RHO = "RHO"
 HYCOM1 = "HYCOM1"
 ADAPTIVE = "ADAPTIVE"
 HYBGEN = "HYBGEN"
+SIGMA_SHELF_ZSTAR = "SIGMA_SHELF_ZSTAR"
 
 
 class ALEParams(NamedTuple):
     mode: str = ZSTAR
     dz_nominal: tuple = ()         # nominal z* thicknesses (nz,)
+    shelf_depth: float = 200.0     # SIGMA_SHELF_ZSTAR transition [m]
     rho_targets: tuple = ()        # RHO/HYCOM1 target densities (nz,)
     scheme: str = PPM_H4
     min_thickness: float = 1e-10
@@ -63,6 +66,10 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
                                  p.min_thickness)
     elif p.mode == SIGMA:
         h_new = build_sigma_grid(h, min_thickness=p.min_thickness)
+    elif p.mode == SIGMA_SHELF_ZSTAR:
+        h_new = build_sigma_shelf_zstar_grid(
+            h, G.bathyT, jnp.asarray(p.dz_nominal, h.dtype),
+            p.shelf_depth, p.min_thickness)
     elif p.mode == RHO:
         from mom6_tpu.eos import get_eos
         h_new = build_rho_grid(h, state.T, state.S, GV,

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_zstar_grid", "build_sigma_grid", "build_rho_grid",
+__all__ = ["build_sigma_shelf_zstar_grid", "build_zstar_grid", "build_sigma_grid", "build_rho_grid",
            "build_hycom1_grid", "build_adaptive_grid", "build_hybgen_grid",
            "AdaptParams", "uniform_dz_profile"]
 
@@ -72,6 +72,26 @@ def build_sigma_grid(h, sigma_fractions=None, nz: int = None,
     else:
         frac = jnp.asarray(sigma_fractions, h.dtype)
     return jnp.maximum(frac[:, None, None] * col[None], min_thickness)
+
+
+def build_sigma_shelf_zstar_grid(h, bathy, dz_nominal, shelf_depth,
+                                 min_thickness: float = 1e-10):
+    """SIGMA_SHELF_ZSTAR (regridding_main's mode of that name): pure
+    terrain-following sigma where the water column is shallower than
+    ``shelf_depth`` (ice-shelf cavities / shelves, where z* layers would
+    pinch against the topography), pure z* in the deep ocean, blended
+    linearly over the next ``shelf_depth`` of depth so the interfaces
+    stay continuous across the transition."""
+    z_sig = build_sigma_grid(h, nz=len(dz_nominal),
+                             min_thickness=min_thickness)
+    z_str = build_zstar_grid(h, bathy, dz_nominal, min_thickness)
+    col = jnp.sum(h, axis=0)
+    w_sig = jnp.clip((2.0 * shelf_depth - col) / jnp.maximum(
+        shelf_depth, 1e-3), 0.0, 1.0)        # 1 below shelf_depth,
+    #                                           0 beyond 2*shelf_depth
+    h_new = w_sig[None] * z_sig + (1.0 - w_sig[None]) * z_str
+    scale = col / jnp.maximum(jnp.sum(h_new, axis=0), 1e-30)
+    return jnp.maximum(h_new * scale[None], min_thickness)
 
 
 def build_rho_grid(h, T, S, GV, eos, rho_targets, *,

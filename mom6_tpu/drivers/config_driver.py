@@ -63,7 +63,7 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
                 desc="Number of points in the x-direction")
     ny = pf.get("NJGLOBAL", int, module=m)
     grid_config = pf.get("GRID_CONFIG", str, default="cartesian", module=m)
-    if grid_config not in ("cartesian", "spherical"):
+    if grid_config not in ("cartesian", "spherical", "mercator"):
         raise NotImplementedError(f"GRID_CONFIG={grid_config}")
     lenlon = pf.get("LENLON", float, default=1000.0, units="km", module=m)
     lenlat = pf.get("LENLAT", float, default=1000.0, units="km", module=m)
@@ -156,16 +156,19 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
     reentrant_y = pf.get("REENTRANT_Y", bool, default=False, module=m)
-    if grid_config == "spherical":
+    if grid_config in ("spherical", "mercator"):
         from mom6_tpu.grid.grid import build_spherical_grid
         west = pf.get("WESTLON", float, default=0.0, units="degrees",
                       module=m)
         south = pf.get("SOUTHLAT", float, default=-40.0, units="degrees",
                        module=m)
+        iso = grid_config == "mercator" or pf.get(
+            "ISOTROPIC", bool, default=False, module=m,
+            desc="Mercator (locally square) meridional spacing")
         G = build_spherical_grid(nx, ny, west, south, lenlon, lenlat,
                                  depth=depth, max_depth=max_depth,
                                  min_depth=min_depth, cyclic_x=cyclic_x,
-                                 dtype=dtype)
+                                 isotropic=iso, dtype=dtype)
     else:
         G = build_cartesian_grid(nx, ny, lenlon, lenlat, depth=depth,
                                  max_depth=max_depth, min_depth=min_depth,
@@ -431,6 +434,14 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             ale = ALEParams(mode=ZSTAR, dz_nominal=tuple(dz))
         elif mode == "SIGMA":
             ale = ALEParams(mode=SIGMA)
+        elif mode == "SIGMA_SHELF_ZSTAR":
+            from mom6_tpu.ale.ale import SIGMA_SHELF_ZSTAR
+            ale = ALEParams(
+                mode=SIGMA_SHELF_ZSTAR, dz_nominal=tuple(dz),
+                shelf_depth=pf.get("SIGMA_SHELF_ZSTAR_DEPTH", float,
+                                   default=200.0, units="m", module=m,
+                                   desc="Sigma below this column depth, "
+                                   "z* beyond twice it"))
         elif mode == "RHO":
             rlay = pf.get_list("ALE_RHO_TARGETS",
                                default=list(np.asarray(gv.Rlay)), module=m)
@@ -872,6 +883,31 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             state = state.replace(
                 T=jnp.asarray(tprof, dtype),
                 S=jnp.full(state.h.shape, s_ref, dtype))
+        elif ts_cfg == "from_Z":
+            # T/S from a z-space climatology file conservatively remapped
+            # onto the layer grid (MOM_temp_salt_initialize_from_Z,
+            # MOM_state_initialization.F90:2523, via grid/z_init.py's
+            # Z_INIT_ALE_REMAPPING path)
+            from mom6_tpu.grid.z_init import init_tracer_from_z
+            from mom6_tpu.io.netcdf import read_nc
+            zfile = pf.get("TEMP_SALT_Z_INIT_FILE", str, module=m,
+                           desc="NetCDF with z_edges + ptemp + salt")
+            tvar = pf.get("Z_INIT_FILE_PTEMP_VAR", str, default="ptemp",
+                          module=m)
+            svar = pf.get("Z_INIT_FILE_SALT_VAR", str, default="salt",
+                          module=m)
+            path = zfile if os.path.isabs(zfile) else \
+                os.path.join(_inputdir(pf, doc_dir), zfile)
+            raw = read_nc(path)
+            z_edges = np.asarray(raw["z_edges"], np.float64)
+            T0 = init_tracer_from_z(z_edges,
+                                    np.asarray(raw[tvar], np.float64),
+                                    state.h, G.bathyT)
+            S0 = init_tracer_from_z(z_edges,
+                                    np.asarray(raw[svar], np.float64),
+                                    state.h, G.bathyT)
+            state = state.replace(T=jnp.asarray(T0, dtype),
+                                  S=jnp.asarray(S0, dtype))
         elif ts_cfg == "front":
             # lock-exchange / adjustment front: T jumps by T_RANGE across
             # a (possibly perturbed) front at mid-domain

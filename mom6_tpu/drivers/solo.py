@@ -193,6 +193,41 @@ def main(argv=None):
 
     provider = setup.forcing_provider
 
+    # controlled forcing (MOM_controlled_forcing apply_ctrl_forcing):
+    # P+I flux corrections toward an SST/SSS climatology, updated per
+    # segment and fed through the forcing-as-jit-argument path
+    ctrl = None
+    if params.thermo_enabled and pf.get(
+            "CONTROLLED_FORCING", bool, default=False,
+            module="MOM_controlled_forcing",
+            desc="P+I surface-flux feedback toward climatology"):
+        import numpy as np
+
+        from mom6_tpu.framework.controlled_forcing import ControlledForcing
+        tgt = forcing.buoy.t_restore
+        if tgt is not None:
+            sst_t = np.asarray(jax.device_get(tgt), np.float64)
+        else:
+            sst_t = np.full((G.ny, G.nx), pf.get(
+                "CTRL_SST_TARGET", float, default=10.0, units="degC",
+                module="MOM_controlled_forcing"))
+        ctrl = ControlledForcing(
+            sst_t,
+            sss_target=np.full((G.ny, G.nx), pf.get(
+                "CTRL_SSS_TARGET", float, default=35.0, units="ppt",
+                module="MOM_controlled_forcing")),
+            lam_heat=pf.get("CTRL_FORCE_HEAT_RATE", float, default=0.0,
+                            units="W m-2 K-1",
+                            module="MOM_controlled_forcing"),
+            lam_prec=pf.get("CTRL_FORCE_PREC_RATE", float, default=0.0,
+                            module="MOM_controlled_forcing"),
+            lam_int_period=pf.get("CTRL_FORCE_INTEGRAL_PERIOD", float,
+                                  default=0.0, units="s",
+                                  module="MOM_controlled_forcing"))
+        if provider is None:
+            _base_forcing = forcing
+            provider = lambda t: _base_forcing    # noqa: E731
+
     def build_stepper(params):
         if provider is None:
             return make_mom_stepper(G, GV, params, forcing,
@@ -294,7 +329,24 @@ def main(argv=None):
                 state = stepper(state)
             else:
                 t_mid = t0 + (c + 0.5) * stats_every * dt_cycle
-                state = stepper(state, provider(t_mid))
+                f_seg = provider(t_mid)
+                if ctrl is not None:
+                    from mom6_tpu.diagnostics.diagnostics import \
+                        extract_surface_state
+                    sfc = extract_surface_state(state, G, GV)
+                    h_adj, fw_adj = ctrl.update(
+                        jax.device_get(sfc.sst), jax.device_get(sfc.sss),
+                        stats_every * dt_cycle)
+                    b = f_seg.buoy
+                    hf = b.heat_flux if b.heat_flux is not None else 0.0
+                    b = b._replace(heat_flux=hf + jnp.asarray(
+                        h_adj, state.h.dtype))
+                    if fw_adj is not None:
+                        fw = b.fw_flux if b.fw_flux is not None else 0.0
+                        b = b._replace(fw_flux=fw + jnp.asarray(
+                            fw_adj, state.h.dtype))
+                    f_seg = f_seg._replace(buoy=b)
+                state = stepper(state, f_seg)
             jax.block_until_ready(state.h)
         if arc_rec is not None:
             arc_rec["h_start"].append(h_pre)
@@ -359,8 +411,10 @@ def main(argv=None):
         for k, recs in arc_rec.items():
             w.write_static(k, np.stack(recs))
         w.close()
+    io_layout = pf.get_list("IO_LAYOUT", default=[1, 1], module="MOM")
     reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
-                     time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles)
+                     time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles,
+                     io_layout=tuple(int(v) for v in io_layout[:2]))
     # chksum_diag-style fingerprint of the final state (the second half of
     # the regression oracle, SURVEY.md §4)
     from mom6_tpu.framework.checksums import chksum_line

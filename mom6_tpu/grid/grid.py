@@ -175,35 +175,65 @@ def build_spherical_grid(
     max_depth: float = 4000.0,
     min_depth: float = 0.0,
     cyclic_x: bool = False,
+    isotropic: bool = False,
     radius: float = constants.EARTH_RADIUS,
     omega: float = constants.OMEGA,
     dtype=jnp.float32,
 ) -> Grid:
-    """Uniform spherical (lat-lon) grid with full metric terms and
-    Coriolis 2*Omega*sin(lat) (GRID_CONFIG="spherical" of
-    src/initialization/MOM_grid_initialize.F90: set_grid_metrics_spherical).
-    """
-    dlon = len_lon_deg / nx
-    dlat = len_lat_deg / ny
-    lon_q = west_lon_deg + dlon * (np.arange(nx) + 1.0)
-    lat_q = south_lat_deg + dlat * (np.arange(ny) + 1.0)
-    lon_t = lon_q - 0.5 * dlon
-    lat_t = lat_q - 0.5 * dlat
+    """Spherical (lat-lon) grid with full metric terms and Coriolis
+    2*Omega*sin(lat) (GRID_CONFIG="spherical" of
+    src/initialization/MOM_grid_initialize.F90:
+    set_grid_metrics_spherical).
+
+    ``isotropic=True`` builds the MERCATOR spacing instead
+    (set_grid_metrics_mercator / the ISOTROPIC option): row latitudes
+    are uniform in the Mercator coordinate y = ln tan(pi/4 + lat/2), so
+    dy = dx * cos(lat) everywhere — every cell is locally square, the
+    isotropy most subgrid closures assume."""
     d2r = np.pi / 180.0
+    dlon = len_lon_deg / nx
+    lon_q = west_lon_deg + dlon * (np.arange(nx) + 1.0)
+    if isotropic:
+        # isotropy fixes the Mercator step to the longitude step:
+        # dy = R cos(lat) dyM = R cos(lat) dlon = dx.  The northern
+        # extent follows from ny (len_lat_deg is advisory, as in the
+        # reference's Mercator grid generation).
+        def merc(lat_deg):
+            return np.log(np.tan(0.25 * np.pi + 0.5 * lat_deg * d2r))
+
+        def inv_merc(y):
+            return (2.0 * np.arctan(np.exp(y)) - 0.5 * np.pi) / d2r
+        y0 = merc(south_lat_deg)
+        dym = dlon * d2r
+        yq = y0 + dym * (np.arange(ny) + 1.0)
+        yt = yq - 0.5 * dym
+        lat_q = inv_merc(yq)
+        lat_t = inv_merc(yt)
+        # per-row meridional spacing from the interface latitudes
+        lat_qm = np.concatenate([[south_lat_deg], lat_q])
+        dlat_row = np.diff(lat_qm)             # (ny,) row heights [deg]
+    else:
+        dlat = len_lat_deg / ny
+        lat_q = south_lat_deg + dlat * (np.arange(ny) + 1.0)
+        lat_t = lat_q - 0.5 * dlat
+        dlat_row = np.full(ny, dlat)
+    lon_t = lon_q - 0.5 * dlon
 
     def dx_at(lat_deg):
         return radius * np.cos(np.asarray(lat_deg) * d2r) * dlon * d2r
 
-    dy = radius * dlat * d2r
-    ones = np.ones((ny, nx))
+    dy_row = radius * dlat_row * d2r          # (ny,) per-row dy
     dxT = np.broadcast_to(dx_at(lat_t)[:, None], (ny, nx)).copy()
-    dyT = ones * dy
+    dyT = np.broadcast_to(dy_row[:, None], (ny, nx)).copy()
     dxCu = dxT.copy()                         # u at same latitude as T
     dyCu = dyT.copy()
     dxCv = np.broadcast_to(dx_at(lat_q)[:, None], (ny, nx)).copy()
-    dyCv = dyT.copy()
+    # v/q rows sit at the interface latitudes: dy there spans half of
+    # each adjacent row
+    dy_v = 0.5 * (dy_row + np.concatenate([dy_row[1:], dy_row[-1:]]))
+    dyCv = np.broadcast_to(dy_v[:, None], (ny, nx)).copy()
     dxBu = dxCv.copy()
-    dyBu = dyT.copy()
+    dyBu = dyCv.copy()
 
     if depth is None:
         depth = np.full((ny, nx), max_depth)

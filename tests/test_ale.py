@@ -555,3 +555,25 @@ def test_new_ppm_variants_remap_conservatively():
         m0 = np.asarray(jnp.sum(u0 * h0, axis=0), np.float64)
         m1 = np.asarray(jnp.sum(u1 * h1, axis=0), np.float64)
         np.testing.assert_allclose(m1, m0, rtol=2e-4), sch
+
+
+def test_sigma_shelf_zstar_blend():
+    """SIGMA_SHELF_ZSTAR: terrain-following over the shallow shelf,
+    z*-like in the deep, column sums preserved everywhere."""
+    from mom6_tpu.ale.regridding import (build_sigma_shelf_zstar_grid,
+                                         build_zstar_grid)
+    nz, ny, nx = 6, 1, 8
+    depth = jnp.asarray(np.linspace(50.0, 3000.0, nx))[None, :]
+    depth = jnp.broadcast_to(depth, (ny, nx))
+    h = jnp.broadcast_to((depth / nz)[None], (nz, ny, nx))
+    dz_nom = np.full(nz, 3000.0 / nz)
+    h_new = build_sigma_shelf_zstar_grid(h, depth, dz_nom, 200.0)
+    np.testing.assert_allclose(np.asarray(h_new.sum(0)),
+                               np.asarray(depth), rtol=1e-5)
+    # shallowest column (50 m < shelf depth): pure sigma = equal layers
+    np.testing.assert_allclose(np.asarray(h_new[:, 0, 0]),
+                               50.0 / nz, rtol=1e-4)
+    # deepest column (3000 m >> 2*shelf): matches z*
+    h_z = build_zstar_grid(h, depth, jnp.asarray(dz_nom, h.dtype))
+    np.testing.assert_allclose(np.asarray(h_new[:, 0, -1]),
+                               np.asarray(h_z[:, 0, -1]), rtol=1e-4)

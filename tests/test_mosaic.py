@@ -107,3 +107,24 @@ def test_dynamics_step_on_mosaic_grid():
     m1 = (np.asarray(s.h, np.float64)
           * np.asarray(G.areaT, np.float64)).sum()
     assert abs(m1 - m0) / m0 < 1e-6
+
+
+def test_mercator_grid_is_isotropic():
+    """GRID_CONFIG=mercator: dy == dx*cos-ish at every row (locally
+    square cells, set_grid_metrics_mercator role), and the Coriolis /
+    metric arrays stay consistent."""
+    import numpy as np
+    from mom6_tpu.grid.grid import build_spherical_grid
+    G = build_spherical_grid(24, 20, 0.0, -50.0, 40.0, 70.0,
+                             isotropic=True)
+    dx = np.asarray(G.dxT)[:, 0]
+    dy = np.asarray(G.dyT)[:, 0]
+    np.testing.assert_allclose(dy, dx, rtol=0.03)   # locally square
+    # dy shrinks with |lat| like cos(lat) (rows crowd poleward)
+    lat = np.asarray(G.geoLatT)[:, 0]
+    k_eq = int(np.argmin(np.abs(lat)))
+    assert dy[k_eq] >= dy[0] - 1.0
+    # non-isotropic grid keeps uniform dlat
+    Gs = build_spherical_grid(24, 20, 0.0, -50.0, 40.0, 70.0)
+    np.testing.assert_allclose(np.diff(np.asarray(Gs.geoLatT)[:, 0]),
+                               70.0 / 20, rtol=1e-6)

@@ -121,3 +121,44 @@ class TestDiagMediator:
             assert False
         except ValueError:
             pass
+
+
+def test_distributed_restart_roundtrip(tmp_path):
+    """IO_LAYOUT-style multi-file restart: tiles written per IO rank
+    reassemble bitwise into the single-file state (the FMS distributed
+    output + mppnccombine roles)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.core.state import OceanState
+    from mom6_tpu.framework.restart import RestartRegistry
+    rng = np.random.default_rng(0)
+    nz, ny, nx = 3, 10, 14
+
+    def f():
+        return jnp.asarray(rng.normal(0, 1, (nz, ny, nx)), jnp.float32)
+    st = OceanState(h=f(), u=f(), v=f(), uh=f(), vh=f(), uhtr=f(),
+                    vhtr=f())
+    reg = RestartRegistry()
+    reg.register_state_attrs(["h", "u", "v", "uh", "vh", "uhtr", "vhtr"])
+    reg.lock()
+    single = str(tmp_path / "single.nc")
+    multi = str(tmp_path / "multi.nc")
+    reg.save_restart(single, st, time_seconds=123.0, step=7)
+    reg.save_restart(multi, st, time_seconds=123.0, step=7,
+                     io_layout=(2, 3))
+    import os
+    assert not os.path.exists(multi)
+    assert os.path.exists(multi + ".0000") and os.path.exists(
+        multi + ".0005")
+    st0 = OceanState(h=jnp.zeros((nz, ny, nx)), u=jnp.zeros((nz, ny, nx)),
+                     v=jnp.zeros((nz, ny, nx)),
+                     uh=jnp.zeros((nz, ny, nx)),
+                     vh=jnp.zeros((nz, ny, nx)),
+                     uhtr=jnp.zeros((nz, ny, nx)),
+                     vhtr=jnp.zeros((nz, ny, nx)))
+    s1, t1, k1 = reg.restore_state(single, st0)
+    s2, t2, k2 = reg.restore_state(multi, st0)
+    assert (t1, k1) == (t2, k2) == (123.0, 7)
+    for f_ in ("h", "u", "v", "uhtr"):
+        np.testing.assert_array_equal(np.asarray(getattr(s1, f_)),
+                                      np.asarray(getattr(s2, f_)))

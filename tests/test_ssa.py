@@ -95,3 +95,27 @@ def test_advect_conserves_and_bounds(grid):
     assert abs(m1 - m0) / m0 < 1e-5
     # the front advanced eastward
     assert float(h1[NY // 2, NX // 2]) > 0.0
+
+
+def test_ice_solo_driver(tmp_path):
+    """The standalone ice-shelf driver (ice_shelf_driver.F90 role) runs,
+    writes ice.stats + ICE.res.nc, and the wedge flows seaward."""
+    import os
+    import numpy as np
+    from mom6_tpu.drivers import ice_solo
+    (tmp_path / "MOM_input").write_text("""
+NIGLOBAL = 16
+NJGLOBAL = 16
+LENLON = 80.0
+LENLAT = 80.0
+DT = 43200.0
+DAYMAX = 2.0
+""")
+    ice_solo.main([str(tmp_path)])
+    assert os.path.exists(tmp_path / "ice.stats")
+    from mom6_tpu.io.netcdf import read_nc
+    res = read_nc(str(tmp_path / "ICE.res.nc"))
+    assert np.isfinite(res["h_ice"]).all()
+    # the shelf flows: nonzero velocities somewhere
+    sp = np.hypot(res["u_ice"], res["v_ice"])
+    assert sp.max() > 0.0

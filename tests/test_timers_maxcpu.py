@@ -70,3 +70,43 @@ def test_maxcpu_graceful_stop(tmp_path):
     lines = [ln for ln in (rd / "ocean.stats").read_text().splitlines()
              if not ln.startswith("#")]
     assert len(lines) < 10
+
+
+def test_controlled_forcing_pulls_sst_to_target(tmp_path):
+    """CONTROLLED_FORCING: the P+I heat-flux feedback pulls a warm bias
+    toward the target SST (apply_ctrl_forcing role)."""
+    cfg = """
+NIGLOBAL = 8
+NJGLOBAL = 8
+NK = 4
+LENLON = 400.0
+LENLAT = 400.0
+MAXIMUM_DEPTH = 400.0
+TOPO_CONFIG = flat
+F_0 = 1.0e-4
+DT = 1800.0
+DT_THERM = 3600.0
+ENABLE_THERMODYNAMICS = True
+EQN_OF_STATE = WRIGHT
+T_REF = 14.0
+T_RANGE = 0.0
+CONTROLLED_FORCING = True
+CTRL_SST_TARGET = 10.0
+CTRL_FORCE_HEAT_RATE = 2000.0
+CTRL_FORCE_INTEGRAL_PERIOD = 864000.0
+DAYMAX = 8.0
+"""
+    rd = tmp_path / "run"
+    rd.mkdir()
+    (rd / "MOM_input").write_text(cfg)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-m", "mom6_tpu.drivers.solo",
+                        str(rd)], env=env, cwd=REPO, capture_output=True,
+                       text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from mom6_tpu.io.netcdf import read_nc
+    import numpy as np
+    res = read_nc(str(rd / "MOM.res.nc"))
+    sst = np.asarray(res["T"], np.float64)[0]
+    # started at 14.0 with a 10.0 target: the controller cools the SST
+    assert sst.mean() < 13.5, sst.mean()
