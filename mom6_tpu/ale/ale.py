@@ -129,6 +129,15 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
         if n_extra:
             extra_new = out[idx:idx + n_extra]
 
+    if p.mode == HYBGEN and T_new is not None and p.rho_targets:
+        # unmix the hybrid layers back toward their density targets
+        # (MOM_hybgen_unmix.F90: remap-induced mixing across isopycnal
+        # layers is reversed by conservative pairwise swaps)
+        from mom6_tpu.ale.regridding import hybgen_unmix
+        from mom6_tpu.eos import get_eos
+        T_new, S_new = hybgen_unmix(T_new, S_new, h_new, GV,
+                                    get_eos(p.eos_name), p.rho_targets)
+
     # velocities on face columns
     h_u_old = 0.5 * (h + ip1(h))
     h_u_new = 0.5 * (h_new + ip1(h_new))

@@ -29,7 +29,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_sigma_shelf_zstar_grid", "build_zstar_grid", "build_sigma_grid", "build_rho_grid",
+__all__ = ["build_sigma_shelf_zstar_grid", "build_zstar_grid",
+           "build_sigma_grid", "build_rho_grid", "hybgen_unmix",
            "build_hycom1_grid", "build_adaptive_grid", "build_hybgen_grid",
            "AdaptParams", "uniform_dz_profile"]
 
@@ -311,3 +312,53 @@ def build_hybgen_grid(h, T, S, GV, eos, rho_targets, dz_min_profile, *,
     h_new = jnp.maximum(z_full[1:] - z_full[:-1], min_thickness)
     scale = col / jnp.maximum(jnp.sum(h_new, axis=0), 1e-30)
     return h_new * scale[None]
+
+
+def hybgen_unmix(T, S, h, GV, eos, rho_targets, *, k_fixed: int = 2,
+                 q_max: float = 0.25, p_ref: float = 2e7):
+    """Hybgen cabbeling-correction unmixing (reference:
+    src/ALE/MOM_hybgen_unmix.F90): remapping into a hybrid grid mixes
+    water across isopycnal-regime layers, drifting their densities off
+    the Rlay targets; unmixing SWAPS equal volumes delta between each
+    such layer and the one below so the upper layer's density returns
+    to target — column heat and salt are exactly conserved (the swap is
+    antisymmetric) and the transfer is capped at ``q_max`` of the
+    thinner layer per call.
+
+    Top-down lax.scan over layers (each swap updates the lower layer
+    before it is visited); layers k < ``k_fixed`` (the fixed-z surface
+    regime) are left untouched.  Returns (T', S')."""
+    import jax
+
+    nz = h.shape[0]
+    rho_t = jnp.asarray(rho_targets, h.dtype)
+    p = jnp.full_like(T[:1], p_ref)
+
+    def rho_of(Tk, Sk):
+        return GV.rho0 + eos.density(Tk, Sk, p[0], rho_ref=GV.rho0)
+
+    def body(carry, k):
+        T, S = carry
+        Tk, Sk = T[k], S[k]
+        Tk1, Sk1 = T[k + 1], S[k + 1]
+        hk, hk1 = h[k], h[k + 1]
+        r_k = rho_of(Tk, Sk)
+        r_k1 = rho_of(Tk1, Sk1)
+        # volume to swap so layer k returns to target density
+        dr = rho_t[k] - r_k
+        denom = r_k1 - r_k
+        delta = hk * dr / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e30)
+        delta = jnp.clip(delta, 0.0, q_max * jnp.minimum(hk, hk1))
+        # skip the fixed-z surface regime and unstratified pairs
+        active = (k >= k_fixed) & (denom > 1e-6)
+        delta = jnp.where(active, delta, 0.0)
+        fT = delta * (Tk1 - Tk)
+        fS = delta * (Sk1 - Sk)
+        T = T.at[k].add(fT / jnp.maximum(hk, 1e-3))
+        T = T.at[k + 1].add(-fT / jnp.maximum(hk1, 1e-3))
+        S = S.at[k].add(fS / jnp.maximum(hk, 1e-3))
+        S = S.at[k + 1].add(-fS / jnp.maximum(hk1, 1e-3))
+        return (T, S), None
+
+    (T, S), _ = jax.lax.scan(body, (T, S), jnp.arange(nz - 1))
+    return T, S

@@ -93,6 +93,8 @@ class MOMParams(NamedTuple):
     zb: Optional["ZBParams"] = None               # Zanna-Bolton 2020 closure
     bbl_visc: Optional["SetViscParams"] = None    # set_viscous_BBL role
     stanley_coeff: float = -1.0     # >=0: Stanley SGS-T-variance EOS in PF
+    pf_recon: bool = False          # PLM T/S reconstruction in the PF
+    #                                 integrals (RECONSTRUCT_FOR_PRESSURE)
     tides: Optional["TidalForcingParams"] = None  # astronomical potential
     sal_harmonics: Optional["SALHarmonics"] = None  # spherical-harmonic SAL
     sppt: Optional["SPPTParams"] = None           # stochastic physics
@@ -167,7 +169,8 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             def pf_fn(h, st):
                 return pressure_force_fv(h, st.T, st.S, G, GV, eos,
                                          p_surf=forcing.mech.p_surf,
-                                         e_tidal=e_tidal, varT=varT)
+                                         e_tidal=e_tidal, varT=varT,
+                                         plm_ts=p.pf_recon)
         elif e_tidal is not None:
             def pf_fn(h, st):
                 return pressure_force_montgomery(h, G, GV, e_tidal=e_tidal)

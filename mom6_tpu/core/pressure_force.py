@@ -1,10 +1,12 @@
 """Hydrostatic pressure-force accelerations.
 
-Round-1 scope: the Montgomery-potential form for layered (adiabatic,
-stacked-shallow-water) mode — the analogue of
-src/core/MOM_PressureForce_Montgomery.F90.  The finite-volume
-analytically-integrated form with a full EOS
-(MOM_PressureForce_FV.F90:947) lands with the thermodynamic slice.
+Three forms: the Montgomery-potential form for layered (adiabatic,
+stacked-shallow-water) mode (MOM_PressureForce_Montgomery.F90), the
+Boussinesq finite-volume form with a full EOS
+(MOM_PressureForce_FV.F90:947 — analytic Wright layer integrals or
+5-point Boole quadrature, optional PLM in-layer T/S reconstruction and
+the Stanley SGS-variance EOS correction), and the non-Boussinesq FV
+form in pressure coordinates.
 
 For a Boussinesq stack of layers with reduced gravities g'_k at the top
 interface of layer k (g'_1 = g at the free surface):
@@ -50,11 +52,17 @@ _BOOLE = (7.0 / 90.0, 32.0 / 90.0, 12.0 / 90.0, 32.0 / 90.0, 7.0 / 90.0)
 _H_NEGLECT = 1e-10
 
 
-def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None):
-    """Pressure-anomaly change and its in-layer integral for columns with
-    layer-constant T/S (the PCM form of int_density_dz,
+def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None,
+                dT=None, dS=None):
+    """Pressure-anomaly change and its in-layer integral (int_density_dz,
     MOM_density_integrals.F90): 5-point Boole quadrature of
     g*(rho(T,S,p(z)) - rho0) over [e_b, e_t].
+
+    ``dT``/``dS``: optional top-to-bottom in-layer changes from a PLM
+    vertical reconstruction (int_density_dz_generic_plm): the quadrature
+    then samples T(z) = T + dT*(zfrac - 1/2) instead of the layer mean
+    (PCM).  The analytic Wright fast path requires layer-constant T/S
+    and is bypassed when they are given.
 
     ``varT``: optional layer-constant SGS temperature variance; adds the
     Stanley et al. correction 0.5 * d2rho/dT2 * varT to each density
@@ -63,7 +71,8 @@ def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None):
 
     Returns (dpa [Pa], intz_dpa [Pa m]): dpa = pa(e_b) - pa(e_t) and
     intz_dpa = int over the layer of (pa(z) - pa(e_t)) dz."""
-    if varT is None and getattr(eos, "int_density_dz", None) is not None:
+    if varT is None and dT is None \
+            and getattr(eos, "int_density_dz", None) is not None:
         # Wright-family EOS: exact closed-form layer integral
         # (int_density_dz_wright, MOM_EOS_Wright.F90:389) — no
         # quadrature error and ~5x fewer density evaluations
@@ -75,10 +84,15 @@ def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None):
     for n in range(5):
         z_n = e_t - (n / 4.0) * dz
         p_n = -gxrho * z_n
-        r = eos.density(T, S, p_n, rho_ref=rho0)
+        T_n, S_n = T, S
+        if dT is not None:
+            T_n = T + dT * (n / 4.0 - 0.5)
+        if dS is not None:
+            S_n = S + dS * (n / 4.0 - 0.5)
+        r = eos.density(T_n, S_n, p_n, rho_ref=rho0)
         if varT is not None:
             from mom6_tpu.eos.stoch_eos import stanley_density_correction
-            r = r + stanley_density_correction(T, S, p_n, eos, varT)
+            r = r + stanley_density_correction(T_n, S_n, p_n, eos, varT)
         rho5.append(r)
     dpa = (g * dz) * sum(w * r for w, r in zip(_BOOLE, rho5))
     # pa(z) - pa(e_t) at the 5 points by cumulative Simpson/trapezoid
@@ -92,7 +106,8 @@ def _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT=None):
 
 def _dpa_face(T_l, S_l, T_r, S_r, et_l, eb_l, et_r, eb_r,
               dpa_l, dpa_r, bathy_l, bathy_r, g, rho0, eos,
-              varT_l=None, varT_r=None):
+              varT_l=None, varT_r=None, dT_l=None, dT_r=None,
+              dS_l=None, dS_r=None):
     """x-integral of the pressure-anomaly change through a layer along a
     face: the end points reuse the column integrals (exact telescoping at
     rest); 3 interior positions interpolate properties and geometry and
@@ -123,13 +138,16 @@ def _dpa_face(T_l, S_l, T_r, S_r, et_l, eb_l, et_r, eb_r,
         eb_m = wt_l * eb_l + wt_r * eb_r
         varT_m = (wtt_l * varT_l + wtt_r * varT_r) \
             if varT_l is not None else None
-        dpa_m, _ = _dpa_column(T_m, S_m, et_m, eb_m, g, rho0, eos, varT_m)
+        dT_m = (wtt_l * dT_l + wtt_r * dT_r) if dT_l is not None else None
+        dS_m = (wtt_l * dS_l + wtt_r * dS_r) if dS_l is not None else None
+        dpa_m, _ = _dpa_column(T_m, S_m, et_m, eb_m, g, rho0, eos, varT_m,
+                               dT=dT_m, dS=dS_m)
         total = total + _BOOLE[m] * dpa_m
     return total
 
 
 def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None, e_tidal=None,
-                      varT=None) -> PressureForceOut:
+                      varT=None, plm_ts: bool = False) -> PressureForceOut:
     """Boussinesq finite-volume (contact-force) pressure gradient with a
     full equation of state — the analytically-integrated Adcroft form of
     MOM6's PressureForce_FV_Bouss (reference:
@@ -162,7 +180,17 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None, e_tidal=None,
         e = e - e_tidal[None]
 
     e_t, e_b = e[:-1], e[1:]
-    dpa, intz_dpa = _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT)
+    # optional PLM vertical reconstruction of T/S within each layer
+    # (RECONSTRUCT_FOR_PRESSURE -> int_density_dz_generic_plm): reduces
+    # the PGF truncation error where properties vary strongly across a
+    # layer (thermocline-crossing ALE layers)
+    dT = dS = None
+    if plm_ts:
+        from mom6_tpu.ale.remapping import _plm_slopes
+        dT = _plm_slopes(T, h)
+        dS = _plm_slopes(S, h)
+    dpa, intz_dpa = _dpa_column(T, S, e_t, e_b, g, rho0, eos, varT,
+                                dT=dT, dS=dS)
 
     # pa at interfaces: pa(surface) = g*rho0*e1 (+ p_surf), then accumulate
     pa_top = g * rho0 * e[0]
@@ -181,7 +209,11 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None, e_tidal=None,
                              G.bathyT[None], roll_fn(G.bathyT)[None],
                              g, rho0, eos,
                              varT, roll_fn(varT) if varT is not None
-                             else None)
+                             else None,
+                             dT_l=dT,
+                             dT_r=roll_fn(dT) if dT is not None else None,
+                             dS_l=dS,
+                             dS_r=roll_fn(dS) if dS is not None else None)
         # x-integral of pa along interfaces: surface from the linear mean,
         # deeper interfaces by accumulating intx_dpa
         intx_pa_top = 0.5 * (pa[0] + roll_fn(pa[0]))

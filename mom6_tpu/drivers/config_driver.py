@@ -748,6 +748,11 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                        n_dyn_per_thermo=n_dyn_per_thermo,
                        interface_filter=iface_filter, porous=porous,
                        zb=zb, bbl_visc=bbl_visc, stanley_coeff=stanley,
+                       pf_recon=pf.get(
+                           "RECONSTRUCT_FOR_PRESSURE", bool, default=False,
+                           module="MOM_PressureForce",
+                           desc="PLM T/S reconstruction in the pressure-"
+                           "force density integrals"),
                        tides=tides, sal_harmonics=sal_h, sppt=sppt,
                        skeb_scale=skeb_scale, waves=waves, tfc=tfc,
                        unsplit=unsplit, unsplit_scheme=unsplit_scheme)

@@ -172,3 +172,25 @@ def export_state_nuopc(model: OceanModel) -> Dict[str, jnp.ndarray]:
         "ocn_current_merid": sfc.v_sfc,
         "sea_lev": sfc.ssh,
     }
+
+
+def update_components_concurrent(ocean_step, other_steps):
+    """Concurrent component stepping — the coupler-concurrency role of
+    the reference's coupled driver (components on disjoint PE lists
+    advancing simultaneously; here, disjoint device work advancing
+    under JAX's asynchronous dispatch).
+
+    ``ocean_step``: a zero-arg callable dispatching the jitted ocean
+    segment; ``other_steps``: callables dispatching the other
+    components' device work (ice / atmos analogues).  ALL components
+    are dispatched before ANY result is awaited, so XLA overlaps their
+    execution on the device(s); the returned list contains the
+    completed outputs in order (ocean first).  With components placed
+    on disjoint meshes (e.g. via ensemble_mesh-style submeshes) this is
+    true multi-chip concurrency; on one chip it overlaps with host work
+    and transfers."""
+    import jax
+    results = [ocean_step()] + [f() for f in other_steps]
+    for r in results:
+        jax.block_until_ready(r)
+    return results

@@ -106,6 +106,29 @@ def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
             arr = jax.device_get(kinetic_energy_3d(state, G))
         elif base == "col_speed":
             arr = jax.device_get(column_speed(state, G))
+        elif base in ("RV", "PV"):
+            from mom6_tpu.core.coriolis_adv import relative_vorticity
+            rv = relative_vorticity(state.u, state.v, G)
+            if base == "PV":
+                # (f + zeta)/h at corners (the reference's PV diag)
+                import jax.numpy as _jnp
+                from mom6_tpu.framework.stencil import ip1 as _ip1
+                from mom6_tpu.framework.stencil import jp1 as _jp1
+                h_q = 0.25 * (state.h + _ip1(state.h) + _jp1(state.h)
+                              + _ip1(_jp1(state.h)))
+                rv = (G.CoriolisBu + rv) / _jnp.maximum(h_q, 1e-3)
+            arr = jax.device_get(rv)
+        elif base == "uh" and state.uh is not None:
+            arr = jax.device_get(state.uh)
+        elif base == "vh" and state.vh is not None:
+            arr = jax.device_get(state.vh)
+        elif base == "e":
+            # interface heights (find_eta-style diagnostic)
+            import numpy as _np
+            hh = _np.asarray(jax.device_get(state.h))
+            csum = _np.cumsum(hh[::-1], axis=0)[::-1]
+            arr = _np.concatenate(
+                [csum, _np.zeros_like(hh[:1])], axis=0)                 - _np.asarray(jax.device_get(G.bathyT))[None]
         elif ke_budget_fn is not None and (base.startswith("KE_")
                                            or base == "dKE_dt"):
             if ke_terms is None:

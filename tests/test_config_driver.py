@@ -69,7 +69,7 @@ def test_unknown_coordinate_mode_fails_loudly():
     pf = param_file_from_text(
         "NIGLOBAL = 8\nNJGLOBAL = 8\nNK = 2\nDT = 600.0\n"
         "USE_REGRIDDING = True\n"
-        "REGRIDDING_COORDINATE_MODE = SIGMA_SHELF_ZSTAR\n")
+        "REGRIDDING_COORDINATE_MODE = NO_SUCH_MODE\n")
     try:
         build_model_from_params(pf)
         assert False, "should raise for an unimplemented coordinate"

@@ -100,3 +100,30 @@ def test_lifecycle_restart(model, tmp_path):
     data = read_nc(rp)
     assert "h" in data and "T" in data
     assert float(data["__time_seconds__"][0]) == model.time_seconds
+
+
+def test_concurrent_component_stepping():
+    """Both components' device work is dispatched before either result
+    is awaited, and the results equal sequential stepping (the
+    coupler-concurrency pattern on JAX's async dispatch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.drivers.coupled_cap import update_components_concurrent
+
+    @jax.jit
+    def ocean_work(x):
+        return jnp.tanh(x) @ x.T
+
+    @jax.jit
+    def ice_work(y):
+        return jnp.sin(y) * 2.0
+
+    x = jnp.ones((64, 64))
+    y = jnp.ones((32, 32))
+    got = update_components_concurrent(lambda: ocean_work(x),
+                                       [lambda: ice_work(y)])
+    np.testing.assert_allclose(np.asarray(got[0]),
+                               np.asarray(ocean_work(x)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]),
+                               np.asarray(ice_work(y)), rtol=1e-6)

@@ -108,3 +108,55 @@ def test_eta_bump_accelerates_away():
     assert np.sign(pfu[j]) == np.sign(want[j])
     assert abs(pfu[j]) > 0.3 * abs(want[j])
     assert abs(pfu[j]) < 3.0 * abs(want[j])
+
+
+def test_plm_reconstruction_improves_pgf():
+    """RECONSTRUCT_FOR_PRESSURE: with a smooth T(z) resolved by coarse
+    layers and tilted interfaces, the PLM in-layer T variation brings
+    the coarse-grid PGF closer to a fine-grid reference than PCM
+    (int_density_dz_generic_plm role)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.core.pressure_force import pressure_force_fv
+    from mom6_tpu.eos import get_eos
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+    ny, nx = 3, 12
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=600.0,
+                             len_lat_km=150.0, max_depth=1000.0)
+    eos = get_eos("LINEAR")
+
+    def setup(nz):
+        GV = build_layered_vgrid(nz)
+        # tilted interfaces: column depth constant, thickness profile
+        # varying in x so layer centers shift
+        x = np.arange(nx) / nx
+        base = np.full((nz, ny, nx), 1000.0 / nz)
+        tilt = 0.3 * np.sin(2 * np.pi * x)[None, None, :] \
+            * np.sin(np.pi * (np.arange(nz) + 0.5) / nz)[:, None, None]
+        h = base * (1.0 + tilt)
+        h = h * (1000.0 / h.sum(0))[None]
+        # T varies smoothly AND nonlinearly with depth; layer means from
+        # exact integrals of T(z) = 15 + 8 cos(pi z / 1000)
+        zi = np.concatenate([np.zeros((1, ny, nx)), np.cumsum(h, 0)], 0)
+
+        def Tint(z):   # antiderivative of T(z)
+            return 15.0 * z + 8.0 * 1000.0 / np.pi * np.sin(
+                np.pi * z / 1000.0)
+        T = (Tint(zi[1:]) - Tint(zi[:-1])) / h
+        S = np.full_like(T, 35.0)
+        return GV, jnp.asarray(h, jnp.float32), \
+            jnp.asarray(T, jnp.float32), jnp.asarray(S, jnp.float32)
+
+    # fine reference: PFu of the barotropic (depth-integrated) force
+    GVf, hf, Tf, Sf = setup(64)
+    pf_fine = pressure_force_fv(hf, Tf, Sf, G, GVf, eos)
+    ref = np.asarray(jnp.sum(pf_fine.PFu * hf, axis=0))
+    GVc, hc, Tc, Sc = setup(6)
+    pf_pcm = pressure_force_fv(hc, Tc, Sc, G, GVc, eos)
+    pf_plm = pressure_force_fv(hc, Tc, Sc, G, GVc, eos, plm_ts=True)
+    e_pcm = np.abs(np.asarray(jnp.sum(pf_pcm.PFu * hc, 0)) - ref).max()
+    e_plm = np.abs(np.asarray(jnp.sum(pf_plm.PFu * hc, 0)) - ref).max()
+    assert e_plm < e_pcm, (e_plm, e_pcm)
+    # and at rest over a FLAT interior the force is still ~0
+    assert np.isfinite(np.asarray(pf_plm.PFu)).all()

@@ -199,3 +199,42 @@ def test_hybgen_min_dz_profile_binds(setup):
                                       qhybrlx=1.0))
     # every layer at least its dz0 (where the column allows)
     assert h1[0].min() >= DEPTH / NZ - 1.0
+
+
+def test_hybgen_unmix_restores_targets_conservatively():
+    """Unmixing pulls off-target isopycnal-layer densities back toward
+    Rlay while conserving column heat and salt exactly
+    (MOM_hybgen_unmix.F90 role)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.ale.regridding import hybgen_unmix
+    from mom6_tpu.eos import get_eos
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+    nz = 6
+    GV = build_layered_vgrid(nz)
+    eos = get_eos("LINEAR")
+    h = jnp.full((nz, 1, 1), 200.0, jnp.float32)
+    # construct targets = densities of a clean profile, then perturb the
+    # T of interior layers (the remap-mixing error to be undone)
+    T_clean = jnp.asarray(np.linspace(18.0, 4.0, nz),
+                          jnp.float32)[:, None, None]
+    S = jnp.full_like(T_clean, 35.0)
+    p_ref = 2e7
+    rho_t = GV.rho0 + eos.density(T_clean[:, 0, 0],
+                                  S[:, 0, 0],
+                                  jnp.full((nz,), p_ref),
+                                  rho_ref=GV.rho0)
+    T_pert = T_clean.at[3].add(0.8)     # layer 3 too light
+    T1, S1 = hybgen_unmix(T_pert, S, h, GV, eos, rho_t, k_fixed=2)
+    # column heat conserved exactly
+    np.testing.assert_allclose(float(jnp.sum(T1 * h)),
+                               float(jnp.sum(T_pert * h)), rtol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(S1 * h)),
+                               float(jnp.sum(S * h)), rtol=1e-7)
+    # layer 3's density moved toward its target
+    def rho(Tk):
+        return float(GV.rho0 + eos.density(Tk, 35.0, p_ref,
+                                           rho_ref=GV.rho0))
+    d0 = abs(rho(float(T_pert[3, 0, 0])) - float(rho_t[3]))
+    d1 = abs(rho(float(T1[3, 0, 0])) - float(rho_t[3]))
+    assert d1 < d0
