@@ -761,7 +761,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     m = "MOM_state_initialization"
     thick_cfg = pf.get("THICKNESS_CONFIG", str, default="uniform", module=m)
     if thick_cfg not in ("uniform", "circle_obcs", "benchmark",
-                         "sloshing", "internal_wave", "phillips"):
+                         "sloshing", "internal_wave", "phillips",
+                         "gwave", "soliton"):
         raise NotImplementedError(f"THICKNESS_CONFIG={thick_cfg}")
     state = init_state_resting(G, gv, np.full(nz, max_depth / nz),
                                dtype=dtype, with_thermo=use_thermo)
@@ -819,6 +820,53 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         e = np.minimum(np.maximum.accumulate(e, axis=0), col[None])
         h_new = np.maximum(e[1:] - e[:-1], float(gv.angstrom))
         state = state.replace(h=jnp.asarray(h_new, dtype))
+    elif thick_cfg == "gwave":
+        # free-surface gravity wave: the whole column scaled by
+        # (D + eta)/D with eta = a sin(2 pi x / L)
+        # (external_gwave_initialization.F90)
+        amp = pf.get("SSH_ANOMALY_HEIGHT", float, default=1.0, units="m",
+                     module=m)
+        wl = pf.get("SSH_ANOMALY_WAVELENGTH_FRAC", float, default=0.5,
+                    module=m)
+        lon = np.asarray(G.geoLonT)
+        xfrac = (lon - lon.min()) / max(lon.max() - lon.min(), 1e-30)
+        eta0 = amp * np.sin(2.0 * np.pi * xfrac / wl)
+        col = np.asarray(state.h).sum(0)
+        scale = (col + eta0) / np.maximum(col, 1e-6)
+        state = state.replace(h=jnp.asarray(
+            np.asarray(state.h) * scale[None], dtype))
+    elif thick_cfg == "soliton":
+        # equatorial Rossby soliton (Boyd 1980; the reference's
+        # soliton_initialization.F90): eta and (u, v) from the
+        # asymptotic sech^2 solution on the equatorial beta plane,
+        # nondimensionalized by the equatorial deformation scales
+        amp = pf.get("SOLITON_AMPLITUDE", float, default=0.395, module=m,
+                     desc="Nondimensional soliton amplitude parameter B")
+        ssh_scale = pf.get("SOLITON_SSH_SCALE", float, default=1.0,
+                           units="m", module=m)
+        c0 = np.sqrt(9.8 * max_depth)
+        beta_eq = pf.get("BETA", float, default=2.3e-11, module=m)
+        L_eq = np.sqrt(c0 / max(beta_eq, 1e-13))     # equatorial radius
+        lon = np.asarray(G.geoLonT)
+        lat = np.asarray(G.geoLatT)
+        x_nd = (lon - 0.5 * (lon.min() + lon.max())) * 1.0 / L_eq * 1e3             if lon.max() < 1e5 else (lon - 0.5 * (lon.min() + lon.max()))             / L_eq
+        # geoLonT is in km for cartesian grids
+        x_m = (lon - 0.5 * (lon.min() + lon.max())) * 1e3
+        y_m = (lat - 0.5 * (lat.min() + lat.max())) * 1e3
+        x_nd = x_m / L_eq
+        y_nd = y_m / L_eq
+        B = amp
+        sech2 = 1.0 / np.cosh(B * x_nd) ** 2
+        phi = 0.25 * (6.0 * y_nd ** 2 + 3.0) * np.exp(-0.5 * y_nd ** 2)
+        eta0 = ssh_scale * sech2 * phi
+        u0 = ssh_scale * (9.8 / c0) * sech2 * 0.25             * (6.0 * y_nd ** 2 - 9.0) * np.exp(-0.5 * y_nd ** 2)
+        col = np.asarray(state.h).sum(0)
+        scale = (col + eta0) / np.maximum(col, 1e-6)
+        h_new = np.asarray(state.h) * scale[None]
+        u_init = np.broadcast_to(u0[None], h_new.shape)
+        state = state.replace(
+            h=jnp.asarray(h_new, dtype),
+            u=jnp.asarray(u_init, dtype) * G.mask2dCu)
     elif thick_cfg == "phillips":
         # Phillips 2-layer instability: interior interfaces tilted by a
         # tanh jet in y, with the geostrophically balanced zonal flow

@@ -17,7 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CASES = ["seamount", "lock_exchange", "sloshing", "internal_wave",
          "rossby_front", "dome2d_overflow", "dumbbell",
-         "phillips_channel", "scm_kpp"]
+         "phillips_channel", "scm_kpp", "external_gwave", "soliton",
+         "dense_water", "supercritical"]
 
 
 def _run(name, n_cycles=4):
@@ -37,11 +38,13 @@ def test_config_steps_stably(name):
     ms, s0, s = _run(name)
     for f in ("h", "u", "v"):
         assert np.isfinite(np.asarray(getattr(s, f))).all(), (name, f)
-    # mass conservation
-    a = np.asarray(ms.grid.areaT, np.float64)
-    m0 = (np.asarray(s0.h, np.float64) * a).sum()
-    m1 = (np.asarray(s.h, np.float64) * a).sum()
-    np.testing.assert_allclose(m1, m0, rtol=1e-5)
+    # mass conservation (open-boundary configs exchange volume with the
+    # exterior by design, so the closed-domain check does not apply)
+    if ms.params.obc is None:
+        a = np.asarray(ms.grid.areaT, np.float64)
+        m0 = (np.asarray(s0.h, np.float64) * a).sum()
+        m1 = (np.asarray(s.h, np.float64) * a).sum()
+        np.testing.assert_allclose(m1, m0, rtol=1e-5)
     # velocities bounded (no blow-up within a few cycles)
     assert float(jnp.max(jnp.abs(s.u))) < 5.0, name
 
@@ -83,3 +86,21 @@ def test_scm_kpp_mixes_under_wind():
     dT0 = float(s0.T[0, 1, 1] - s0.T[5, 1, 1])
     dT1 = float(s.T[0, 1, 1] - s.T[5, 1, 1])
     assert dT1 < dT0        # near-surface stratification reduced
+
+
+def test_soliton_moves_west():
+    """The equatorial Rossby soliton propagates WESTWARD keeping a
+    coherent shape (Boyd 1980; soliton_initialization role).  One day
+    keeps the displacement under half the periodic domain, removing the
+    wrap ambiguity."""
+    import numpy as np
+    ms, s0, s = _run("soliton", n_cycles=24)     # 1 day at dt=3600 eff
+    ssh0 = np.asarray(s0.h.sum(0)) - np.asarray(ms.grid.bathyT)
+    ssh1 = np.asarray(s.h.sum(0)) - np.asarray(ms.grid.bathyT)
+    j_eq = ssh0.shape[0] // 2
+    x0 = int(np.argmax(ssh0[j_eq]))
+    x1 = int(np.argmax(ssh1[j_eq]))
+    nx = ssh0.shape[1]
+    west = (x0 - x1) % nx           # positive = net westward cells
+    assert 0 < west < nx // 2, (x0, x1, west)
+    assert ssh1.max() > 0.3 * ssh0.max()   # coherent, not dispersed
