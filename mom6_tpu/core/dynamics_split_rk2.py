@@ -183,9 +183,18 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     u_bc = (cau + pf.PFu + diffu) * G.mask2dCu
     v_bc = (cav + pf.PFv + diffv) * G.mask2dCv
 
+    # the predictor covers only be*dt, so it needs proportionally fewer
+    # substeps at the same dtbt (the reference's nstep = CEILING(dt/dtbt),
+    # MOM_barotropic.F90:796 — evaluated per btstep call); running the
+    # full count shortened dtbt instead, costing ~1/be more BT work
+    import math
+    nstep_pred = max(1, math.ceil(p.be * p.bt.nstep))
+    nfilt_pred = max(1, round(p.bt.nfilter * nstep_pred / p.bt.nstep))
+    bt_pred = p.bt._replace(nstep=nstep_pred, nfilter=nfilt_pred)
     bt1 = btstep(u, v, eta, u_bc, v_bc, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
-                 dt_pred, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
+                 dt_pred, G, GV, bt_pred, taux=forces.taux,
+                 tauy=forces.tauy,
                  x_first=p.x_first, bt_cont=bt_cont, obc=obc)
 
     up = (u + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
