@@ -16,7 +16,9 @@ from mom6_tpu.framework.repro_sum import reproducing_sum
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
 __all__ = ["SurfaceState", "extract_surface_state", "kinetic_energy_3d",
-           "column_speed", "global_area_mean", "zonal_mean", "ke_budget"]
+           "column_speed", "global_area_mean", "zonal_mean",
+           "meridional_mean", "global_layer_mean", "global_volume_mean",
+           "global_mass_integral", "ke_budget"]
 
 
 class SurfaceState(NamedTuple):
@@ -122,3 +124,44 @@ def zonal_mean(field, G):
     num = (f * area).sum(axis=-1)
     den = np.maximum(area.sum(axis=-1), 1e-300)
     return num / den
+
+
+def meridional_mean(field, G):
+    """Wet-area-weighted meridional (y) mean, (nx,) or (nz, nx)
+    (MOM_spatial_means.F90 global_j_mean role)."""
+    area = np.asarray(G.areaT, np.float64) * np.asarray(G.mask2dT,
+                                                       np.float64)
+    f = np.asarray(field, np.float64)
+    num = (f * area).sum(axis=-2)
+    den = np.maximum(area.sum(axis=-2), 1e-300)
+    return num / den
+
+
+def global_layer_mean(field, h, G):
+    """Per-layer mass-weighted global mean, (nz,)
+    (MOM_spatial_means.F90 global_layer_mean): order-invariant via the
+    reproducing sum per layer."""
+    area = np.asarray(G.areaT, np.float64) * np.asarray(G.mask2dT,
+                                                       np.float64)
+    f = np.asarray(field, np.float64)
+    w = np.asarray(h, np.float64) * area[None]
+    return np.array([reproducing_sum(f[k] * w[k])
+                     / max(reproducing_sum(w[k]), 1e-300)
+                     for k in range(f.shape[0])])
+
+
+def global_volume_mean(field, h, G) -> float:
+    """Volume(mass)-weighted global mean over the whole ocean
+    (MOM_spatial_means.F90 global_volume_mean)."""
+    return global_area_mean(field, G, h=h)
+
+
+def global_mass_integral(h, G, field=None, rho0: float = 1035.0) -> float:
+    """Total ocean mass [kg], or the mass-weighted integral of ``field``
+    (MOM_spatial_means.F90 global_mass_integral), order-invariant."""
+    area = np.asarray(G.areaT, np.float64) * np.asarray(G.mask2dT,
+                                                       np.float64)
+    w = np.asarray(h, np.float64) * area[None] * rho0
+    if field is None:
+        return reproducing_sum(w)
+    return reproducing_sum(np.asarray(field, np.float64) * w)

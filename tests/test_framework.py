@@ -204,3 +204,32 @@ class TestDataOverride:
         got = np.asarray(data_override(f, 0.0, bmap=m))
         want = 2.0 * dst_lon - 0.5 * dst_lat + 1.0
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_spatial_means_family():
+    """global_layer/volume means, meridional mean and the mass integral
+    (MOM_spatial_means.F90 API family): exact on uniform fields,
+    weighted correctly on nonuniform ones."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.diagnostics.diagnostics import (global_layer_mean,
+                                                  global_mass_integral,
+                                                  global_volume_mean,
+                                                  meridional_mean)
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    G = build_cartesian_grid(nx=8, ny=6, len_lon_km=80.0, len_lat_km=60.0,
+                             max_depth=1000.0)
+    h = jnp.concatenate([jnp.full((1, 6, 8), 100.0),
+                         jnp.full((1, 6, 8), 900.0)])
+    f = jnp.concatenate([jnp.full((1, 6, 8), 2.0),
+                         jnp.full((1, 6, 8), 4.0)])
+    np.testing.assert_allclose(global_layer_mean(f, h, G), [2.0, 4.0])
+    # volume mean: (2*100 + 4*900)/1000 = 3.8
+    np.testing.assert_allclose(global_volume_mean(f, h, G), 3.8,
+                               rtol=1e-12)
+    m = global_mass_integral(h, G)
+    area = float(np.asarray(G.areaT).sum())
+    np.testing.assert_allclose(m, 1035.0 * 1000.0 * area, rtol=1e-10)
+    mm = meridional_mean(jnp.asarray(np.arange(8.0)[None, :]
+                                     * np.ones((6, 1))), G)
+    np.testing.assert_allclose(mm, np.arange(8.0), rtol=1e-12)
