@@ -337,7 +337,9 @@ def main(argv=None):
     maxcpu = pf.get("MAXCPU", float, default=-1.0, units="wall s",
                     module="MOM", desc="Wall-clock budget; <0 no limit")
     from mom6_tpu.framework.timers import report as timer_report
+    from mom6_tpu.framework.timers import reset as timer_reset
     from mom6_tpu.framework.timers import timer
+    timer_reset()    # per-run clock tree (multiple runs per process)
     start = time.time()
     seg_wall = 0.0
     n_done = 0
