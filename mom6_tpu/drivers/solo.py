@@ -190,7 +190,16 @@ def main(argv=None):
         days = args.days
     dt_cycle = params.dyn.dt * params.n_dyn_per_thermo
     n_cycles = max(1, int(round(days * 86400.0 / dt_cycle)))
-    stats_every = max(1, n_cycles // 20)
+    # ENERGYSAVEDAYS sets the ocean.stats cadence
+    # (MOM_sum_output.F90:223-233); fall back to ~20 statements per run.
+    esd = pf.get("ENERGYSAVEDAYS", float, default=0.0, units="days",
+                 module="MOM_sum_output",
+                 desc="Interval between ocean.stats energy statements")
+    if esd > 0.0:
+        stats_every = min(n_cycles,
+                          max(1, int(round(esd * 86400.0 / dt_cycle))))
+    else:
+        stats_every = max(1, n_cycles // 20)
 
     reg = RestartRegistry()
     fields = ["h", "u", "v", "uh", "vh", "uhtr", "vhtr"]
@@ -449,6 +458,7 @@ def main(argv=None):
             if val is not None:
                 f.write(chksum_line(name, jax.device_get(val)) + "\n")
     steps_run = n_done if n_done else n_cycles
+    days = steps_run * dt_cycle / 86400.0   # actual integrated time
     sypd = (steps_run * dt_cycle / max(elapsed, 1e-9)) / 365.0
     # ocean.cputime log (MOM_write_cputime role): cumulative cpu/wall
     # seconds per model day for perf monitoring across segments
