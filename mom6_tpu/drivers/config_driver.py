@@ -170,10 +170,18 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
                                  min_depth=min_depth, cyclic_x=cyclic_x,
                                  isotropic=iso, dtype=dtype)
     else:
+        south_km = pf.get("SOUTHLAT", float, default=0.0, units="km",
+                          module=m,
+                          desc="y of the southern edge (cartesian km); "
+                          "negative puts the f=F_0 line in the domain")
+        west_km = pf.get("WESTLON", float, default=0.0, units="km",
+                         module=m)
         G = build_cartesian_grid(nx, ny, lenlon, lenlat, depth=depth,
                                  max_depth=max_depth, min_depth=min_depth,
                                  f0=f0, beta=beta, cyclic_x=cyclic_x,
-                                 reentrant_y=reentrant_y, dtype=dtype)
+                                 reentrant_y=reentrant_y,
+                                 south_lat_km=south_km,
+                                 west_lon_km=west_km, dtype=dtype)
     return G, max_depth
 
 
@@ -842,17 +850,21 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         # nondimensionalized by the equatorial deformation scales
         amp = pf.get("SOLITON_AMPLITUDE", float, default=0.395, module=m,
                      desc="Nondimensional soliton amplitude parameter B")
-        ssh_scale = pf.get("SOLITON_SSH_SCALE", float, default=1.0,
-                           units="m", module=m)
+        ssh_scale = pf.get("SOLITON_SSH_SCALE", float, default=-1.0,
+                           units="m", module=m,
+                           desc="SSH amplitude scale; <0 uses Boyd's "
+                           "0.771*B^2*H (the genuine soliton regime)")
         c0 = np.sqrt(9.8 * max_depth)
+        if ssh_scale < 0.0:
+            ssh_scale = 0.771 * amp * amp * max_depth
         beta_eq = pf.get("BETA", float, default=2.3e-11, module=m)
         L_eq = np.sqrt(c0 / max(beta_eq, 1e-13))     # equatorial radius
+        # geoLonT/geoLatT are in km for cartesian grids; the equator is
+        # the absolute y=0 line (put it in the domain with SOUTHLAT<0)
         lon = np.asarray(G.geoLonT)
         lat = np.asarray(G.geoLatT)
-        x_nd = (lon - 0.5 * (lon.min() + lon.max())) * 1.0 / L_eq * 1e3             if lon.max() < 1e5 else (lon - 0.5 * (lon.min() + lon.max()))             / L_eq
-        # geoLonT is in km for cartesian grids
         x_m = (lon - 0.5 * (lon.min() + lon.max())) * 1e3
-        y_m = (lat - 0.5 * (lat.min() + lat.max())) * 1e3
+        y_m = lat * 1e3
         x_nd = x_m / L_eq
         y_nd = y_m / L_eq
         B = amp

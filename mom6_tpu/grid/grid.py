@@ -119,7 +119,8 @@ def build_cartesian_grid(
 
     Equivalent to MOM6 GRID_CONFIG="cartesian" with AXIS_UNITS="k"
     (reference: src/initialization/MOM_grid_initialize.F90:58-644).
-    ``beta`` uses y measured in meters from the southern edge.
+    ``beta`` multiplies the absolute y coordinate in meters (origin at
+    y=0, which sits ``south_lat_km`` below the southern edge).
     """
     dx = len_lon_km * 1e3 / nx
     dy = len_lat_km * 1e3 / ny
@@ -140,7 +141,9 @@ def build_cartesian_grid(
     mu, mv, mq = _face_masks(mask_t, cyclic_x, reentrant_y)
 
     yy_q = np.broadcast_to(y_q[:, None], (ny, nx))
-    f_q = f0 + beta * (yy_q - south_lat_km * 1e3)
+    # beta uses the absolute y coordinate, so a negative south_lat_km
+    # places the f=f0 line (e.g. the equator) inside the domain
+    f_q = f0 + beta * yy_q
 
     def J(a):
         return jnp.asarray(a, dtype=dtype)

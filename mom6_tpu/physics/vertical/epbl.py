@@ -86,8 +86,11 @@ def find_mstar(bflux, ustar, bld, absf, p: EPBLParams, lang_enh=None):
         msn = p.rh18_cn2 * jnp.exp(
             jnp.clip(p.rh18_cn3 * bld * absf / us, -40.0, 0.0))
         mstar_n = (p.rh18_cn1 * msn) / (1.0 + msn)
+        # (B^2 bld / (us^5 f))^cs2 computed as (B^2 bld/f)^cs2 / us^2
+        # (cs2 = 0.4): us^5 underflows float32 for us ~ 1e-10 and the
+        # resulting 0/0 NaN would poison the whole column
         mstar_s = p.rh18_cs1 * (jnp.maximum(0.0, bflux) ** 2 * bld
-                                / (us ** 5 * f)) ** p.rh18_cs2
+                                / f) ** p.rh18_cs2 / (us * us)
         mstar = mstar_n + mstar_s
     if p.mstar_cap > 0.0:
         mstar = jnp.minimum(mstar, p.mstar_cap)
@@ -106,28 +109,35 @@ def find_mstar(bflux, ustar, bld, absf, p: EPBLParams, lang_enh=None):
     return mstar
 
 
-def _march_mld(h, n2_int, e0, conv_rate, p: EPBLParams, mld_guess, dt):
+def _march_mld(h, b_c, e0, conv_rate, p: EPBLParams, mld_guess, dt):
     """TKE-budget march down the column (the layer loop of energetic_PBL,
     vectorized over columns): returns the (fractional) depth where the
-    budget is exhausted.  Energies in specific units [m3 s-2]."""
+    budget is exhausted.  Energies in specific units [m3 s-2].
+
+    ``b_c`` is the layer-center buoyancy [m s-2].  The PE cost of
+    entraining layer k under a mixed layer of depth z is priced on the
+    buoyancy difference between the CURRENT ML MEAN and that layer,
+    cost = 1/2 max(b_ml - b_k, 0) h_k z  (the find_PE_chg structure of
+    MOM_energetic_PBL.F90) — NOT on the local interface N^2, which
+    vanishes in an already-mixed marginal column and would let the march
+    run away one layer per call.  The convective release of the surface
+    buoyancy loss mixed over depth z is 1/2 conv_rate z dt (centroid
+    factor), accumulated layer by layer."""
     nz = h.shape[0]
 
     def body(carry, k):
-        e_mech, conv, z = carry
+        e_mech, conv, z, bsum = carry
         hk = h[k]
         # mechanical TKE decays across the layer (TKE_decay)
         e_mech = e_mech * jnp.exp(-p.tke_decay * hk
                                   / jnp.maximum(mld_guess, 1e-2))
         # convective PE released by mixing the surface buoyancy loss
-        # over a layer deeper
-        conv = conv + conv_rate * hk * dt
-        z_new = z + hk
-        # PE cost of mixing across the interface below layer k
-        dz_int = 0.5 * (hk + h[jnp.minimum(k + 1, nz - 1)])
-        n2_k = n2_int[jnp.minimum(k, max(nz - 2, 0))] if nz > 1 else \
-            jnp.zeros_like(hk)
-        n2_k = jnp.where(k < nz - 1, n2_k, 0.0)
-        cost = n2_k * z_new * dz_int
+        # down through this layer (centroid factor 1/2)
+        conv = conv + 0.5 * conv_rate * hk * dt
+        # cost of entraining layer k below the ML [0, z)
+        b_ml = bsum / jnp.maximum(z, _EPS)
+        db = jnp.maximum(b_ml - b_c[k], 0.0)
+        cost = jnp.where(z > _EPS, 0.5 * db * hk * z, 0.0)
         avail = e_mech + p.nstar * conv
         frac = jnp.where(cost <= _EPS, 1.0,
                          jnp.clip(avail / jnp.maximum(cost, _EPS),
@@ -137,14 +147,15 @@ def _march_mld(h, n2_int, e0, conv_rate, p: EPBLParams, mld_guess, dt):
         from_mech = jnp.minimum(used, e_mech)
         e_mech = e_mech - from_mech
         conv = conv - (used - from_mech) / jnp.maximum(p.nstar, _EPS)
-        return (e_mech, conv, z_new), frac
+        return (e_mech, conv, z + hk, bsum + b_c[k] * hk), frac
 
     zeros = jnp.zeros_like(h[0])
-    _, fracs = jax.lax.scan(body, (e0, zeros, zeros), jnp.arange(nz))
-    # fracs[k] = penetration through the interface below layer k; the
-    # surface layer always belongs to the ML, layer k+1 joins to the
-    # extent every interface above was fully penetrated
-    reach = jnp.cumprod(fracs[:-1], axis=0)      # for layers 1..nz-1
+    _, fracs = jax.lax.scan(body, (e0, zeros, zeros, zeros),
+                            jnp.arange(nz))
+    # fracs[k] = penetration into layer k; the surface layer always
+    # belongs to the ML, layer k joins to the extent every layer above
+    # was fully entrained
+    reach = jnp.cumprod(fracs[1:], axis=0)       # for layers 1..nz-1
     return h[0] + jnp.sum(h[1:] * reach, axis=0)
 
 
@@ -170,15 +181,12 @@ def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
     f_q = jnp.abs(G.CoriolisBu)
     absf = 0.25 * ((f_q + im1(jm1(f_q))) + (im1(f_q) + jm1(f_q)))
 
-    # locally-referenced N^2 at interior interfaces
+    # layer-center buoyancy from surface-referenced potential density
+    # (anomaly form; the march prices entrainment on ML-mean-vs-layer
+    # buoyancy differences — see _march_mld)
     z_int = jnp.cumsum(h, axis=0)
-    p_int = GV.rho0 * GV.g_earth * z_int[:-1]
-    t_i = 0.5 * (T[:-1] + T[1:])
-    s_i = 0.5 * (S[:-1] + S[1:])
-    a_t, a_s = eos.density_derivs(t_i, s_i, p_int)
-    drho = a_t * (T[1:] - T[:-1]) + a_s * (S[1:] - S[:-1])
-    dz = jnp.maximum(0.5 * (h[:-1] + h[1:]), 1e-3)
-    n2 = jnp.maximum((GV.g_earth / GV.rho0) * drho / dz, 0.0)
+    rho_anom = eos.density(T, S, jnp.zeros_like(T), rho_ref=GV.rho0)
+    b_c = -(GV.g_earth / GV.rho0) * rho_anom
 
     conv_rate = jnp.maximum(0.0, -bflux)      # destabilizing part [m2 s-3]
     col_depth = jnp.sum(h, axis=0)
@@ -188,7 +196,7 @@ def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
     for _ in range(p.n_iter):
         mstar = find_mstar(bflux, ustar, mld, absf, p, lang_enh=lang_enh)
         e0 = mstar * ustar ** 3 * dt
-        mld = _march_mld(h, n2, e0, conv_rate, p, mld, dt)
+        mld = _march_mld(h, b_c, e0, conv_rate, p, mld, dt)
         mld = jnp.clip(mld, p.min_mld, col_depth) * G.mask2dT \
             + p.min_mld * (1.0 - G.mask2dT)
 

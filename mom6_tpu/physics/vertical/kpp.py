@@ -55,19 +55,24 @@ class KPPParams(NamedTuple):
 
 
 def _w_scales(sigma_z, hbl, ustar, bflux_sfc, p: KPPParams):
-    """Turbulent velocity scale w_s at depth d = sigma_z (stability
-    branches of LMD94 appendix B; zeta = d/L)."""
+    """Scalar turbulent velocity scale w_s at depth d = sigma_z (LMD94
+    appendix B / eq. B1; zeta = d/L with L = u*^3/(kappa Bf)):
+      phi_s = 1 + 5 zeta                     (zeta >= 0, stable)
+      phi_s = (1 - 16 zeta)^(-1/2)           (-1 <= zeta < 0)
+      phi_s = (-28.86 - 98.96 zeta)^(-1/3)   (zeta < -1, convective)
+    The convective branch is evaluated in the analytically-cancelled
+    form w = kappa (c_s kappa |Bf| d - a_s u*^3)^(1/3) so the free-
+    convection limit u* -> 0 keeps w ~ (|Bf| d)^(1/3) instead of
+    underflowing through the kappa u* / phi quotient."""
     ustar3 = ustar ** 3
-    # Monin-Obukhov length scale: L = u*^3 / (kappa * Bf)
     zeta = _KAPPA * bflux_sfc * sigma_z / jnp.maximum(ustar3, _EPS)
-    # stable (zeta > 0): phi_s = 1 + 5 zeta; unstable: branch
-    phi_stable = 1.0 + 5.0 * zeta
-    phi_unstable = (1.0 - 16.0 * zeta) ** (-0.5)
-    # convective limit for strongly unstable
-    phi_conv = (1.0 - 28.86 * zeta) ** (-1.0 / 3.0)
-    phi = jnp.where(zeta >= 0.0, phi_stable,
-                    jnp.where(zeta > -1.0, phi_unstable, phi_conv))
-    return _KAPPA * ustar / jnp.maximum(phi, _EPS)
+    w_stable = _KAPPA * ustar / jnp.maximum(1.0 + 5.0 * zeta, _EPS)
+    w_unstable = _KAPPA * ustar * jnp.sqrt(1.0 - 16.0 *
+                                           jnp.maximum(zeta, -1.0))
+    w_conv = _KAPPA * jnp.cbrt(jnp.maximum(
+        -28.86 * ustar3 - 98.96 * _KAPPA * bflux_sfc * sigma_z, 0.0))
+    return jnp.where(zeta >= 0.0, w_stable,
+                     jnp.where(zeta > -1.0, w_unstable, w_conv))
 
 
 def _surface_layer_means(z_c, h, fields, eps_frac):

@@ -1,0 +1,445 @@
+"""Quantitative fidelity gates against analytic / published solutions.
+
+Unlike the tc-ladder smoke gates (finiteness, conservation), every
+assertion here has a numeric tolerance with a derivation.  These are the
+replacement for the reference's answer-matching regression oracle
+(/root/reference/.testing/README.rst:283-296), which cannot run here:
+instead of matching the Fortran's bits, we match physics whose answer is
+known in closed form.
+
+Cases:
+  1. external gravity wave   c = sqrt(g H)                (<1%)
+  2. two-layer internal wave c = sqrt(g' h1 h2/(h1+h2))   (<1%)
+  3. barotropic Rossby wave  c = beta/(k^2+l^2+1/LR^2)    (<5%)
+  4. equatorial Rossby soliton (Boyd 1980)
+                             c = (1/3 + 0.395 B^2) c0     (<10%)
+  5. geostrophic adjustment (Rossby problem, Gill ch. 7)
+                             jet vs exact linear inversion (<4% peak)
+  6. lock exchange           front speed vs Benjamin 0.5 sqrt(g'H)
+                             (hydrostatic band [0.70, 1.00])
+"""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mom6_tpu.core.mom import step_mom
+from mom6_tpu.drivers.config_driver import build_model_from_params
+from mom6_tpu.framework.config import ParamFile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build(name=None, text=None):
+    if text is None:
+        pf = ParamFile([os.path.join(REPO, "configs", name, "MOM_input")])
+        return build_model_from_params(pf)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "MOM_input")
+        with open(p, "w") as f:
+            f.write(text)
+        return build_model_from_params(ParamFile([p]))
+
+
+def _stepper(ms):
+    return jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid, ms.vgrid,
+                                      ms.params))
+
+
+def _fit_omega(series, t, om_lo, om_hi, n=4001):
+    """Least-squares single-frequency fit: min over omega of the
+    residual of  a ~ A cos(om t) + B sin(om t)."""
+    best = None
+    for om in np.linspace(om_lo, om_hi, n):
+        b = np.vstack([np.cos(om * t), np.sin(om * t)]).T
+        coef, *_ = np.linalg.lstsq(b, series, rcond=None)
+        ssr = float(((series - b @ coef) ** 2).sum())
+        if best is None or ssr < best[0]:
+            best = (ssr, om)
+    return best[1]
+
+
+def test_external_gwave_phase_speed():
+    """Surface gravity wave: c = sqrt(gH) to <1%.
+
+    Tolerance: the C-grid discrete dispersion error is
+    sinc(k dx/2) - 1 ~ (k dx)^2/24 = 0.16% at dx = 6.25 km,
+    lambda = 200 km; the shallow-water dispersion correction
+    (k H)^2/6 = 0.02%; forward-backward time error O((omega dtbt)^2)
+    smaller still.  Measured: 0.14%."""
+    ms = _build("external_gwave")
+    step = _stepper(ms)
+    s = ms.state
+    dt = ms.params.dyn.dt * ms.params.n_dyn_per_thermo
+    H, L = 1000.0, 400e3
+    lam = 0.5 * L
+    k = 2 * np.pi / lam
+    c_th = np.sqrt(9.8 * H)
+    amps = []
+    n = 48
+    for _ in range(n):
+        eta = np.asarray(s.h.sum(0) - ms.grid.bathyT, np.float64)
+        amps.append(np.fft.rfft(eta[2])[2].real)   # zonal mode 2
+        s = step(s)
+    t = np.arange(n) * dt
+    om = _fit_omega(np.asarray(amps), t, 0.8 * c_th * k, 1.2 * c_th * k)
+    c = om / k
+    assert abs(c / c_th - 1.0) < 0.01, (c, c_th)
+
+
+def test_internal_wave_speed():
+    """Two-layer interfacial wave: c_i = sqrt(g' h1 h2 / (h1+h2)) to <1%.
+
+    Same discretization error budget as the surface wave (the mode is
+    just the internal counterpart); measured 0.06%."""
+    ms = _build(text="""
+NIGLOBAL = 64
+NJGLOBAL = 4
+NK = 2
+LENLON = 100.0
+LENLAT = 8.0
+MAXIMUM_DEPTH = 500.0
+TOPO_CONFIG = flat
+REENTRANT_X = True
+F_0 = 0.0
+DT = 150.0
+ENABLE_THERMODYNAMICS = False
+GINT = 9.8e-3
+THICKNESS_CONFIG = internal_wave
+IC_AMPLITUDE = 2.0
+IC_INTERFACE = 1
+IC_WAVELENGTH_FRAC = 0.5
+""")
+    step = _stepper(ms)
+    s = ms.state
+    dt = ms.params.dyn.dt * ms.params.n_dyn_per_thermo
+    h1 = h2 = 250.0
+    gp = 9.8e-3
+    ci = np.sqrt(gp * h1 * h2 / (h1 + h2))
+    k = 2 * np.pi / 50e3
+    amps = []
+    n = 260
+    for _ in range(n):
+        amps.append(np.fft.rfft(
+            np.asarray(s.h, np.float64)[0, 1, :])[2].real)
+        s = step(s)
+    t = np.arange(n) * dt
+    om = _fit_omega(np.asarray(amps), t, 0.7 * ci * k, 1.3 * ci * k)
+    assert abs(om / k / ci - 1.0) < 0.01, (om / k, ci)
+
+
+def test_soliton_boyd_speed():
+    """Equatorial Rossby soliton (Boyd 1980): westward speed
+    c = (1/3 + 0.395 B^2) c0 with B = 0.395, c0 = sqrt(gH).
+
+    The config is the genuine nondimensional regime (48 x 24 equatorial
+    deformation radii, dx = L_eq/4, amplitude 0.771 B^2 H; see
+    configs/soliton/MOM_input).  The x-position of the soliton is the
+    peak of eta projected on the meridional mode-1 structure
+    (3+6y^2)/4 e^{-y^2/2} — the raw equatorial row sits on the SADDLE
+    between the twin off-equatorial maxima and cannot be tracked.
+
+    Tolerance 10%: Boyd's speed is the FIRST-order term of an expansion
+    in B^2 = 0.156, so the theory itself carries O(B^2) ~ several-%
+    uncertainty, and the first-order initial condition sheds a
+    dispersive tail whose interference modulates the envelope position
+    by +-5% over the averaging window (measured r3: -6.5%)."""
+    ms = _build("soliton")
+    G = ms.grid
+    step = _stepper(ms)
+    s = ms.state
+    dt = ms.params.dyn.dt * ms.params.n_dyn_per_thermo
+    H = 0.8
+    c0 = np.sqrt(9.8 * H)
+    B = 0.395
+    c_th = (1.0 / 3.0 + 0.395 * B * B) * c0
+    beta = 2.3e-11
+    L_eq = np.sqrt(c0 / beta)
+    lat = np.asarray(G.geoLatT)
+    y_nd = lat[:, 0] * 1e3 / L_eq
+    w = (3 + 6 * y_nd ** 2) / 4 * np.exp(-0.5 * y_nd ** 2)
+    w /= (w ** 2).sum()
+    nx = G.nx
+    lon = np.asarray(G.geoLonT)
+    dx_m = float(lon[0, 1] - lon[0, 0]) * 1e3
+
+    def env_peak(s):
+        eta = np.asarray(s.h.sum(0) - G.bathyT, np.float64)
+        phi = (eta * w[:, None]).sum(0)
+        i = int(np.argmax(phi))
+        ym, y0, yp = phi[(i - 1) % nx], phi[i], phi[(i + 1) % nx]
+        d2 = ym - 2 * y0 + yp
+        sub = 0.5 * (ym - yp) / (d2 if abs(d2) > 1e-30 else 1e-30)
+        return i + sub, float(phi.max())
+
+    per_day = int(86400 / dt)
+    obs = [env_peak(s)]
+    n_days = 16
+    for _ in range(n_days):
+        for _ in range(per_day):
+            s = step(s)
+        obs.append(env_peak(s))
+    pos = np.array([o[0] for o in obs])
+    dpos = np.diff(pos)
+    dpos = np.where(dpos > nx / 2, dpos - nx,
+                    np.where(dpos < -nx / 2, dpos + nx, dpos))
+    cum = np.concatenate([[0.0], np.cumsum(dpos)])
+    # least-squares drift over days 2..16 (skip the initial adjustment)
+    t = np.arange(2, n_days + 1) * 86400.0
+    A = np.vstack([t, np.ones_like(t)]).T
+    slope = np.linalg.lstsq(A, cum[2:] * dx_m, rcond=None)[0][0]
+    c_meas = -slope
+    assert c_meas > 0.0, "soliton must move west"
+    assert abs(c_meas / c_th - 1.0) < 0.10, (c_meas, c_th)
+    # coherence: the envelope amplitude stays near its initial value
+    amps = np.array([o[1] for o in obs])
+    assert amps[-1] > 0.6 * amps[0]
+
+
+def test_geostrophic_adjustment_jet():
+    """Rossby geostrophic adjustment (Gill ch. 7): the time-mean state
+    after adjustment of a free-surface front matches the EXACT linear
+    prediction eta_f(k) = eta_i(k)/(1 + LR^2 k^2), evaluated at the
+    model's own staggering (face transports V = (g/f) delta_x eta / dx),
+    on a periodic two-front domain where the FFT oracle is exact.
+
+    Gates (measured r3 with the production split solver):
+      peak jet speed within 4% (measured -1.3%),
+      profile rms within 1.5% of peak (measured 0.3%),
+      energy partition KE/dPE within 5% of the oracle's own ratio
+        (the classic 1/3 for a sharp step; measured ratio 0.989),
+      half-domain circulation geostrophic to 3% (measured 0.7%).
+    Residuals are the inertia-gravity wave field that never leaves a
+    closed domain, reduced by averaging over 8 inertial periods."""
+    from mom6_tpu.core.barotropic import BTParams
+    from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
+                                                  step_dynamics_split_rk2)
+    from mom6_tpu.core.state import init_state_resting
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+
+    NX, NY = 192, 4
+    LX, LY = 6000.0, 125.0
+    H, F0, g = 100.0, 1.0e-4, 9.8
+    G = build_cartesian_grid(NX, NY, LX, LY, max_depth=H, f0=F0,
+                             cyclic_x=True, reentrant_y=True)
+    GV = build_layered_vgrid(1)
+    dx = LX * 1e3 / NX
+    x = (np.arange(NX) + 0.5) * dx
+    eta0 = 0.05
+    eta_i = eta0 * (np.tanh((x - LX * 1e3 / 4) / dx)
+                    - np.tanh((x - 3 * LX * 1e3 / 4) / dx) - 1.0)
+    eta_i -= eta_i.mean()
+    LR = np.sqrt(g * H) / F0
+    kf = 2 * np.pi * np.fft.fftfreq(NX, d=dx)
+    eta_f = np.real(np.fft.ifft(np.fft.fft(eta_i) / (1 + LR ** 2 * kf ** 2)))
+    V_th = (g / F0) * (np.roll(eta_f, -1) - eta_f) / dx
+
+    state = init_state_resting(G, GV, [H])
+    state = state.replace(h=jnp.asarray(
+        np.asarray(state.h) + eta_i[None, None, :], jnp.float32))
+    dt = 900.0
+    params = DynParams(dt=dt, bt=BTParams(nstep=10, nfilter=1), kv=0.0)
+    step = jax.jit(lambda s: step_dynamics_split_rk2(
+        s, MechForcing(), G, GV, params))
+    s = state
+    per = int(2 * np.pi / F0 / dt)
+    for _ in range(int(2 * 86400 / dt)):
+        s = step(s)
+    vm = np.zeros(NX)
+    em = np.zeros(NX)
+    cnt = 0
+    for _ in range(8 * per):
+        s = step(s)
+        vm += np.asarray(s.v)[0, 1, :].astype(np.float64)
+        em += np.asarray(s.h.sum(0) - G.bathyT)[1, :].astype(np.float64)
+        cnt += 1
+    vm /= cnt
+    em /= cnt
+    Vm = 0.5 * (vm + np.roll(vm, -1))        # face-averaged, as in the
+    #                                          model's discrete geostrophy
+    assert abs(Vm.max() / V_th.max() - 1.0) < 0.04, (Vm.max(), V_th.max())
+    assert abs(Vm.min() / V_th.min() - 1.0) < 0.04
+    rms = np.sqrt(np.mean((Vm - V_th) ** 2)) / V_th.max()
+    assert rms < 0.015, rms
+    KE_m = 0.5 * H * (Vm ** 2).sum() * dx
+    PE_i = 0.5 * g * (eta_i ** 2).sum() * dx
+    PE_f = 0.5 * g * ((em - em.mean()) ** 2).sum() * dx
+    KE_th = 0.5 * H * (V_th ** 2).sum() * dx
+    PE_f_th = 0.5 * g * (eta_f ** 2).sum() * dx
+    ratio = (KE_m / (PE_i - PE_f)) / (KE_th / (PE_i - PE_f_th))
+    assert abs(ratio - 1.0) < 0.05, ratio
+    # half-domain circulation = (g/f) * mean-eta drop across the front
+    circ = vm[:NX // 2].sum() * dx
+    dh = em[NX // 2 - 4:NX // 2].mean() - em[:4].mean()
+    assert abs(circ / ((g / F0) * dh) - 1.0) < 0.03
+
+
+def test_lock_exchange_benjamin_front():
+    """Lock exchange: both gravity-current noses vs Benjamin's
+    energy-conserving speed 0.5 sqrt(g' H), with g' from the model's own
+    Wright EOS at the two reservoir temperatures.
+
+    Gate [0.70, 1.00] x Benjamin: hydrostatic models with z-coordinate
+    entrainment run measurably below Benjamin (lab full-depth releases
+    give Fr ~ 0.45/0.5 = 0.9; hydrostatic OGCMs lose another ~10-20% to
+    the unresolved non-hydrostatic head and interfacial numerical
+    entrainment — Ilicak et al. 2012).  Measured r3: 0.77 on both noses.
+    Symmetry of the two noses is gated at 15% (measured 2%)."""
+    from mom6_tpu.eos import get_eos
+    ms = _build(text="""
+NIGLOBAL = 192
+NJGLOBAL = 4
+NK = 20
+LENLON = 48.0
+LENLAT = 1.0
+MAXIMUM_DEPTH = 20.0
+TOPO_CONFIG = flat
+F_0 = 0.0
+DT = 30.0
+DT_THERM = 60.0
+ENABLE_THERMODYNAMICS = True
+EQN_OF_STATE = WRIGHT
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+TS_CONFIG = front
+T_REF = 10.0
+T_RANGE = 4.0
+FRONT_WIDTH_FRAC = 0.01
+KV = 1.0e-5
+KH = 0.1
+""")
+    G = ms.grid
+    step = _stepper(ms)
+    s = ms.state
+    dtc = ms.params.dyn.dt * ms.params.n_dyn_per_thermo
+    eos = get_eos("WRIGHT")
+    T0 = np.asarray(s.T)
+    Tl, Tr = T0[:, 1, 2].mean(), T0[:, 1, -3].mean()
+    rho_l = float(eos.density(np.float32(Tl), np.float32(35.0),
+                              np.float32(2e5)))
+    rho_r = float(eos.density(np.float32(Tr), np.float32(35.0),
+                              np.float32(2e5)))
+    drho = abs(rho_l - rho_r)
+    H = 20.0
+    gp = 9.8 * drho / (0.5 * (rho_l + rho_r))
+    c_b = 0.5 * np.sqrt(gp * H)
+    x_km = np.asarray(G.geoLonT)[1]
+    Tmid = 0.5 * (Tl + Tr)
+
+    def fronts(s):
+        Ta = np.asarray(s.T)[:, 1, :].astype(np.float64)
+        Tb, Ts = Ta[-1], Ta[0]
+        i = np.where(Tb < Tmid)[0].max()       # dense bottom nose (+x)
+        fb = x_km[i] + (Tmid - Tb[i]) / (Tb[i + 1] - Tb[i]) \
+            * (x_km[i + 1] - x_km[i]) if i + 1 < len(Tb) else x_km[i]
+        j = np.where(Ts > Tmid)[0].min()       # light surface nose (-x)
+        fs = x_km[j] - (Tmid - Ts[j]) / (Ts[j - 1] - Ts[j]) \
+            * (x_km[j] - x_km[j - 1]) if j >= 1 else x_km[j]
+        return fb, fs
+
+    per_hr = int(3600 / dtc)
+    obs = [fronts(s)]
+    n_hr = 6
+    for _ in range(n_hr):
+        for _ in range(per_hr):
+            s = step(s)
+        obs.append(fronts(s))
+    obs = np.array(obs)
+    t = np.arange(n_hr + 1) * 3600.0
+    A = np.vstack([t[1:], np.ones_like(t[1:])]).T
+    sb = np.linalg.lstsq(A, obs[1:, 0] * 1e3, rcond=None)[0][0]
+    ss = np.linalg.lstsq(A, obs[1:, 1] * 1e3, rcond=None)[0][0]
+    rb, rs = sb / c_b, -ss / c_b
+    mean_r = 0.5 * (rb + rs)
+    assert 0.70 < mean_r < 1.00, (rb, rs, c_b)
+    assert abs(rb - rs) / mean_r < 0.15, (rb, rs)
+
+
+_CONV_BASE = """
+NIGLOBAL = 2
+NJGLOBAL = 2
+NK = 100
+LENLON = 10.0
+LENLAT = 10.0
+MAXIMUM_DEPTH = 200.0
+TOPO_CONFIG = flat
+F_0 = 1.0e-5
+DT = 600.0
+DT_THERM = 1200.0
+ENABLE_THERMODYNAMICS = True
+EQN_OF_STATE = WRIGHT
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+T_REF = 15.0
+T_RANGE = 8.0
+BUOY_CONFIG = const
+SENSIBLE_HEAT_FLUX = -200.0
+KV = 1.0e-5
+KD = 0.0
+"""
+
+
+def _convective_deepening(scheme_line, ndays=6):
+    """Run a cooled single column; return (day, mld, h_encroach) rows."""
+    ms = _build(text=_CONV_BASE + scheme_line + "\n")
+    G, GV = ms.grid, ms.vgrid
+    step = _stepper(ms)
+    s = ms.state
+    dtc = ms.params.dyn.dt * ms.params.n_dyn_per_thermo
+    T0 = np.asarray(s.T)[:, 1, 1].astype(np.float64)
+    h0 = np.asarray(s.h)[:, 1, 1].astype(np.float64)
+    zc = np.cumsum(h0) - 0.5 * h0
+    gam = -(np.polyfit(zc[10:90], T0[10:90], 1)[0])    # dT/dz [K/m]
+    ft = 200.0 / (float(GV.rho0) * ms.params.diabatic.cp)  # [K m/s]
+    per_day = int(86400 / dtc)
+    rows = []
+    for day in range(1, ndays + 1):
+        for _ in range(per_day):
+            s = step(s)
+        T = np.asarray(s.T)[:, 1, 1].astype(np.float64)
+        h = np.asarray(s.h)[:, 1, 1].astype(np.float64)
+        zc = np.cumsum(h) - 0.5 * h
+        idx = np.where(T < T[0] - 0.05)[0]     # base of the mixed layer
+        mld = zc[idx.min()] if len(idx) else np.nan
+        rows.append((day, mld, np.sqrt(2 * ft * day * 86400.0 / gam)))
+    return np.asarray(rows)
+
+
+def _check_convection(rows):
+    """Deepening vs the encroachment law h = sqrt(2 B0 t)/N.
+
+    Gate: ratio in [1.0, 1.35] every day from day 2 on (non-penetrative
+    encroachment is the exact lower bound; penetrative entrainment with
+    the classic A ~ 0.2 coefficient raises h by sqrt(1+2A) ~ 1.18, and
+    the 2-m layer / 0.05-K MLD metric granularity adds a few %.
+    Measured r3: KPP 1.10-1.22, ePBL 1.07-1.16), and the t^(1/2)
+    scaling exponent within [0.4, 0.6]."""
+    ratio = rows[:, 1] / rows[:, 2]
+    assert np.isfinite(rows[:, 1]).all(), rows
+    assert (ratio[1:] > 1.0).all(), rows
+    assert (ratio[1:] < 1.35).all(), rows
+    pfit = np.polyfit(np.log(rows[1:, 0]), np.log(rows[1:, 1]), 1)[0]
+    assert 0.4 < pfit < 0.6, pfit
+
+
+def test_kpp_convective_deepening():
+    """KPP free convection follows the encroachment law.  This gate
+    caught a real bug in r3: the LMD94 convective w_s branch evaluated
+    kappa u*/phi directly, so the analytic u* cancellation of the
+    free-convection limit (w ~ (|Bf| d)^(1/3)) underflowed to ZERO at
+    u* = 0 and an unforced cooled column never mixed."""
+    _check_convection(_convective_deepening("USE_KPP = True"))
+
+
+def test_epbl_convective_deepening():
+    """ePBL (RH18) free convection follows the encroachment law.  This
+    gate caught two real bugs in r3: (a) the RH18 m* formula divided by
+    u*^5, which underflows float32 at u* ~ 1e-10 and NaN-poisoned the
+    column; (b) the TKE march priced entrainment on the local interface
+    N^2, which vanishes in an already-mixed marginal column, instead of
+    the ML-mean-vs-layer buoyancy difference."""
+    _check_convection(_convective_deepening("ENERGETICS_SFC_PBL = True"))
