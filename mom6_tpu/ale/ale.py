@@ -142,8 +142,9 @@ def ale_regrid_remap(state, G, GV, p: ALEParams,
     h_u_old = 0.5 * (h + ip1(h))
     h_u_new = 0.5 * (h_new + ip1(h_new))
     u_new = remap_column(state.u, h_u_old, h_u_new, p.scheme) * G.mask2dCu
-    h_v_old = 0.5 * (h + jp1(h))
-    h_v_new = 0.5 * (h_new + jp1(h_new))
+    kh = "h" if getattr(G, "fold_north", False) else None
+    h_v_old = 0.5 * (h + jp1(h, kh))
+    h_v_new = 0.5 * (h_new + jp1(h_new, kh))
     v_new = remap_column(state.v, h_v_old, h_v_new, p.scheme) * G.mask2dCv
 
     return state.replace(h=h_new, T=T_new, S=S_new, u=u_new, v=v_new), extra_new

@@ -77,8 +77,13 @@ class BTOut(NamedTuple):
 def set_dtbt(G, GV, max_depth: float, dt: float, cfl: float = 0.7):
     """Barotropic substep count from the external gravity wave CFL
     (analogue of set_dtbt, MOM_barotropic.F90:3509). Host-side, static."""
-    dx = float(np.min(np.asarray(G.dxT)))
-    dy = float(np.min(np.asarray(G.dyT)))
+    wet = np.asarray(G.mask2dT) > 0.5
+    if not wet.any():
+        wet = np.ones_like(wet)
+    # min over WET cells only: land (e.g. the degenerate tripolar pole
+    # columns) must not set the global substep count
+    dx = float(np.min(np.where(wet, np.asarray(G.dxT), np.inf)))
+    dy = float(np.min(np.where(wet, np.asarray(G.dyT), np.inf)))
     cg = np.sqrt(GV.g_earth * max_depth)
     dtbt = cfl * min(dx, dy) / (np.sqrt(2.0) * cg)
     nstep = max(1, int(np.ceil(dt / dtbt)))
@@ -123,7 +128,8 @@ def btcalc(h, G, *, h_u=None, h_v=None):
     if h_u is None:
         h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
     if h_v is None:
-        h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+        h_v = 0.5 * (h + jp1(h, "h" if getattr(G, "fold_north", False)
+                             else None)) * G.mask2dCv
     tot_u = jnp.maximum(jnp.sum(h_u, axis=0), 1e-30)
     tot_v = jnp.maximum(jnp.sum(h_v, axis=0), 1e-30)
     return h_u, h_v, h_u / tot_u, h_v / tot_v
@@ -142,8 +148,8 @@ def _coriolis_u(q, Vw):
     return 0.5 * (fv_q + jm1(fv_q))
 
 
-def _coriolis_v(q, Uw):
-    fu_q = q * 0.5 * (Uw + jp1(Uw))
+def _coriolis_v(q, Uw, ku=None):
+    fu_q = q * 0.5 * (Uw + jp1(Uw, ku))
     return -0.5 * (fu_q + im1(fu_q))
 
 
@@ -238,14 +244,18 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
 
     # q = f/D at corners; the Coriolis terms act on depth-weighted flow
     # (see _coriolis_u) so they conserve energy over varying topography
-    d_q = 0.25 * (tot_hu + jp1(tot_hu) + tot_hv + ip1(tot_hv))
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
+    kus = "us" if fold else None
+    ku = "u" if fold else None
+    d_q = 0.25 * (tot_hu + jp1(tot_hu, kus) + tot_hv + ip1(tot_hv))
     q_f = G.CoriolisBu / jnp.maximum(d_q, 1e-3)
     def _uw(ub):
         return tot_hu * ub
     def _vw(vb):
         return tot_hv * vb
     cor_ref_u = _coriolis_u(q_f, _vw(vbt_in))
-    cor_ref_v = _coriolis_v(q_f, _uw(ubt_in))
+    cor_ref_v = _coriolis_v(q_f, _uw(ubt_in), ku)
 
     if params.use_bt_cont and bt_cont is not None:
         from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
@@ -268,7 +278,7 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
             # wave_drag_accel's face averaging and the reference's
             # face-centered drag)
             lin_u = 0.5 * (params.lin_drag + ip1(params.lin_drag))
-            lin_v = 0.5 * (params.lin_drag + jp1(params.lin_drag))
+            lin_v = 0.5 * (params.lin_drag + jp1(params.lin_drag, kh))
         else:
             lin_u = lin_v = params.lin_drag
         rdrag_u = (lin_u + params.cdrag * jnp.abs(ubt_in)) \
@@ -280,15 +290,18 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     else:
         drag_u = drag_v = None
 
+    from mom6_tpu.framework.stencil import jm1_s0
+
     def div_eta(uhbt, vhbt):
-        return -G.IareaT * ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt)))
+        return -G.IareaT * ((uhbt - im1(uhbt))
+                            + (vhbt - jm1_s0(vhbt, kh)))
 
     sal_fac = dtype.type(1.0 - params.sal_scalar)
 
     def pf_anom(eta_w):
         ge = gtot * (eta_w - eta_PF) * (dgeo * sal_fac)
         pfu = -(ip1(ge) - ge) * G.IdxCu * G.mask2dCu
-        pfv = -(jp1(ge) - ge) * G.IdyCv * G.mask2dCv
+        pfv = -(jp1(ge, kh) - ge) * G.IdyCv * G.mask2dCv
         return pfu, pfv
 
     wt_trans, wt_vel, _ = _weights(nstep, nfilter, dtype, x_first)
@@ -345,11 +358,11 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
             cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
             ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
                 * G.mask2dCu
-            cor_v = _coriolis_v(q_f, _uw(ubt)) - cor_ref_v
+            cor_v = _coriolis_v(q_f, _uw(ubt), ku) - cor_ref_v
             vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
                 * G.mask2dCv
         else:
-            cor_v = _coriolis_v(q_f, _uw(ubt)) - cor_ref_v
+            cor_v = _coriolis_v(q_f, _uw(ubt), ku) - cor_ref_v
             vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
                 * G.mask2dCv
             cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
@@ -410,7 +423,8 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     # per-layer acceleration (btstep_layer_accel, MOM_barotropic.F90:3432)
     pg = (pbce - gtot[None]) * e_anom[None]
     alu = (carry["u_acc"][None] - (ip1(pg) - pg) * G.IdxCu) * G.mask2dCu
-    alv = (carry["v_acc"][None] - (jp1(pg) - pg) * G.IdyCv) * G.mask2dCv
+    alv = (carry["v_acc"][None] - (jp1(pg, kh) - pg) * G.IdyCv) \
+        * G.mask2dCv
 
     return BTOut(
         accel_layer_u=alu, accel_layer_v=alv,

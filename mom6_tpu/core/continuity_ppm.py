@@ -23,7 +23,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import (im1, ip1, jm1, jm1_s0, jp1,
+                                        jp1_sn)
 
 __all__ = ["continuity_ppm", "zonal_mass_flux", "meridional_mass_flux",
            "ppm_reconstruction_x", "ppm_reconstruction_y",
@@ -103,9 +104,10 @@ def ppm_reconstruction_x(h, mask_t, h_min=1e-10, monotonic=False,
 
 
 def ppm_reconstruction_y(h, mask_t, h_min=1e-10, monotonic=False,
-                         simple_2nd=False):
-    hm, hp = jm1(h), jp1(h)
-    mm, mp = jm1(mask_t), jp1(mask_t)
+                         simple_2nd=False, fold=False):
+    kh = "h" if fold else None
+    hm, hp = jm1(h), jp1(h, kh)
+    mm, mp = jm1(mask_t), jp1(mask_t, kh)
     if simple_2nd:
         h_m = mm * hm + (1.0 - mm) * h
         h_p = mp * hp + (1.0 - mp) * h
@@ -113,7 +115,8 @@ def ppm_reconstruction_y(h, mask_t, h_min=1e-10, monotonic=False,
     h_m, h_p, slp = _ppm_edges(h, hm, hp, mm, mask_t, mp, h_min, monotonic)
     one_sixth = 1.0 / 6.0
     h_S = 0.5 * (h_m + h) + one_sixth * (jm1(slp) - slp)
-    h_N = 0.5 * (h_p + h) + one_sixth * (slp - jp1(slp))
+    h_N = 0.5 * (h_p + h) + one_sixth * (slp - jp1(slp, "dh" if fold
+                                                   else None))
     if monotonic:
         return _ppm_limit_cw84(h, h_S, h_N)
     return _ppm_limit_pos(h, h_S, h_N, h_min)
@@ -147,19 +150,23 @@ def _zonal_flux_layer(u, h, h_W, h_E, dt, G, por=None):
     return face * u * h_avg, face * h_marg
 
 
-def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None):
+def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None, fold=False):
     face = G.dxCv * G.mask2dCv
     if por is not None:
         face = face * por
+    kh = "h" if fold else None
     cfl_p = v * dt * G.IdyT
-    cfl_m = -v * dt * jp1(G.IdyT)
+    cfl_m = -v * dt * jp1(G.IdyT, kh)
     curv_p = (h_S + h_N) - 2.0 * h
-    curv_m = jp1(curv_p)
+    curv_m = jp1(curv_p, kh)
+    # across the fold the ghost cell's S/N edge values swap (its south
+    # edge is the mirrored donor's NORTH edge)
+    jS, jN = jp1_sn(h_S, h_N, kh)
     h_avg_p = h_N + cfl_p * (0.5 * (h_S - h_N) + curv_p * (cfl_p - 1.5))
-    h_avg_m = jp1(h_S) + cfl_m * (0.5 * (jp1(h_N) - jp1(h_S)) + curv_m * (cfl_m - 1.5))
+    h_avg_m = jS + cfl_m * (0.5 * (jN - jS) + curv_m * (cfl_m - 1.5))
     h_marg_p = h_N + cfl_p * ((h_S - h_N) + 3.0 * curv_p * (cfl_p - 1.0))
-    h_marg_m = jp1(h_S) + cfl_m * ((jp1(h_N) - jp1(h_S)) + 3.0 * curv_m * (cfl_m - 1.0))
-    h_zero = 0.5 * (jp1(h_S) + h_N)
+    h_marg_m = jS + cfl_m * ((jN - jS) + 3.0 * curv_m * (cfl_m - 1.0))
+    h_zero = 0.5 * (jS + h_N)
     h_avg = jnp.where(v > 0.0, h_avg_p, jnp.where(v < 0.0, h_avg_m, h_zero))
     h_marg = jnp.where(v > 0.0, h_marg_p, jnp.where(v < 0.0, h_marg_m, h_zero))
     return face * v * h_avg, face * h_marg
@@ -206,8 +213,11 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
                          visc_rem: Optional[jnp.ndarray] = None,
                          monotonic=False, simple_2nd=False, h_min=1e-10,
                          por=None):
-    h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic, simple_2nd)
-    vh, dvhdv = _meridional_flux_layer(v, h, h_S, h_N, dt, G, por)
+    fold = getattr(G, "fold_north", False)
+    h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
+                                    simple_2nd, fold=fold)
+    vh, dvhdv = _meridional_flux_layer(v, h, h_S, h_N, dt, G, por,
+                                       fold=fold)
     if vhbt is None:
         return vh, v
     rem = visc_rem if visc_rem is not None else jnp.ones_like(v)
@@ -220,8 +230,9 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
         denom = jnp.sum(dvhdv_cur * rem, axis=0)
         dv = dv - err / jnp.maximum(denom, 1e-30) * G.mask2dCv
         dv = jnp.clip(dv, -dv_cap, dv_cap)
-        vh_new, dvhdv_new = _meridional_flux_layer(v + dv * rem, h, h_S, h_N,
-                                                   dt, G, por)
+        vh_new, dvhdv_new = _meridional_flux_layer(v + dv * rem, h, h_S,
+                                                   h_N, dt, G, por,
+                                                   fold=fold)
         return dv, vh_new, dvhdv_new
 
     dv0 = jnp.zeros_like(vhbt)
@@ -245,6 +256,7 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
     Returns (h_new, uh, vh, u_adj, v_adj).
     """
     h_min = GV.angstrom
+    fold = getattr(G, "fold_north", False)
     if x_first:
         uh, u_adj = zonal_mass_flux(u, h, dt, G, uhbt=uhbt,
                                     visc_rem=visc_rem_u,
@@ -257,14 +269,16 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
                                          monotonic=monotonic,
                                          simple_2nd=simple_2nd, h_min=h_min,
                                          por=por_v)
-        h_new = jnp.maximum(h_x - dt * G.IareaT * (vh - jm1(vh)), h_min)
+        h_new = jnp.maximum(
+            h_x - dt * G.IareaT * (vh - jm1_s0(vh, fold)), h_min)
     else:
         vh, v_adj = meridional_mass_flux(v, h, dt, G, vhbt=vhbt,
                                          visc_rem=visc_rem_v,
                                          monotonic=monotonic,
                                          simple_2nd=simple_2nd, h_min=h_min,
                                          por=por_v)
-        h_y = jnp.maximum(h - dt * G.IareaT * (vh - jm1(vh)), h_min)
+        h_y = jnp.maximum(
+            h - dt * G.IareaT * (vh - jm1_s0(vh, fold)), h_min)
         uh, u_adj = zonal_mass_flux(u, h_y, dt, G, uhbt=uhbt,
                                     visc_rem=visc_rem_u,
                                     monotonic=monotonic,
@@ -313,8 +327,10 @@ def set_bt_cont(h, dt, G, GV, *, cfl_cap: float = 0.5,
     h_min = GV.angstrom
     h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic,
                                     simple_2nd)
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
     h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
-                                    simple_2nd)
+                                    simple_2nd, fold=fold)
     face_u = G.dyCu * G.mask2dCu
     face_v = G.dxCv * G.mask2dCv
     c = cfl_cap
@@ -355,11 +371,12 @@ def set_bt_cont(h, dt, G, GV, *, cfl_cap: float = 0.5,
     vbt_ss = c / (dt * G.IdyT)
     crv_s, fa_v_ss = _curve_params(fa_v_s0, fa_v_s_mean, fa_v_ss,
                                    vbt_ss[None])
-    fa_v_n0 = face_v[None] * jp1(h_S)
-    havg, hmarg = mean_marg(jp1(h), jp1(h_S), jp1(h_N), c)
+    jS, jN = jp1_sn(h_S, h_N, kh)
+    fa_v_n0 = face_v[None] * jS
+    havg, hmarg = mean_marg(jp1(h, kh), jS, jN, c)
     fa_v_n_mean = face_v[None] * havg
     fa_v_nn = face_v[None] * hmarg
-    vbt_nn = -c / (dt * jp1(G.IdyT))
+    vbt_nn = -c / (dt * jp1(G.IdyT, kh))
     crv_n, fa_v_nn = _curve_params(fa_v_n0, fa_v_n_mean, fa_v_nn,
                                    -vbt_nn[None])
 

@@ -33,7 +33,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import (im1, ip1, jm1, jp1,
+                                        fold_ghost)
 
 __all__ = ["coriolis_adv", "relative_vorticity", "kinetic_energy"]
 
@@ -46,8 +47,9 @@ AL_BLEND = "ARAKAWA_LAMB_BLEND"
 
 def relative_vorticity(u, v, G):
     """Relative vorticity at q (NE corner) points: circulation / area."""
+    ku = "u" if getattr(G, "fold_north", False) else None
     dvdx = ip1(v * G.dyCv) - v * G.dyCv
-    dudy = jp1(u * G.dxCu) - u * G.dxCu
+    dudy = jp1(u * G.dxCu, ku) - u * G.dxCu
     return (dvdx - dudy) * G.IareaBu * G.mask2dBu
 
 
@@ -63,10 +65,13 @@ def _pv_at_q(u, v, h, G, GV):
     """Potential vorticity (f + zeta) / h_q with h_q an area-weighted 4-point
     thickness mean (hArea_q of MOM_CoriolisAdv.F90).  Returns (q, h_q)."""
     rv = relative_vorticity(u, v, G)
+    kh = "h" if getattr(G, "fold_north", False) else None
     area_h = G.areaT * G.mask2dT
-    harea = (h * area_h + ip1(h * area_h)
-             + jp1(h * area_h) + ip1(jp1(h * area_h)))
-    area4 = (area_h + ip1(area_h) + jp1(area_h) + ip1(jp1(area_h)))
+    ha = h * area_h
+    # fold kinds compose only jp1-first (the ghost row then shifts in x)
+    harea = ha + ip1(ha) + jp1(ha, kh) + ip1(jp1(ha, kh))
+    area4 = (area_h + ip1(area_h) + jp1(area_h, kh)
+             + ip1(jp1(area_h, kh)))
     h_q = harea / jnp.maximum(area4, 1e-30)
     return (G.CoriolisBu + rv) / jnp.maximum(h_q, GV.h_subroundoff), h_q
 
@@ -123,15 +128,18 @@ def coriolis_adv(u, v, h, uh, vh, G, GV, *,
         # CAu = mean over the 2 adjacent corners of [q * (2pt mean of vh)]
         qvh_q = q * 0.5 * (vh + ip1(vh))          # at q points
         cau = 0.5 * (qvh_q + jm1(qvh_q)) * G.IdxCu
-        quh_q = q * 0.5 * (uh + jp1(uh))
+        ku = "u" if getattr(G, "fold_north", False) else None
+        quh_q = q * 0.5 * (uh + jp1(uh, ku))
         cav = -0.5 * (quh_q + im1(quh_q)) * G.IdyCv
     elif scheme == SADOURNY75_ENSTRO:
         # q averaged first (enstrophy form): CAu = q_u * vh_u
         q_u = 0.5 * (q + jm1(q))
         vh_u = 0.25 * ((vh + ip1(vh)) + (jm1(vh) + ip1(jm1(vh))))
         cau = q_u * vh_u * G.IdxCu
+        ku = "u" if getattr(G, "fold_north", False) else None
         q_v = 0.5 * (q + im1(q))
-        uh_v = 0.25 * ((uh + jp1(uh)) + (im1(uh) + im1(jp1(uh))))
+        juh = jp1(uh, ku)
+        uh_v = 0.25 * ((uh + juh) + (im1(uh) + im1(juh)))
         cav = -q_v * uh_v * G.IdyCv
     elif scheme in (ARAKAWA_HSU90, ARAKAWA_LAMB81, AL_BLEND):
         if scheme == ARAKAWA_HSU90:
@@ -173,18 +181,31 @@ def coriolis_adv(u, v, h, uh, vh, G, GV, *,
                + (B * vh + d * ip1(jm1(vh)))) * G.IdxCu
         # CAv(i,J) = -[a(I-1,j)*uh(I-1,j) + c(I,j+1)*uh(I,j+1)
         #              + b(I,j)*uh(I,j) + d(I-1,j+1)*uh(I-1,j+1)]
-        cav = -((A_w * im1(uh) + jp1(C) * jp1(uh))
-                + (B * uh + jp1(D_w) * im1(jp1(uh)))) * G.IdyCv
+        fold = getattr(G, "fold_north", False)
+        ku = "u" if fold else None
+        jC, jD = jp1(C), jp1(D_w)
+        if fold:
+            # the rotation swaps the cell-corner roles: the ghost cell's
+            # SE-corner weight is the mirrored donor's NW weight (C<->A)
+            # and SW<->NE (D<->B)
+            jC = jC.at[..., -1, :].set(fold_ghost(A_w, "h"))
+            jD = jD.at[..., -1, :].set(fold_ghost(B, "h"))
+        juh = jp1(uh, ku)
+        cav = -((A_w * im1(uh) + jC * juh)
+                + (B * uh + jD * im1(juh))) * G.IdyCv
         if scheme != ARAKAWA_HSU90:
             ep_u, ep_v = _ep_terms(q, al_wt)
+            kd = "dh" if fold else None
             cau = cau + (ep_u * im1(uh)
                          - ip1(ep_u) * ip1(uh)) * G.IdxCu
             cav = cav + (ep_v * jm1(vh)
-                         - jp1(ep_v) * jp1(vh)) * G.IdyCv
+                         - jp1(ep_v, kd) * jp1(vh, "v" if fold else None)
+                         ) * G.IdyCv
     else:
         raise ValueError(f"unknown Coriolis scheme {scheme}")
 
     ke = kinetic_energy(u, v, G)
+    kh = "h" if getattr(G, "fold_north", False) else None
     cau = (cau - (ip1(ke) - ke) * G.IdxCu) * G.mask2dCu
-    cav = (cav - (jp1(ke) - ke) * G.IdyCv) * G.mask2dCv
+    cav = (cav - (jp1(ke, kh) - ke) * G.IdyCv) * G.mask2dCv
     return cau, cav

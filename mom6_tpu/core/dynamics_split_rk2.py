@@ -90,16 +90,18 @@ class MechForcing(NamedTuple):
 
 
 def _face_thickness(h, G):
+    kh = "h" if getattr(G, "fold_north", False) else None
     h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
-    h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+    h_v = 0.5 * (h + jp1(h, kh)) * G.mask2dCv
     return h_u, h_v
 
 
 def _massless_ramp(h, G, h0: float):
     """Per-face factors ~1 where both neighbors have mass, ~0 where the
     thinner neighbor is vanished."""
+    kh = "h" if getattr(G, "fold_north", False) else None
     hu = jnp.minimum(h, ip1(h))
-    hv = jnp.minimum(h, jp1(h))
+    hv = jnp.minimum(h, jp1(h, kh))
     return hu / (hu + h0), hv / (hv + h0)
 
 

@@ -45,5 +45,6 @@ def isopycnal_slopes(h, T, S, G, GV, eos, *, slope_max: float = 0.01):
         return jnp.clip(s, -slope_max, slope_max) * mask
 
     sx = slope(lambda x: ip1(x) - x, G.IdxCu, G.mask2dCu)
-    sy = slope(lambda x: jp1(x) - x, G.IdyCv, G.mask2dCv)
+    kf = "h" if getattr(G, "fold_north", False) else None
+    sy = slope(lambda x: jp1(x, kf) - x, G.IdyCv, G.mask2dCv)
     return sx, sy

@@ -110,6 +110,9 @@ class MOMParams(NamedTuple):
 class Forcing(NamedTuple):
     mech: MechForcing = MechForcing()
     buoy: BuoyancyForcing = BuoyancyForcing()
+    # time-dependent open-boundary exterior data (file-driven segments;
+    # update_OBC_segment_data role) — dense overrides of p.obc's arrays
+    obc_data: Optional[object] = None
 
 
 def _tidal_geopotential(state, G, p: MOMParams):
@@ -152,9 +155,40 @@ def _unstack_tracers(state, stack, names):
 
 def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
              ) -> OceanState:
-    """Advance one thermo cycle = n_dyn_per_thermo baroclinic steps."""
+    """Advance one thermo cycle = n_dyn_per_thermo baroclinic steps.
+
+    Land columns are held exactly inert (the reference's masked loops
+    never touch them): the Angstrom-thin columns under the mask are
+    numerically ill-conditioned in float32 — column solves amplify
+    roundoff exponentially there, and once a land value overflows, the
+    masked stencils spread it (NaN * 0 = NaN)."""
+    out = _step_mom_impl(state, forcing, G, GV, p)
+    m = G.mask2dT
+
+    def keep(new, old):
+        if jnp.ndim(new) == 0:          # package scalars (clocks etc.)
+            return new
+        if jnp.ndim(new) == jnp.ndim(m):
+            return jnp.where(m > 0.5, new, old)
+        return jnp.where(m[None] > 0.5, new, old)
+
+    out = out.replace(h=keep(out.h, state.h))
+    if out.T is not None:
+        out = out.replace(T=keep(out.T, state.T), S=keep(out.S, state.S))
+    if out.tr is not None and state.tr is not None:
+        out = out.replace(tr={k: keep(v, state.tr[k])
+                              for k, v in out.tr.items()})
+    return out
+
+
+def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
+                   p: MOMParams) -> OceanState:
     eos = get_eos(p.eos_name) if p.thermo_enabled else None
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+    obc_eff = p.obc
+    if p.obc is not None and forcing.obc_data is not None:
+        from mom6_tpu.core.open_boundary import merge_obc_data
+        obc_eff = merge_obc_data(p.obc, forcing.obc_data)
 
     # --- Stanley SGS temperature variance for the EOS in the PF
     # (MOM_stoch_eos.F90:261 -> use_Stanley in int_density_dz) -------------
@@ -303,11 +337,14 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
             out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
                                           pf_fn=pf_fn, hv_fn=hv_fn,
                                           por=por, bbl_piston=bbl_piston,
-                                          obc=p.obc)
-        if p.obc is not None:
-            from mom6_tpu.core.open_boundary import apply_obc
-            out = apply_obc(out, p.obc, G, GV, p.dyn.dt,
+                                          obc=obc_eff)
+        if obc_eff is not None:
+            from mom6_tpu.core.open_boundary import (
+                apply_obc, update_tracer_reservoirs)
+            out = apply_obc(out, obc_eff, G, GV, p.dyn.dt,
                             u_old=st.u, v_old=st.v)
+            if p.thermo_enabled and obc_eff.res_len_in > 0.0:
+                out = update_tracer_reservoirs(out, obc_eff, G, p.dyn.dt)
         if out.time is not None:
             out = out.replace(time=out.time + p.dyn.dt)
         return out, None

@@ -41,7 +41,9 @@ import numpy as np
 
 from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 
-__all__ = ["OBCSegment", "OBCParams", "build_obc", "apply_obc"]
+__all__ = ["OBCSegment", "OBCParams", "OBCData", "build_obc",
+           "apply_obc", "merge_obc_data", "segment_slices",
+           "update_tracer_reservoirs"]
 
 FLATHER = "FLATHER"
 ORLANSKI = "ORLANSKI"
@@ -52,7 +54,9 @@ GRADIENT = "GRADIENT"
 class OBCSegment(NamedTuple):
     edge: str                      # 'N' | 'S' | 'E' | 'W'
     lo: int = 0                    # start index along the edge
-    hi: int = -1                   # end index (exclusive; -1 = to the end)
+    hi: int = -1                   # end index (exclusive; -1 = to the end;
+    #                                 partial-edge extents come from the
+    #                                 reference's I=a:b / J=a:b strings)
     eta_ext: float = 0.0           # exterior sea surface height [m]
     vel_ext: float = 0.0           # exterior normal velocity [m s-1]
     T_ext: Optional[float] = None
@@ -83,10 +87,57 @@ class OBCParams(NamedTuple):
     mask_u_grad: Optional[jnp.ndarray] = None
     mask_v_grad: Optional[jnp.ndarray] = None
     rx_max: float = 1.0            # CFL cap on the diagnosed phase speed
+    # per-tracer segment reservoirs (MOM_open_boundary.F90
+    # update_segment_tracer_reservoirs): inflow/outflow length scales;
+    # 0 disables (boundary tracers then use the specified T_ext/S_ext)
+    res_len_in: float = 0.0
+    res_len_out: float = 0.0
+
+
+def segment_slices(edge: str, lo: int, hi: int, ny: int, nx: int):
+    """(face_slice, cell_slice) of a boundary segment in the dense
+    (ny, nx) arrays.  The face slice addresses the last INTERIOR u/v
+    face; the cell slice the outermost (reservoir) cell strip."""
+    hi = hi if hi >= 0 else (nx if edge in "NS" else ny)
+    if edge == "E":
+        return (slice(lo, hi), -2), (slice(lo, hi), -1)
+    if edge == "W":
+        return (slice(lo, hi), 0), (slice(lo, hi), 0)
+    if edge == "N":
+        return (-2, slice(lo, hi)), (-1, slice(lo, hi))
+    if edge == "S":
+        return (0, slice(lo, hi)), (0, slice(lo, hi))
+    raise ValueError(f"bad OBC edge {edge}")
+
+
+class OBCData(NamedTuple):
+    """Time-dependent dense overrides of the OBC exterior data
+    (update_OBC_segment_data, MOM_open_boundary.F90: file-driven
+    segment SSH/velocity/tracers).  Built by the forcing provider each
+    coupling interval and carried in Forcing so the jitted step sees it
+    as a traced argument (no recompilation)."""
+    eta_ext: Optional[jnp.ndarray] = None
+    uvel_ext: Optional[jnp.ndarray] = None
+    vvel_ext: Optional[jnp.ndarray] = None
+    T_ext: Optional[jnp.ndarray] = None
+    S_ext: Optional[jnp.ndarray] = None
+
+
+def merge_obc_data(obc: "OBCParams", data: Optional[OBCData]
+                   ) -> "OBCParams":
+    if data is None:
+        return obc
+    rep = {}
+    for f in ("eta_ext", "uvel_ext", "vvel_ext", "T_ext", "S_ext"):
+        v = getattr(data, f)
+        if v is not None:
+            rep[f] = v
+    return obc._replace(**rep)
 
 
 def build_obc(segments: List[OBCSegment], ny: int, nx: int,
-              dtype=jnp.float32) -> OBCParams:
+              dtype=jnp.float32, *, res_len_in: float = 0.0,
+              res_len_out: float = 0.0) -> OBCParams:
     """Compile segment specs into dense masks (init-time, host-side)."""
     mu = np.zeros((ny, nx)); mv = np.zeros((ny, nx))
     mur = np.zeros((ny, nx)); mvr = np.zeros((ny, nx))
@@ -105,25 +156,15 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
         if sch not in pick_u:
             raise ValueError(f"OBC scheme {seg.scheme!r}: expected one of "
                              f"{sorted(pick_u)}")
-        hi = seg.hi if seg.hi >= 0 else (nx if seg.edge in "NS" else ny)
+        sl, cell = segment_slices(seg.edge, seg.lo, seg.hi, ny, nx)
         if seg.edge == "E":
-            sl = (slice(seg.lo, hi), -2)     # last interior u face
-            cell = (slice(seg.lo, hi), -1)
             pick_u[sch][sl] = 1.0; su[sl] = 1.0; ue[sl] = seg.vel_ext
         elif seg.edge == "W":
-            sl = (slice(seg.lo, hi), 0)
-            cell = (slice(seg.lo, hi), 0)
             pick_u[sch][sl] = 1.0; su[sl] = -1.0; ue[sl] = seg.vel_ext
         elif seg.edge == "N":
-            sl = (-2, slice(seg.lo, hi))
-            cell = (-1, slice(seg.lo, hi))
             pick_v[sch][sl] = 1.0; sv[sl] = 1.0; ve[sl] = seg.vel_ext
-        elif seg.edge == "S":
-            sl = (0, slice(seg.lo, hi))
-            cell = (0, slice(seg.lo, hi))
-            pick_v[sch][sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
         else:
-            raise ValueError(f"bad OBC edge {seg.edge}")
+            pick_v[sch][sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
         mc[cell] = 1.0
         eta[cell] = seg.eta_ext
         itau[cell] = 1.0 / max(seg.nudge_timescale, 1e-6)
@@ -142,7 +183,8 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
                      inv_tau=J(itau),
                      mask_u_rad=opt(mur), mask_v_rad=opt(mvr),
                      mask_u_obl=opt(muo), mask_v_obl=opt(mvo),
-                     mask_u_grad=opt(mug), mask_v_grad=opt(mvg))
+                     mask_u_grad=opt(mug), mask_v_grad=opt(mvg),
+                     res_len_in=res_len_in, res_len_out=res_len_out)
 
 
 def _radiate_normal(w, w_old, sign, mask_rad, mask_obl, mask_grad,
@@ -244,3 +286,54 @@ def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
             S=(out.S + w * obc.S_ext[None]) * denom
             if state.S is not None else out.S)
     return out
+
+
+def update_tracer_reservoirs(state, obc: OBCParams, G, dt):
+    """Advance the per-cell segment tracer reservoirs and write them
+    into the boundary strip (the reference's
+    update_segment_tracer_reservoirs, MOM_open_boundary.F90:41-60):
+
+        res <- (res + a * T_adjacent) / (1 + a),
+        a = |u_n| dt / L,   L = L_in for inflow, L_out for outflow,
+
+    i.e. the reservoir relaxes toward the adjacent interior tracer at a
+    rate set by the normal flow, with separate memory lengths for water
+    entering and leaving.  The boundary strip carries the reservoir
+    value (the upstream tracer inflowing advection sees).  Returns the
+    updated state (obc_res_T / obc_res_S fields + strip T/S)."""
+    if state.T is None or obc.res_len_in <= 0.0:
+        return state
+    res_T = state.obc_res_T if state.obc_res_T is not None else state.T
+    res_S = state.obc_res_S if state.obc_res_S is not None else state.S
+
+    col = jnp.maximum(jnp.sum(state.h, axis=0), 1e-10)
+    ubar = jnp.sum(state.h * state.u, axis=0) / col
+    vbar = jnp.sum(state.h * state.v, axis=0) / col
+    # per-edge masks ON THE CELL STRIP (E/N faces sit one index inward
+    # of their strip cells; W/S faces coincide with them)
+    m_e = im1(jnp.where(obc.sign_u > 0.5, obc.mask_u, 0.0))
+    m_w = jnp.where(obc.sign_u < -0.5, obc.mask_u, 0.0)
+    m_n = jm1(jnp.where(obc.sign_v > 0.5, obc.mask_v, 0.0))
+    m_s = jnp.where(obc.sign_v < -0.5, obc.mask_v, 0.0)
+    msum = m_e + m_w + m_n + m_s
+    on_strip = jnp.clip(msum, 0.0, 1.0)
+    inv = 1.0 / jnp.maximum(msum, 1.0)
+    # outward-positive depth-mean normal flow at the strip cells
+    u_norm = (m_e * im1(ubar) - m_w * ubar
+              + m_n * jm1(vbar) - m_s * vbar) * inv
+
+    L = jnp.where(u_norm >= 0.0, obc.res_len_out, obc.res_len_in)
+    a = jnp.abs(u_norm) * dt / jnp.maximum(L, 1e-3)
+
+    def adjacent(f):
+        adj = (m_e[None] * im1(f) + m_w[None] * ip1(f)
+               + m_n[None] * jm1(f) + m_s[None] * jp1(f)) * inv[None]
+        return jnp.where(on_strip[None] > 0.5, adj, f)
+
+    w = (a * on_strip)[None]
+    res_T = (res_T + w * adjacent(state.T)) / (1.0 + w)
+    res_S = (res_S + w * adjacent(state.S)) / (1.0 + w)
+    T_new = jnp.where(on_strip[None] > 0.5, res_T, state.T)
+    S_new = jnp.where(on_strip[None] > 0.5, res_S, state.S)
+    return state.replace(T=T_new, S=S_new, obc_res_T=res_T,
+                         obc_res_S=res_S)

@@ -239,8 +239,9 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None, e_tidal=None,
         gate = (hmin > 2e-3).astype(pf.dtype)
         return pf * gate * mask_face  # PF_GATE
 
+    kh = "h" if getattr(G, "fold_north", False) else None
     pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)
-    pfv = pf_dir(jp1, G.IdyCv, G.mask2dCv)
+    pfv = pf_dir(lambda a: jp1(a, kh), G.IdyCv, G.mask2dCv)
 
     # pbce: d(layer PF)/d(eta) with the stratification's response to the
     # column stretching (Set_pbce_Bouss EOS branch,
@@ -279,7 +280,8 @@ def pressure_force_montgomery(h, G, GV, e_tidal=None) -> PressureForceOut:
     gp = GV.g_prime[:, None, None]
     M = jnp.cumsum(gp * e, axis=0)
     pfu = -(ip1(M) - M) * G.IdxCu * G.mask2dCu
-    pfv = -(jp1(M) - M) * G.IdyCv * G.mask2dCv
+    kh = "h" if getattr(G, "fold_north", False) else None
+    pfv = -(jp1(M, kh) - M) * G.IdyCv * G.mask2dCv
     # pbce: d(layer PF)/d(eta) (Set_pbce_Bouss, non-EOS branch,
     # MOM_PressureForce_Montgomery.F90:726-736).  When the free surface
     # rises by d(eta) the whole column stretches, so interface K moves by
@@ -414,8 +416,9 @@ def pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos,
         gate = (pmin > 20.0).astype(pf.dtype)
         return pf * gate * mask_face
 
+    kh = "h" if getattr(G, "fold_north", False) else None
     pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)
-    pfv = pf_dir(jp1, G.IdyCv, G.mask2dCv)
+    pfv = pf_dir(lambda a: jp1(a, kh), G.IdyCv, G.mask2dCv)
 
     # stratified pbce (Set_pbce_nonBouss role,
     # MOM_PressureForce_Montgomery.F90:745-818): mirror the Boussinesq

@@ -49,6 +49,10 @@ class OceanState:
     sppt_pattern: Optional[jnp.ndarray] = None  # (ny, nx)
     skeb_pattern: Optional[jnp.ndarray] = None  # (ny, nx) at q points
     rng_key: Optional[jnp.ndarray] = None       # jax PRNG key data
+    # open-boundary segment tracer reservoirs (update_segment_tracer_
+    # reservoirs role; values only meaningful on the boundary strip)
+    obc_res_T: Optional[jnp.ndarray] = None     # (nz, ny, nx)
+    obc_res_S: Optional[jnp.ndarray] = None
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

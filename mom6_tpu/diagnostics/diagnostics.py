@@ -70,7 +70,8 @@ def ke_budget(state_old, state_new, accel, G, dt: float):
     accelerations)."""
     h, u, v = state_new.h, state_new.u, state_new.v
     h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
-    h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+    h_v = 0.5 * (h + jp1(h, "h" if getattr(G, "fold_north", False)
+                         else None)) * G.mask2dCv
 
     def t2h(fu, fv):
         """u·f at faces, thickness-weighted, averaged to h points."""

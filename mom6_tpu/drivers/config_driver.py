@@ -40,7 +40,7 @@ def _inputdir(pf: ParamFile, doc_dir) -> str:
     d = pf.get("INPUTDIR", str, default=".", module="MOM_get_input",
                desc="Directory for input data files")
     if not os.path.isabs(d):
-        d = os.path.join(doc_dir or ".", d)
+        d = os.path.join(doc_dir or getattr(pf, "dir", "."), d)
     return d
 
 
@@ -57,13 +57,13 @@ class ModelSetup(NamedTuple):
     forcing_provider: Optional[object] = None
 
 
-def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
+def _build_grid(pf: ParamFile, dtype, doc_dir=None) -> Tuple[Grid, float]:
     m = "MOM_grid_init"
     nx = pf.get("NIGLOBAL", int, module=m,
                 desc="Number of points in the x-direction")
     ny = pf.get("NJGLOBAL", int, module=m)
     grid_config = pf.get("GRID_CONFIG", str, default="cartesian", module=m)
-    if grid_config not in ("cartesian", "spherical", "mercator"):
+    if grid_config not in ("cartesian", "spherical", "mercator", "mosaic"):
         raise NotImplementedError(f"GRID_CONFIG={grid_config}")
     lenlon = pf.get("LENLON", float, default=1000.0, units="km", module=m)
     lenlat = pf.get("LENLAT", float, default=1000.0, units="km", module=m)
@@ -75,7 +75,24 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
     beta = pf.get("BETA", float, default=0.0, units="m-1 s-1", module=m)
     topo_config = pf.get("TOPO_CONFIG", str, default="flat", module=m)
     depth = None
-    if topo_config == "flat":
+    if topo_config == "file":
+        # netCDF bathymetry (initialize_topography_from_file,
+        # MOM_fixed_initialization.F90:181): depth > 0 wet, clipped to
+        # MAXIMUM_DEPTH
+        from mom6_tpu.io.netcdf import read_nc
+        idir = _inputdir(pf, doc_dir)
+        tfile = pf.get("TOPO_FILE", str, default="ocean_topog.nc",
+                       module=m, desc="netCDF file with the bathymetry")
+        tvar = pf.get("TOPO_VARNAME", str, default="depth", module=m)
+        data = read_nc(os.path.join(idir, tfile))
+        if tvar not in data:
+            raise ValueError(f"{tfile} has no variable {tvar!r}")
+        depth = np.asarray(data[tvar], np.float64)
+        if depth.shape != (ny, nx):
+            raise ValueError(f"topography shape {depth.shape} != "
+                             f"({ny}, {nx})")
+        depth = np.minimum(depth, max_depth)
+    elif topo_config == "flat":
         depth = None
     elif topo_config == "bowl":
         x = (np.arange(nx) + 0.5) / nx - 0.5
@@ -156,6 +173,28 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
     reentrant_y = pf.get("REENTRANT_Y", bool, default=False, module=m)
+    if grid_config == "mosaic":
+        # FMS supergrid pair (set_grid_metrics_from_mosaic,
+        # MOM_grid_initialize.F90:150-430)
+        from mom6_tpu.grid.mosaic import (build_grid_from_supergrid,
+                                          read_supergrid)
+        idir = _inputdir(pf, doc_dir)
+        gfile = pf.get("GRID_FILE", str, default="ocean_hgrid.nc",
+                       module=m, desc="FMS supergrid file")
+        sg = read_supergrid(os.path.join(idir, gfile))
+        if depth is None:
+            raise ValueError("GRID_CONFIG=mosaic requires TOPO_CONFIG="
+                             "file (the mosaic pair ships a topography)")
+        fold = pf.get("TRIPOLAR_N", bool, default=False, module=m,
+                      desc="Northern tripolar fold (FOLD_NORTH_EDGE)")
+        G = build_grid_from_supergrid(
+            sg, depth, min_depth=max(min_depth, 1e-3),
+            cyclic_x=cyclic_x, reentrant_y=reentrant_y,
+            fold_north=fold, dtype=dtype)
+        if (G.nx, G.ny) != (nx, ny):
+            raise ValueError(f"supergrid implies {G.nx}x{G.ny}, "
+                             f"MOM_input says {nx}x{ny}")
+        return G, max_depth
     if grid_config in ("spherical", "mercator"):
         from mom6_tpu.grid.grid import build_spherical_grid
         west = pf.get("WESTLON", float, default=0.0, units="degrees",
@@ -187,7 +226,7 @@ def _build_grid(pf: ParamFile, dtype) -> Tuple[Grid, float]:
 
 def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                             doc_dir: Optional[str] = None) -> ModelSetup:
-    G, max_depth = _build_grid(pf, dtype)
+    G, max_depth = _build_grid(pf, dtype, doc_dir)
 
     m = "MOM_verticalGrid"
     nz = pf.get("NK", int, module=m, desc="Number of model layers")
@@ -497,9 +536,55 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     #                    [,TEMP=..][,SALT=..][,TAU=..]"
     m = "MOM_open_boundary"
     obc = None
+    obc_ts = []        # (field, slice, TimeSeriesField) for file data
     n_seg = pf.get("OBC_NUMBER_OF_SEGMENTS", int, default=0, module=m)
     if n_seg > 0:
-        from mom6_tpu.core.open_boundary import OBCSegment, build_obc
+        from mom6_tpu.core.open_boundary import (OBCSegment, build_obc,
+                                                 segment_slices)
+
+        def _extent(tok, size):
+            """Parse one end of the reference's I=a:b extent (a, b in
+            {number, N}; reversed order marks orientation, the extent is
+            the same)."""
+            tok = tok.strip().upper()
+            return size if tok == "N" else int(tok)
+
+        def _parse_data(n, edge, lo, hi):
+            """Per-segment DATA string: constants ("U=value:0.1") or
+            file series ('SSH=file:bay.nc(ssh)'), the reference's
+            update_OBC_segment_data forms."""
+            from mom6_tpu.framework.data_override import TimeSeriesField
+            from mom6_tpu.io.netcdf import read_nc
+            data = pf.get(f"OBC_SEGMENT_{n:03d}_DATA", str,
+                          default="", module=m)
+            dvals = {}
+            fsl, csl = segment_slices(edge, lo, hi, G.ny, G.nx)
+            for item in data.split(","):
+                if "=" not in item:
+                    continue
+                key, val = item.split("=", 1)
+                key = key.strip().upper()
+                val = val.strip()
+                if val.lower().startswith("file:"):
+                    spec2 = val[5:]
+                    fname, var = spec2.split("(")
+                    var = var.rstrip(")")
+                    path = fname if os.path.isabs(fname) else \
+                        os.path.join(_inputdir(pf, doc_dir), fname)
+                    raw = read_nc(path)
+                    tax = raw.get("time",
+                                  np.arange(raw[var].shape[0], dtype=float))
+                    ts = TimeSeriesField(np.asarray(tax, np.float64),
+                                         np.asarray(raw[var], np.float64),
+                                         periodic=True)
+                    sl = fsl if key in ("U", "V") else csl
+                    obc_ts.append((key, sl, ts))
+                elif ":" in val:
+                    dvals[key] = float(val.split(":", 1)[1])
+                else:
+                    dvals[key] = float(val)
+            return dvals
+
         segs = []
         for n in range(1, n_seg + 1):
             spec = pf.get(f"OBC_SEGMENT_{n:03d}", str, module=m)
@@ -508,43 +593,57 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                     in ("I", "J"):
                 # the reference's segment syntax, e.g.
                 # "J=N,I=N:0,FLATHER,ORLANSKI" (.testing/tc3/MOM_input:
-                # OBC_SEGMENT_001):  first item names the fixed edge,
-                # remaining non-KV items are the schemes
+                # OBC_SEGMENT_001): first item names the fixed edge, an
+                # optional second I=a:b / J=a:b item gives the extent
+                # (honest partial edges), remaining items the schemes
                 axis, pos = items[0].split("=", 1)
                 pos = pos.strip().upper()
                 if axis.strip().upper() == "J":
                     edge = "N" if pos == "N" else "S"
+                    size = G.nx
                 else:
                     edge = "E" if pos == "N" else "W"
-                schemes = [it.upper() for it in items[1:]
-                           if "=" not in it]
+                    size = G.ny
+                lo, hi = 0, -1
+                rest = items[1:]
+                if rest and ":" in rest[0] and "=" in rest[0]:
+                    _, ext = rest[0].split("=", 1)
+                    a, b = (_extent(t, size) for t in ext.split(":"))
+                    lo, hi = min(a, b), max(a, b)
+                    rest = rest[1:]
+                schemes = [it.upper() for it in rest if "=" not in it]
                 scheme = schemes[0] if schemes else "FLATHER"
-                # per-segment DATA string: constant U/V/SSH values
-                data = pf.get(f"OBC_SEGMENT_{n:03d}_DATA", str,
-                              default="", module=m)
-                dvals = {}
-                for item in data.split(","):
-                    if "=" in item:
-                        key, val = item.split("=", 1)
-                        if ":" in val:
-                            dvals[key.strip().upper()] = \
-                                float(val.split(":", 1)[1])
+                dvals = _parse_data(n, edge, lo, hi)
                 segs.append(OBCSegment(
-                    edge=edge, scheme=scheme,
+                    edge=edge, lo=lo, hi=hi, scheme=scheme,
                     eta_ext=dvals.get("SSH", 0.0),
                     vel_ext=dvals.get("U" if edge in ("E", "W") else "V",
-                                      0.0)))
+                                      0.0),
+                    T_ext=dvals.get("TEMP"), S_ext=dvals.get("SALT")))
                 continue
             kv = dict(item.split("=", 1) for item in spec.split(","))
+            lo = int(kv.get("LO", 0))
+            hi = int(kv.get("HI", -1))
+            edge = kv["EDGE"].strip().upper()
+            dvals = _parse_data(n, edge, lo, hi)
             segs.append(OBCSegment(
-                edge=kv["EDGE"].strip().upper(),
+                edge=edge, lo=lo, hi=hi,
                 scheme=kv.get("SCHEME", "FLATHER").strip().upper(),
-                eta_ext=float(kv.get("ETA", 0.0)),
-                vel_ext=float(kv.get("VEL", 0.0)),
-                T_ext=float(kv["TEMP"]) if "TEMP" in kv else None,
-                S_ext=float(kv["SALT"]) if "SALT" in kv else None,
+                eta_ext=float(kv.get("ETA", dvals.get("SSH", 0.0))),
+                vel_ext=float(kv.get("VEL", dvals.get(
+                    "U" if edge in ("E", "W") else "V", 0.0))),
+                T_ext=float(kv["TEMP"]) if "TEMP" in kv
+                else dvals.get("TEMP"),
+                S_ext=float(kv["SALT"]) if "SALT" in kv
+                else dvals.get("SALT"),
                 nudge_timescale=float(kv.get("TAU", 3600.0))))
-        obc = build_obc(segs, G.ny, G.nx, dtype=dtype)
+        res_in = pf.get("OBC_TRACER_RESERVOIR_LENGTH_SCALE_IN", float,
+                        default=0.0, units="m", module=m,
+                        desc="Reservoir memory length for inflow")
+        res_out = pf.get("OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT", float,
+                         default=0.0, units="m", module=m)
+        obc = build_obc(segs, G.ny, G.nx, dtype=dtype,
+                        res_len_in=res_in, res_len_out=res_out)
 
     # -- low-mode internal tide propagation ---------------------------------
     m = "MOM_internal_tides"
@@ -1059,6 +1158,19 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             taux_np = -tau0 * np.cos(2 * np.pi * yfrac)
         taux = jnp.asarray(taux_np, dtype) * G.mask2dCu
         tauy = jnp.zeros_like(G.mask2dCv)
+    elif wind_cfg == "global":
+        # idealized zonal-mean climatological wind stress on geographic
+        # latitude: easterly trades, mid-latitude westerlies (stronger
+        # in the Southern Ocean), weak polar easterlies, tapered beyond
+        # 65 degrees
+        tau0 = pf.get("TAUX_MAGNITUDE", float, default=0.1, units="Pa",
+                      module=m)
+        lat = np.asarray(G.geoLatT)
+        prof = -np.cos(np.pi * lat / 35.0) \
+            * np.exp(-(lat / 65.0) ** 4)
+        prof = prof * np.where(lat < -30.0, 1.4, 1.0)   # SO westerlies
+        taux = jnp.asarray(tau0 * prof, dtype) * G.mask2dCu
+        tauy = jnp.zeros_like(G.mask2dCv)
     elif wind_cfg == "constant":
         taux = jnp.full((G.ny, G.nx),
                         pf.get("CONST_WIND_TAUX", float, default=0.0,
@@ -1096,7 +1208,7 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         wind_ts = (fx, fy, bmap)
         taux = jnp.zeros((G.ny, G.nx), dtype)   # filled by the provider
         tauy = jnp.zeros((G.ny, G.nx), dtype)
-    elif wind_cfg not in ("zero", "gyres", "constant"):
+    elif wind_cfg not in ("zero", "gyres", "constant", "global"):
         raise NotImplementedError(f"WIND_CONFIG={wind_cfg}")
 
     buoy_cfg = pf.get("BUOY_CONFIG", str, default="zero", module=m)
@@ -1151,12 +1263,26 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         buoy_ts = (h_ts, sw_ts, fw_ts, bmap)
         heat = jnp.zeros((G.ny, G.nx), dtype)   # filled by the provider
     elif buoy_cfg not in ("zero", "NS_heating", "const") and \
-            not (buoy_cfg in ("linear", "file") and use_thermo):
+            not (buoy_cfg in ("linear", "global", "file") and use_thermo):
         raise NotImplementedError(f"BUOY_CONFIG={buoy_cfg}")
 
     t_restore = s_restore = None
     restore_rate = 0.0
-    if buoy_cfg == "linear" and use_thermo and \
+    if buoy_cfg == "global" and use_thermo:
+        # restore SST toward an idealized zonal-mean climatology
+        # T*(lat) = T_POLE + (T_EQ - T_POLE) cos^2(lat * pi/180 * 90/80)
+        # with piston velocity FLUXCONST [m day-1]
+        fluxconst = pf.get("FLUXCONST", float, default=0.5,
+                           units="m day-1", module=m)
+        restore_rate = fluxconst / 86400.0
+        t_eq = pf.get("SST_EQUATOR", float, default=27.0, units="degC",
+                      module=m)
+        t_po = pf.get("SST_POLE", float, default=-1.0, units="degC",
+                      module=m)
+        lat = np.asarray(G.geoLatT)
+        t_star = t_po + (t_eq - t_po) * np.cos(np.deg2rad(lat)) ** 2
+        t_restore = jnp.asarray(t_star, dtype)
+    elif buoy_cfg == "linear" and use_thermo and \
             pf.get("RESTOREBUOY", bool, default=False, module=m):
         fluxconst = pf.get("FLUXCONST", float, default=0.0,
                            units="m day-1", module=m)
@@ -1176,14 +1302,43 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                            restore_rate=restore_rate))
 
     forcing_provider = None
-    if wind_ts is not None or buoy_ts is not None:
+    if wind_ts is not None or buoy_ts is not None or obc_ts:
         from mom6_tpu.framework.data_override import data_override
         from mom6_tpu.framework.stencil import ip1, jp1
+
+        # base numpy copies of the OBC dense arrays for scattering the
+        # per-segment file series (update_OBC_segment_data role)
+        _obc_base = None
+        if obc_ts:
+            _obc_base = {
+                "SSH": np.asarray(obc.eta_ext, np.float64).copy(),
+                "U": np.asarray(obc.uvel_ext, np.float64).copy(),
+                "V": np.asarray(obc.vvel_ext, np.float64).copy(),
+                "TEMP": np.asarray(obc.T_ext, np.float64).copy()
+                if obc.T_ext is not None else np.zeros((G.ny, G.nx)),
+                "SALT": np.asarray(obc.S_ext, np.float64).copy()
+                if obc.S_ext is not None else np.zeros((G.ny, G.nx)),
+            }
+
+        def _obc_at(t_days):
+            from mom6_tpu.core.open_boundary import OBCData
+            arrs = {k: v.copy() for k, v in _obc_base.items()}
+            used = set()
+            for key, sl, ts in obc_ts:
+                val = ts.at_time(t_days)
+                arrs[key][sl] = val      # scalar or along-segment array
+                used.add(key)
+            names = {"SSH": "eta_ext", "U": "uvel_ext", "V": "vvel_ext",
+                     "TEMP": "T_ext", "SALT": "S_ext"}
+            return OBCData(**{names[k]: jnp.asarray(arrs[k], dtype)
+                              for k in used})
 
         def forcing_provider(t_seconds, _base=forcing):
             """Forcing at model time [s] (file times are in days)."""
             f = _base
             t_days = float(t_seconds) / 86400.0
+            if obc_ts:
+                f = f._replace(obc_data=_obc_at(t_days))
             if wind_ts is not None:
                 fx, fy, bmap = wind_ts
                 tx_t = data_override(fx, t_days, bmap, dtype=dtype)
@@ -1219,6 +1374,11 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         forcing = forcing._replace(mech=forcing.mech._replace(u10=u10))
     if tfc is not None:
         state = state.replace(tr=tfc.init_tracers(state.h.shape, dtype))
+    if obc is not None and obc.res_len_in > 0.0 and use_thermo:
+        # seed the segment tracer reservoirs with the initial state
+        # (distinct buffers: donation rejects aliased fields)
+        state = state.replace(obc_res_T=state.T + 0.0,
+                              obc_res_S=state.S + 0.0)
     if tides is not None:
         state = state.replace(time=jnp.zeros((), dtype))
     if sppt is not None:

@@ -98,6 +98,10 @@ class ParamFile:
         self._read: set = set()
         self._log: List[_LogRecord] = []
         self._log_seen: Dict[str, Any] = {}
+        # directory of the primary parameter file: the default rundir
+        # for resolving INPUTDIR-relative input files
+        self.dir = os.path.dirname(os.path.abspath(paths[0])) if paths \
+            else "."
         for p in paths:
             with open(p) as f:
                 self._parse(f.read(), os.path.basename(p))

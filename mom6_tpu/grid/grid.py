@@ -32,6 +32,10 @@ class Grid:
     ny: int = static()
     cyclic_x: bool = static(default=False)
     reentrant_y: bool = static(default=False)
+    # tripolar northern fold: the top edge is identified with itself
+    # under i -> nx-1-i (FOLD_NORTH_EDGE of the reference's
+    # MOM_domain_infra.F90:10-34); consumed by the fold-aware stencils
+    fold_north: bool = static(default=False)
 
     # cell-center (h-point) metrics [m], [m2]
     dxT: jnp.ndarray = None
@@ -82,8 +86,11 @@ class Grid:
         return (self.ny, self.nx)
 
 
-def _face_masks(mask_t: np.ndarray, cyclic_x: bool, reentrant_y: bool):
-    """Derive u/v/q masks from the center mask; zero wrap faces of closed axes."""
+def _face_masks(mask_t: np.ndarray, cyclic_x: bool, reentrant_y: bool,
+                fold_north: bool = False):
+    """Derive u/v/q masks from the center mask; zero wrap faces of closed
+    axes.  With ``fold_north`` the top v/q faces connect each column to
+    its fold image (j=ny-1, nx-1-i) instead of being walls."""
     mu = mask_t * np.roll(mask_t, -1, axis=-1)
     mv = mask_t * np.roll(mask_t, -1, axis=-2)
     mq = (mask_t * np.roll(mask_t, -1, axis=-1)
@@ -92,7 +99,12 @@ def _face_masks(mask_t: np.ndarray, cyclic_x: bool, reentrant_y: bool):
     if not cyclic_x:
         mu[:, -1] = 0.0
         mq[:, -1] = 0.0
-    if not reentrant_y:
+    if fold_north:
+        top = mask_t[-1]
+        mv[-1, :] = top * top[::-1]
+        mq[-1, :] = (top * np.roll(top, -1)
+                     * top[::-1] * np.roll(top[::-1], 1))
+    elif not reentrant_y:
         mv[-1, :] = 0.0
         mq[-1, :] = 0.0
     return mu, mv, mq

@@ -46,6 +46,7 @@ def read_supergrid(hgrid_path: str):
 def build_grid_from_supergrid(sg, depth, *, min_depth: float = 0.5,
                               cyclic_x: bool = False,
                               reentrant_y: bool = False,
+                              fold_north: bool = False,
                               omega: float = constants.OMEGA,
                               dtype=jnp.float32) -> Grid:
     """Build a Grid from supergrid arrays ``sg`` (see read_supergrid) and
@@ -71,25 +72,31 @@ def build_grid_from_supergrid(sg, depth, *, min_depth: float = 0.5,
 
     dxT = dx[np.ix_(jj, 2 * i)] + dx[np.ix_(jj, ii)]
     dyT = dy[np.ix_(2 * j, ii)] + dy[np.ix_(jj, ii)]
-    # east-face / north-face metrics; wrap the last face (masked anyway
-    # when the axis is closed)
-    ip2 = np.minimum(2 * i + 2, 2 * nx - 1)
-    jp2 = np.minimum(2 * j + 2, 2 * ny - 1)
+    # east-face / north-face metrics.  x wraps periodically (the last
+    # face is the seam; masked when the axis is closed); in y the face
+    # row 2j+2 is always a valid node row (dx has 2ny+1 rows), and for
+    # j = ny-1 it is the FOLD line itself, whose mirror symmetry the
+    # fold-aware stencils rely on.  dy face distances above the top row
+    # clamp to the last interval (only the fold/wall row uses them).
+    ip2 = (2 * i + 2) % (2 * nx)
+    jp2 = 2 * j + 2                                  # <= 2*ny, valid for dx
+    jp2d = np.minimum(2 * j + 2, 2 * ny - 1)         # for dy (2ny rows)
     dxCu = dx[np.ix_(jj, ii)] + dx[np.ix_(jj, ip2)]
-    dyCu = dy[np.ix_(jj, ii)]
-    dyCu = dyCu + dy[np.ix_(2 * j, ii)]          # face length in y at u
-    dxCv = dx[np.ix_(jj, ii)] + dx[np.ix_(jj, 2 * i)]
-    dyCv = dy[np.ix_(jj, ii)] + dy[np.ix_(jp2, ii)]
+    dyCu = dy[np.ix_(2 * j, ip2)] + dy[np.ix_(jj, ip2)]
+    dxCv = dx[np.ix_(jp2, 2 * i)] + dx[np.ix_(jp2, ii)]
+    dyCv = dy[np.ix_(jj, ii)] + dy[np.ix_(jp2d, ii)]
     dxBu = dx[np.ix_(jp2, ii)] + dx[np.ix_(jp2, ip2)]
-    dyBu = dy[np.ix_(jj, ip2)] + dy[np.ix_(jp2, ip2)]
+    dyBu = dy[np.ix_(jj, ip2)] + dy[np.ix_(jp2d, ip2)]
 
     areaT = (area[np.ix_(2 * j, 2 * i)] + area[np.ix_(2 * j, ii)]
              + area[np.ix_(jj, 2 * i)] + area[np.ix_(jj, ii)])
     areaBu = areaT                                  # adequate proxy
 
     mask_t = (depth > min_depth).astype(np.float64)
-    depth = np.where(mask_t > 0.5, depth, min_depth)
-    mu, mv, mq = _face_masks(mask_t, cyclic_x, reentrant_y)
+    depth = np.where(mask_t > 0.5, depth, 0.0)   # land: zero depth, as
+    #                                              the analytic grids do
+    mu, mv, mq = _face_masks(mask_t, cyclic_x, reentrant_y,
+                             fold_north=fold_north)
     f_q = 2.0 * omega * np.sin(np.deg2rad(geo_lat_q))
 
     def J(a):
@@ -97,6 +104,7 @@ def build_grid_from_supergrid(sg, depth, *, min_depth: float = 0.5,
 
     return Grid(
         nx=nx, ny=ny, cyclic_x=cyclic_x, reentrant_y=reentrant_y,
+        fold_north=fold_north,
         dxT=J(dxT), dyT=J(dyT), areaT=J(areaT), IareaT=J(1.0 / areaT),
         IdxT=J(1.0 / dxT), IdyT=J(1.0 / dyT),
         dxCu=J(dxCu), dyCu=J(dyCu), IdxCu=J(1.0 / dxCu),

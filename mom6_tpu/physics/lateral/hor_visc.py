@@ -50,8 +50,10 @@ class HorViscParams(NamedTuple):
 
 def _strains(u, v, G):
     """(sh_xx at h, sh_xy at q) with no-slip land handled by the q mask."""
+    ku = "u" if getattr(G, "fold_north", False) else None
     sh_xx = ((u - im1(u)) * G.IdxT - (v - jm1(v)) * G.IdyT) * G.mask2dT
-    sh_xy = ((ip1(v) - v) / G.dxBu + (jp1(u) - u) / G.dyBu) * G.mask2dBu
+    sh_xy = ((ip1(v) - v) / G.dxBu + (jp1(u, ku) - u) / G.dyBu) \
+        * G.mask2dBu
     return sh_xx, sh_xy
 
 
@@ -64,13 +66,16 @@ def _stress_accel(h, str_xx, str_xy, G):
     thickness cannot manufacture huge accelerations at thin layers over
     topography."""
     eps = 1e-10
+    kh = "h" if getattr(G, "fold_north", False) else None
+    jh = jp1(h, kh)
     h_q = 4.0 / (1.0 / (h + eps) + 1.0 / (ip1(h) + eps)
-                 + 1.0 / (jp1(h) + eps) + 1.0 / (ip1(jp1(h)) + eps))
+                 + 1.0 / (jh + eps) + 1.0 / (ip1(jh) + eps))
     h_u = jnp.maximum(0.5 * (h + ip1(h)), 1e-3)
-    h_v = jnp.maximum(0.5 * (h + jp1(h)), 1e-3)
+    h_v = jnp.maximum(0.5 * (h + jh), 1e-3)
     fx = ((ip1(h * str_xx) - h * str_xx) * G.IdxCu
           + (h_q * str_xy - jm1(h_q * str_xy)) * G.IdyCu)
-    fy = (-(jp1(h * str_xx) - h * str_xx) * G.IdyCv
+    # str_xx is rotation-invariant (both tensor indices flip): kind "h"
+    fy = (-(jp1(h * str_xx, kh) - h * str_xx) * G.IdyCv
           + (h_q * str_xy - im1(h_q * str_xy)) * G.IdxCv)
     du = fx / h_u * G.mask2dCu
     dv = fy / h_v * G.mask2dCv
@@ -89,7 +94,9 @@ def _coefficients(u, v, sh_xx, sh_xy, G, p: HorViscParams):
         kh = kh + (p.smag_lap_const ** 2) * dx2 * shear_mag
     if p.leith_lap_const:
         # |grad zeta| at h points
-        zeta = ((ip1(v) - v) / G.dxBu - (jp1(u) - u) / G.dyBu) * G.mask2dBu
+        ku = "u" if getattr(G, "fold_north", False) else None
+        zeta = ((ip1(v) - v) / G.dxBu - (jp1(u, ku) - u) / G.dyBu) \
+            * G.mask2dBu
         zeta_h = 0.25 * ((zeta + im1(zeta)) + (jm1(zeta) + im1(jm1(zeta))))
         dzx = (zeta_h - im1(zeta_h)) * G.IdxT
         dzy = (zeta_h - jm1(zeta_h)) * G.IdyT
@@ -149,7 +156,7 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
             mag2 = jnp.maximum(u_h ** 2 + v_h ** 2, 1e-20)
             s2t_h = 2.0 * u_h * v_h / mag2
             c2t_h = (u_h ** 2 - v_h ** 2) / mag2
-            u_q = 0.5 * (u + jp1(u))
+            u_q = 0.5 * (u + jp1(u, "u" if kfold else None))
             v_q = 0.5 * (v + ip1(v))
             mag2q = jnp.maximum(u_q ** 2 + v_q ** 2, 1e-20)
             s2t_q = 2.0 * u_q * v_q / mag2q
@@ -165,7 +172,9 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
             denom = G.IdxT ** 2 + G.IdyT ** 2
             bound = 0.2 / (p.dt * denom)
             kh_h = jnp.clip(kh_h, -bound, bound)
-    kh_q = 0.25 * ((kh_h + ip1(kh_h)) + (jp1(kh_h) + ip1(jp1(kh_h))))
+    kfold = "h" if getattr(G, "fold_north", False) else None
+    jkh = jp1(kh_h, kfold)
+    kh_q = 0.25 * ((kh_h + ip1(kh_h)) + (jkh + ip1(jkh)))
     if p.kh_aniso > 0.0:
         # tension part at h, shear part at q — each added AFTER the q
         # interpolation so the anisotropy is not smeared isotropic
@@ -184,8 +193,8 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
         # the tension<->shear cross terms (str_xx :1289, str_xy :1733)
         sh_xy_h = 0.25 * ((sh_xy + im1(sh_xy))
                           + (jm1(sh_xy) + im1(jm1(sh_xy))))
-        sh_xx_q = 0.25 * ((sh_xx + ip1(sh_xx))
-                          + (jp1(sh_xx) + ip1(jp1(sh_xx))))
+        jxx = jp1(sh_xx, kfold)
+        sh_xx_q = 0.25 * ((sh_xx + ip1(sh_xx)) + (jxx + ip1(jxx)))
         str_xx = str_xx - p.kh_aniso * s2t_h * c2t_h * sh_xy_h
         str_xy = str_xy - p.kh_aniso * s2t_q * c2t_q * sh_xx_q
     if p.kh or p.smag_lap_const or p.leith_lap_const or p.kh_aniso \
@@ -197,7 +206,8 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
     if p.ah or p.smag_bi_const:
         lap_u, lap_v = _lap_uv(u, v, h, G)
         sh2_xx, sh2_xy = _strains(lap_u, lap_v, G)
-        ah_q = 0.25 * ((ah_h + ip1(ah_h)) + (jp1(ah_h) + ip1(jp1(ah_h))))
+        jah = jp1(ah_h, kfold)
+        ah_q = 0.25 * ((ah_h + ip1(ah_h)) + (jah + ip1(jah)))
         du, dv = _stress_accel(h, ah_h * sh2_xx, ah_q * sh2_xy, G)
         diffu = diffu - du   # biharmonic: minus the double Laplacian
         diffv = diffv - dv

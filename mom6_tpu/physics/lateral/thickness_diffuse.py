@@ -21,7 +21,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import jm1_s0, im1, ip1, jm1, jp1
 
 __all__ = ["GMParams", "thickness_diffuse"]
 
@@ -42,6 +42,7 @@ def thickness_diffuse(h, G, GV, dt, p: GMParams, *, khth_2d=None,
     interface slope; with T/S/eos given (ALE mode, where coordinate
     surfaces are flat by construction) it is the NEUTRAL slope, as in the
     reference's ALE path (MOM_thickness_diffuse + MOM_isopycnal_slopes)."""
+    kh_f = "h" if getattr(G, "fold_north", False) else None
     kh = jnp.asarray(p.khth, h.dtype)
     if khth_2d is not None:
         kh = khth_2d
@@ -60,11 +61,11 @@ def thickness_diffuse(h, G, GV, dt, p: GMParams, *, khth_2d=None,
         e_int = e[1:]                        # interior interfaces (nz-1)
         sx = jnp.clip((ip1(e_int) - e_int) * G.IdxCu,
                       -p.slope_max, p.slope_max)
-        sy = jnp.clip((jp1(e_int) - e_int) * G.IdyCv,
+        sy = jnp.clip((jp1(e_int, kh_f) - e_int) * G.IdyCv,
                       -p.slope_max, p.slope_max)
 
     kh_u = 0.5 * (kh + ip1(kh)) if jnp.ndim(kh) else kh
-    kh_v = 0.5 * (kh + jp1(kh)) if jnp.ndim(kh) else kh
+    kh_v = 0.5 * (kh + jp1(kh, kh_f)) if jnp.ndim(kh) else kh
     psi_u = kh_u * sx * G.mask2dCu           # [m2 s-1] streamfunction
     psi_v = kh_v * sy * G.mask2dCv
 
@@ -79,8 +80,8 @@ def thickness_diffuse(h, G, GV, dt, p: GMParams, *, khth_2d=None,
     h_ab, h_bl = h[:-1], h[1:]               # bounding layers, iface 1..nz-1
     hmin_u = jnp.minimum(jnp.minimum(h_ab, ip1(h_ab)),
                          jnp.minimum(h_bl, ip1(h_bl)))
-    hmin_v = jnp.minimum(jnp.minimum(h_ab, jp1(h_ab)),
-                         jnp.minimum(h_bl, jp1(h_bl)))
+    hmin_v = jnp.minimum(jnp.minimum(h_ab, jp1(h_ab, kh_f)),
+                         jnp.minimum(h_bl, jp1(h_bl, kh_f)))
     psi_u = psi_u * (hmin_u * hmin_u) / (hmin_u * hmin_u + h0 * h0)
     psi_v = psi_v * (hmin_v * hmin_v) / (hmin_v * hmin_v + h0 * h0)
 
@@ -98,12 +99,14 @@ def thickness_diffuse(h, G, GV, dt, p: GMParams, *, khth_2d=None,
     # layer within dt — vital for vanished layers over topography
     vol = h * G.areaT
     out_u = jnp.maximum(uhd, 0.0) + jnp.maximum(-im1(uhd), 0.0)
-    out_v = jnp.maximum(vhd, 0.0) + jnp.maximum(-jm1(vhd), 0.0)
+    out_v = jnp.maximum(vhd, 0.0) \
+        + jnp.maximum(-jm1_s0(vhd, kh_f), 0.0)
     r = jnp.minimum(1.0, 0.25 * vol / jnp.maximum(dt * (out_u + out_v),
                                                   1e-30))
     uhd = uhd * jnp.where(uhd > 0.0, r, ip1(r))
-    vhd = vhd * jnp.where(vhd > 0.0, r, jp1(r))
+    vhd = vhd * jnp.where(vhd > 0.0, r, jp1(r, kh_f))
 
-    h_new = h - dt * G.IareaT * ((uhd - im1(uhd)) + (vhd - jm1(vhd)))
+    h_new = h - dt * G.IareaT * ((uhd - im1(uhd))
+                                 + (vhd - jm1_s0(vhd, kh_f)))
     h_new = jnp.maximum(h_new, GV.angstrom)
     return h_new, uhd, vhd

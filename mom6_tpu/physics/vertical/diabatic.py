@@ -143,6 +143,14 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
         vsf = -S[0] * forcing.fw_flux
         s_flux = vsf if s_flux is None else s_flux + vsf
 
+    # land columns hold Angstrom-thin layers: any surface flux divided by
+    # their thickness produces astronomical tracer values whose EOS
+    # evaluation overflows to inf and then poisons wet neighbors through
+    # masked stencils (NaN * 0 = NaN) — mask every surface flux
+    if t_flux is not None:
+        t_flux = t_flux * G.mask2dT
+    if s_flux is not None:
+        s_flux = s_flux * G.mask2dT
     stack = [T, S]
     fluxes = [t_flux if t_flux is not None else jnp.zeros_like(T[0]),
               s_flux if s_flux is not None else jnp.zeros_like(S[0])]

@@ -50,10 +50,12 @@ def set_viscous_bbl(u, v, h, G, p: SetViscParams):
     """Returns (kv_bbl_u, kv_bbl_v, bbl_thick_u, bbl_thick_v): BBL
     viscosity [m2 s-1] and thickness [m] at u and v faces."""
     h_u = 0.5 * (h + ip1(h))
-    h_v = 0.5 * (h + jp1(h))
+    fold = getattr(G, "fold_north", False)
+    h_v = 0.5 * (h + jp1(h, "h" if fold else None))
     # speed at faces: own component + interpolated transverse component
     v_at_u = 0.25 * (v + jm1(v) + ip1(v) + ip1(jm1(v)))
-    u_at_v = 0.25 * (u + im1(u) + jp1(u) + im1(jp1(u)))
+    ju = jp1(u, "u" if fold else None)
+    u_at_v = 0.25 * (u + im1(u) + ju + im1(ju))
     sp_u = jnp.sqrt(u * u + v_at_u * v_at_u)
     sp_v = jnp.sqrt(v * v + u_at_v * u_at_v)
 

@@ -28,7 +28,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import (im1, ip1, jm1, jm1_s0, jp1,
+                                        jp1_sn)
 
 __all__ = ["advect_tracers", "PLM", "PPM_H3"]
 
@@ -78,9 +79,9 @@ def _ppmh3_edges(T, mask, shift_m, shift_p):
     return aL2, aR2
 
 
-def _plm_edge_y(T, mask):
-    Tm, Tp = jm1(T), jp1(T)
-    mm, mp = jm1(mask), jp1(mask)
+def _plm_edge_y(T, mask, fold=None):
+    Tm, Tp = jm1(T), jp1(T, fold)
+    mm, mp = jm1(mask), jp1(mask, fold)
     Tm = mm * Tm + (1.0 - mm) * T
     Tp = mp * Tp + (1.0 - mp) * T
     slp = 0.5 * (Tp - Tm)
@@ -102,10 +103,10 @@ def _limit_outflow_x(uh, vol):
     return uh * r_donor
 
 
-def _limit_outflow_y(vh, vol):
-    outflow = jnp.maximum(vh, 0.0) + jnp.maximum(-jm1(vh), 0.0)
+def _limit_outflow_y(vh, vol, fold=None):
+    outflow = jnp.maximum(vh, 0.0) + jnp.maximum(-jm1_s0(vh, fold), 0.0)
     r = jnp.minimum(1.0, 0.9 * vol / jnp.maximum(outflow, _H_MIN))
-    r_donor = jnp.where(vh > 0.0, r, jp1(r))
+    r_donor = jnp.where(vh > 0.0, r, jp1(r, fold))
     return vh * r_donor
 
 
@@ -146,27 +147,29 @@ def _sweep_x(T, h, uh, G, scheme=PLM):
 
 def _sweep_y(T, h, vh, G, scheme=PLM):
     mask = G.mask2dT
+    kh = "h" if getattr(G, "fold_north", False) else None
     if scheme == PPM_H3:
-        T_S, T_N = _ppmh3_edges(T, mask, jm1, jp1)
+        T_S, T_N = _ppmh3_edges(T, mask, jm1, lambda a: jp1(a, kh))
     else:
-        T_S, T_N = _plm_edge_y(T, mask)
+        T_S, T_N = _plm_edge_y(T, mask, fold=kh)
     vol = h * G.areaT
-    vh = _limit_outflow_y(vh, vol)
+    vh = _limit_outflow_y(vh, vol, fold=kh)
     cfl_p = vh / jnp.maximum(vol, _H_MIN)
-    cfl_m = -vh / jnp.maximum(jp1(vol), _H_MIN)
+    cfl_m = -vh / jnp.maximum(jp1(vol, kh), _H_MIN)
     curv = (T_S + T_N) - 2.0 * T
     T_up_p = T_N + cfl_p[None] * (0.5 * (T_S - T_N)
                                   + curv * (cfl_p[None] - 1.5))
     cm = cfl_m[None]
-    T_up_m = jp1(T_S) + cm * (0.5 * (jp1(T_N) - jp1(T_S))
-                              + jp1(curv) * (cm - 1.5))
+    # across the fold the ghost donor's S/N edges swap
+    jS, jN = jp1_sn(T_S, T_N, kh)
+    T_up_m = jS + cm * (0.5 * (jN - jS) + jp1(curv, kh) * (cm - 1.5))
     T_face = jnp.where(vh[None] > 0.0, T_up_p,
                        jnp.where(vh[None] < 0.0, T_up_m,
-                                 0.5 * (T_N + jp1(T_S))))
+                                 0.5 * (T_N + jS)))
     flux = vh[None] * T_face
-    h_new = h - (vh - jm1(vh)) * G.IareaT
+    h_new = h - (vh - jm1_s0(vh, kh)) * G.IareaT
     h_new = jnp.maximum(h_new, _H_MIN)
-    T_new = (T * vol[None] - (flux - jm1(flux))) / jnp.maximum(
+    T_new = (T * vol[None] - (flux - jm1_s0(flux, kh))) / jnp.maximum(
         h_new * G.areaT, _H_MIN)[None]
     return jnp.where(mask[None, None] > 0.5, T_new, T), h_new
 

@@ -26,18 +26,31 @@ def tracer_hordiff(T, h, khtr, dt, G, *, n_sub: int = 1):
         kh = jnp.broadcast_to(kh, (G.ny, G.nx))
     dt_sub = dt / n_sub
 
-    h_u = 0.5 * (h + ip1(h)) * G.mask2dCu
-    h_v = 0.5 * (h + jp1(h)) * G.mask2dCv
+    # HARMONIC face thickness: next to an Angstrom-thin (vanished) layer
+    # the arithmetic mean would carry a half-thick flux into a near-zero
+    # volume — div/vol ~ 1e8 per step.  The harmonic mean makes the flux
+    # scale with the THIN side, as the reference's thickness weighting
+    # does (MOM_tracer_hor_diff.F90:119).
+    eps = 1e-10
+    kf = "h" if getattr(G, "fold_north", False) else None
+    jh = jp1(h, kf)
+    h_u = 2.0 * h * ip1(h) / (h + ip1(h) + eps) * G.mask2dCu
+    h_v = 2.0 * h * jh / (h + jh + eps) * G.mask2dCv
     kh_u = 0.5 * (kh + ip1(kh))
-    kh_v = 0.5 * (kh + jp1(kh))
+    kh_v = 0.5 * (kh + jp1(kh, kf))
     # transport coefficients [m3 s-1]
     coef_u = kh_u * G.dyCu * G.IdxCu * h_u * G.mask2dCu
     coef_v = kh_v * G.dxCv * G.IdyCv * h_v * G.mask2dCv
     vol = jnp.maximum(h * G.areaT, 1e-10)
+    # per-face stability clamp: no face may exchange more than ~1/5 of
+    # the smaller neighbor volume per subcycle
+    cap = 0.2 / dt_sub
+    coef_u = jnp.minimum(coef_u, cap * jnp.minimum(vol, ip1(vol)))
+    coef_v = jnp.minimum(coef_v, cap * jnp.minimum(vol, jp1(vol, kf)))
 
     def sub(_, T):
         fx = coef_u[None] * (ip1(T) - T)
-        fy = coef_v[None] * (jp1(T) - T)
+        fy = coef_v[None] * (jp1(T, kf) - T)
         div = (fx - im1(fx)) + (fy - jm1(fy))
         return T + dt_sub * div / vol[None]
 
