@@ -113,6 +113,9 @@ class Forcing(NamedTuple):
     # time-dependent open-boundary exterior data (file-driven segments;
     # update_OBC_segment_data role) — dense overrides of p.obc's arrays
     obc_data: Optional[object] = None
+    # ODA analysis increments (oda_incupd role), applied ramped inside
+    # the diabatic sequence
+    oda_inc: Optional[object] = None
 
 
 def _tidal_geopotential(state, G, p: MOMParams):
@@ -551,6 +554,14 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
     if p.sponge is not None:
         from mom6_tpu.physics.vertical.sponge import apply_sponge
         state = apply_sponge(state, dt_therm, p.sponge, G)
+
+    # --- ODA incremental analysis updates (apply_oda_incupd, sequenced
+    # with the sponges as in MOM_diabatic_driver.F90:1770-1870); the
+    # increments arrive through Forcing from the ensemble ODA driver
+    # (physics/oda_driver.py), ramped over inc.ramp_seconds ----------------
+    if forcing.oda_inc is not None:
+        from mom6_tpu.physics.oda_incupd import apply_oda_increments
+        state = apply_oda_increments(state, forcing.oda_inc, dt_therm, G)
 
     # --- advance the stochastic patterns once per thermo cycle ------------
     if (p.sppt is not None or p.skeb_scale > 0.0) \

@@ -58,7 +58,17 @@ def oda_analysis(ens_state, obs_idx, obs_val, obs_var, G,
     ne = ens_T.shape[0]
     shape_T = ens_T.shape[1:]
     x_f = _flatten_members(ens_T, ens_S, p.assim_S)
-    x_a = eakf_update(x_f, obs_idx, obs_val, obs_var, p.eakf)
+    coords = None
+    if p.eakf.loc_radius > 0.0:
+        # (n, 2) grid coordinates per flat state element for the
+        # Gaspari-Cohn localization (vertical treated as colocated)
+        nz, ny, nx = shape_T
+        jj, ii = np.mgrid[0:ny, 0:nx]
+        c2 = np.stack([jj.ravel(), ii.ravel()], axis=-1).astype(np.float32)
+        reps = nz * (2 if p.assim_S else 1)
+        coords = jnp.asarray(np.tile(c2, (reps, 1)))
+    x_a = eakf_update(x_f, obs_idx, obs_val, obs_var, p.eakf,
+                      coords=coords)
     dx = (x_a - x_f)
     n_t = int(np.prod(shape_T))
     dT = dx[:, :n_t].reshape((ne,) + shape_T) * G.mask2dT[None, None]
