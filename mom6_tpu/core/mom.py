@@ -74,9 +74,18 @@ class MOMParams(NamedTuple):
     gm: Optional["GMParams"] = None               # thickness diffusion
     mlrestrat: Optional["MLRestratParams"] = None
     meke: Optional["MEKEParams"] = None
+    varmix: Optional["VarMixParams"] = None       # MOM_lateral_mixing_coeffs
     obc: Optional["OBCParams"] = None             # open boundaries
     int_tides: Optional["InternalTidesParams"] = None  # low-mode propagation
     khtr: float = 0.0          # epineutral/horizontal tracer diff [m2 s-1]
+    khtr_passivity_coeff: float = 0.0   # KHTR_PASSIVITY_COEFF: scale KhTr
+    #                                     by max(min, coeff * Rd/dx) — the
+    #                                     equatorial enhancement (Rd/dx is
+    #                                     large at the equator)
+    khtr_passivity_min: float = 0.5     # KHTR_PASSIVITY_MIN
+    khtr_max: float = 0.0               # KHTR_MAX (0: no cap)
+    khtr_n_sub: int = 1                 # subcycles (MAX_TR_DIFFUSION_CFL
+    #                                     role, static count for jit)
     neutral_diffusion: bool = False   # rotate KHTR along neutral surfaces
     # "redi": small-slope rotated tensor with implicit K S^2 vertical
     # piece; "surfaces": matched neutral-surface positions with sublayer
@@ -101,6 +110,9 @@ class MOMParams(NamedTuple):
     skeb_scale: float = 0.0                       # SKEB psi scale [m2 s-1]
     waves: Optional["WaveParams"] = None          # Langmuir into KPP/ePBL
     tfc: Optional["TracerFlowControl"] = None     # passive tracer packages
+    # ice-shelf coupling: shelf pressure into the PF, 3-equation melt
+    # fluxes into the buoyancy forcing (MOM_ice_shelf.F90:1103,1135)
+    shelf: Optional["ShelfCoupling"] = None
     # unsplit (no barotropic/baroclinic splitting) stepping: the SPLIT =
     # False path (MOM_dynamics_unsplit[_RK2].F90); "RK3" or "RK2"
     unsplit: Optional["UnsplitParams"] = None
@@ -188,6 +200,15 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
                    p: MOMParams) -> OceanState:
     eos = get_eos(p.eos_name) if p.thermo_enabled else None
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+
+    # --- ice-shelf coupling: fold shelf pressure + melt fluxes into the
+    # forcing every downstream consumer sees (add_shelf_pressure +
+    # add_shelf_flux, MOM_ice_shelf.F90:1103,1135) -------------------------
+    if p.shelf is not None:
+        from mom6_tpu.physics.shelf_coupling import apply_shelf_coupling
+        forcing, _shelf_melt = apply_shelf_coupling(state, forcing, G, GV,
+                                                    p.shelf)
+
     obc_eff = p.obc
     if p.obc is not None and forcing.obc_data is not None:
         from mom6_tpu.core.open_boundary import merge_obc_data
@@ -215,6 +236,47 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
             pf_fn = None
         return pf_fn
 
+    # --- variable mixing coefficients (calc_resoln_function +
+    # calc_slope_functions, the per-cycle VarMix update of MOM.F90:786)
+    res_fn = sn_h = rd_dx = None
+    if p.varmix is not None or p.khtr_passivity_coeff > 0.0:
+        from mom6_tpu.framework.stencil import im1 as _im1
+        from mom6_tpu.framework.stencil import jm1 as _jm1
+        from mom6_tpu.physics.lateral.lateral_mixing_coeffs import (
+            VarMixParams, calc_resoln_function, calc_slope_functions)
+        vm = p.varmix if p.varmix is not None else VarMixParams()
+        need_cg1 = (vm.resoln_scaled_kh or vm.resoln_scaled_khth
+                    or vm.resoln_scaled_khtr
+                    or p.khtr_passivity_coeff > 0.0)
+        if need_cg1:
+            if p.thermo_enabled:
+                from mom6_tpu.diagnostics.wave_speed import wave_speed_wkb
+                cg1 = wave_speed_wkb(state.h, state.T, state.S, G, GV,
+                                     eos)
+            else:
+                # layered WKB: c1 = (1/pi) sum sqrt(g'_K hbar_K)
+                gp = jnp.asarray(GV.g_prime)[1:, None, None]
+                hbar = 0.5 * (state.h[:-1] + state.h[1:])
+                cg1 = jnp.sum(jnp.sqrt(jnp.maximum(gp * hbar, 0.0)),
+                              axis=0) / jnp.pi
+            if p.varmix is not None:
+                res_fn = calc_resoln_function(cg1, G, vm)
+            if p.khtr_passivity_coeff > 0.0:
+                # Rd/dx: deformation radius over grid scale (Rd_dx_h of
+                # MOM_lateral_mixing_coeffs; large at the equator)
+                f_q = G.CoriolisBu
+                f2 = 0.25 * ((f_q ** 2 + _im1(_jm1(f_q ** 2)))
+                             + (_im1(f_q ** 2) + _jm1(f_q ** 2)))
+                dfdx = (f_q - _im1(f_q)) * G.IdxT
+                dfdy = (f_q - _jm1(f_q)) * G.IdyT
+                beta_m = jnp.sqrt(dfdx * dfdx + dfdy * dfdy)
+                dx = jnp.sqrt(G.dxT * G.dyT)
+                rd_dx = cg1 / (jnp.sqrt(f2 + cg1 * beta_m + 1e-30) * dx)
+        if vm.use_visbeck and (vm.khth_slope_cff > 0.0
+                               or vm.khtr_slope_cff > 0.0):
+            sn_u, sn_v = calc_slope_functions(state.h, G, GV, vm)
+            sn_h = 0.25 * ((sn_u + _im1(sn_u)) + (sn_v + _jm1(sn_v)))
+
     # lateral friction + Zanna-Bolton eddy-momentum closure
     # (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886;
     # ZB2020 added to diffu/diffv as in MOM_hor_visc's MOM_Zanna_Bolton
@@ -231,11 +293,15 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
             from mom6_tpu.physics.lateral.meke import meke_viscosity
             ku_bs = meke_viscosity(state.E_meke, p.meke, h=state.h, G=G)
 
+        kh_scale = res_fn if (p.varmix is not None
+                              and p.varmix.resoln_scaled_kh) else None
+
         def hv_fn(u, v, h):
             du = dv = 0.0
             if p.hor_visc is not None:
                 du, dv = horizontal_viscosity(u, v, h, G, p.hor_visc,
-                                              ku_backscatter=ku_bs)
+                                              ku_backscatter=ku_bs,
+                                              kh_scale=kh_scale)
             if p.zb is not None:
                 from mom6_tpu.physics.lateral.zanna_bolton import \
                     zanna_bolton_accel
@@ -261,6 +327,16 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
         if p.meke is not None and state.E_meke is not None:
             khth_2d = p.gm.khth + meke_diffusivity(state.E_meke, p.meke,
                                                    h=state.h, G=G)
+        if p.varmix is not None:
+            vm = p.varmix
+            base = khth_2d if khth_2d is not None \
+                else jnp.full_like(G.mask2dT, p.gm.khth)
+            if sn_h is not None and vm.khth_slope_cff > 0.0:
+                base = base + vm.khth_slope_cff \
+                    * vm.visbeck_l_scale ** 2 * sn_h
+            if res_fn is not None and vm.resoln_scaled_khth:
+                base = base * res_fn
+            khth_2d = base
         h_gm, uhd, vhd = thickness_diffuse(state.h, G, GV, dt_therm, p.gm,
                                            khth_2d=khth_2d,
                                            T=state.T, S=state.S, eos=eos)
@@ -390,7 +466,27 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
                                             G, GV, eos, p.khtr, dt_therm)
         else:
             from mom6_tpu.tracers.hor_diff import tracer_hordiff
-            tr = tracer_hordiff(tr, state.h, p.khtr, dt_therm, G)
+            khtr_eff = p.khtr
+            if p.varmix is not None or rd_dx is not None:
+                vm = p.varmix
+                khtr_eff = jnp.full_like(G.mask2dT, p.khtr)
+                if vm is not None and sn_h is not None \
+                        and vm.khtr_slope_cff > 0.0:
+                    khtr_eff = khtr_eff + vm.khtr_slope_cff \
+                        * vm.visbeck_l_scale ** 2 * sn_h
+                if vm is not None and res_fn is not None \
+                        and vm.resoln_scaled_khtr:
+                    khtr_eff = khtr_eff * res_fn
+                if rd_dx is not None:
+                    # equatorial passivity enhancement
+                    # (MOM_tracer_hor_diff.F90:251)
+                    khtr_eff = khtr_eff * jnp.maximum(
+                        p.khtr_passivity_min,
+                        p.khtr_passivity_coeff * rd_dx)
+                if p.khtr_max > 0.0:
+                    khtr_eff = jnp.minimum(khtr_eff, p.khtr_max)
+            tr = tracer_hordiff(tr, state.h, khtr_eff, dt_therm, G,
+                                n_sub=p.khtr_n_sub)
         state = _unstack_tracers(state, tr, names)
 
     if p.khtr_bl > 0.0:

@@ -405,6 +405,17 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
 
     m = "MOM_tracer_hor_diff"
     khtr = pf.get("KHTR", float, default=0.0, units="m2 s-1", module=m)
+    khtr_pass = pf.get("KHTR_PASSIVITY_COEFF", float, default=0.0,
+                       module=m, desc="Scale KhTr by max(min, coeff * "
+                       "Rd/dx): equatorial enhancement")
+    khtr_pass_min = pf.get("KHTR_PASSIVITY_MIN", float, default=0.5,
+                           module=m)
+    khtr_max = pf.get("KHTR_MAX", float, default=0.0, units="m2 s-1",
+                      module=m)
+    max_tr_cfl = pf.get("MAX_TR_DIFFUSION_CFL", float, default=-1.0,
+                        module=m, desc="If positive, subcycle the tracer"
+                        " diffusion so each pass stays under this CFL "
+                        "(static count from the grid-scale bound)")
     use_ndiff = pf.get("USE_NEUTRAL_DIFFUSION", bool, default=False,
                        module=m)
     khtr_bl = (pf.get("LBD_KHTR", float, default=khtr, units="m2 s-1",
@@ -841,11 +852,57 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         from mom6_tpu.tracers.packages import TracerFlowControl
         tfc = TracerFlowControl(pkgs)
 
+    # -- variable lateral mixing coefficients (MOM_lateral_mixing_coeffs)
+    m = "MOM_lateral_mixing_coeffs"
+    varmix = None
+    if pf.get("USE_VARIABLE_MIXING", bool, default=False, module=m,
+              desc="Resolution function + Eady slope functions scaling "
+              "the lateral mixing coefficients"):
+        from mom6_tpu.physics.lateral.lateral_mixing_coeffs import \
+            VarMixParams
+        varmix = VarMixParams(
+            resoln_scaled_kh=pf.get("RESOLN_SCALED_KH", bool,
+                                    default=False, module=m),
+            resoln_scaled_khth=pf.get("RESOLN_SCALED_KHTH", bool,
+                                      default=False, module=m),
+            resoln_scaled_khtr=pf.get("RESOLN_SCALED_KHTR", bool,
+                                      default=False, module=m),
+            use_visbeck=pf.get("USE_VISBECK", bool, default=False,
+                               module=m),
+            res_coef=pf.get("KH_RES_SCALE_COEF", float, default=1.0,
+                            module=m),
+            res_fn_power=pf.get("KH_RES_FN_POWER", int, default=2,
+                                module=m),
+            khth_slope_cff=pf.get("KHTH_SLOPE_CFF", float, default=0.0,
+                                  module="MOM_thickness_diffuse"),
+            khtr_slope_cff=pf.get("KHTR_SLOPE_CFF", float, default=0.0,
+                                  module="MOM_tracer_hor_diff"),
+            visbeck_l_scale=pf.get("VISBECK_L_SCALE", float, default=0.0,
+                                   units="m", module=m))
+
+    # static tracer-diffusion subcycle count from the grid-scale CFL
+    # bound (MAX_TR_DIFFUSION_CFL, MOM_tracer_hor_diff.F90:322): the
+    # per-pass CFL of the constant part of KhTr is
+    # 8 KhTr dt / min(dx,dy)^2 (4 faces, factor-2 margin)
+    n_sub_tr = 1
+    if max_tr_cfl > 0.0 and khtr > 0.0:
+        wetm = np.asarray(G.mask2dT) > 0.5
+        dmin = float(min(np.where(wetm, np.asarray(G.dxT), np.inf).min(),
+                         np.where(wetm, np.asarray(G.dyT), np.inf).min()))
+        dt_tr = dt * n_dyn_per_thermo
+        kh_bound = khtr_max if khtr_max > 0.0 else khtr
+        n_sub_tr = max(1, int(np.ceil(8.0 * kh_bound * dt_tr
+                                      / (dmin * dmin * max_tr_cfl))))
+
     params = MOMParams(dyn=dyn, thermo_enabled=use_thermo,
                        eos_name=eos_name, diabatic=diab, ale=ale,
                        hor_visc=hv, gm=gm, meke=meke, mlrestrat=mlr,
                        obc=obc, int_tides=int_tides,
                        khtr=khtr, neutral_diffusion=use_ndiff,
+                       khtr_passivity_coeff=khtr_pass,
+                       khtr_passivity_min=khtr_pass_min,
+                       khtr_max=khtr_max,
+                       khtr_n_sub=n_sub_tr,
                        ndiff_scheme=pf.get(
                            "NDIFF_SCHEME", str, default="redi",
                            module="MOM_neutral_diffusion",
@@ -862,6 +919,7 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                            "force density integrals"),
                        tides=tides, sal_harmonics=sal_h, sppt=sppt,
                        skeb_scale=skeb_scale, waves=waves, tfc=tfc,
+                       varmix=varmix,
                        unsplit=unsplit, unsplit_scheme=unsplit_scheme)
 
     # -- initial state ----------------------------------------------------
@@ -1417,6 +1475,77 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
             dtype) * G.mask2dT
         params = params._replace(sponge=SpongeParams(
             idamp=idamp, T_ref=state.T, S_ref=state.S))
+
+    # -- ice shelf: prescribed mass, 3-equation melt into the forcing,
+    # shelf pressure into the PF, IC trimmed to the hydrostatic draft
+    # (MOM_ice_shelf.F90 coupling + trim_for_ice,
+    # MOM_state_initialization.F90:1250) -----------------------------------
+    m = "MOM_ice_shelf"
+    if pf.get("ICE_SHELF", bool, default=False, module=m):
+        from mom6_tpu.eos import get_eos
+        from mom6_tpu.physics.ice_shelf import IceShelfParams
+        from mom6_tpu.physics.shelf_coupling import (
+            ShelfCoupling, trim_columns_for_p_surf)
+        rho_ice = pf.get("DENSITY_ICE", float, default=918.0,
+                         units="kg m-3", module=m)
+        prof = pf.get("ICE_PROFILE_CONFIG", str, default="linear",
+                      module=m, desc="Shelf draft shape: linear (ISOMIP-"
+                      "style taper from the western edge) or file")
+        if prof == "linear":
+            draft_max = pf.get("SHELF_MAX_DRAFT", float, default=700.0,
+                               units="m", module=m)
+            edge = pf.get("SHELF_EDGE_FRAC", float, default=0.5,
+                          module=m, desc="x-fraction of the domain where"
+                          " the shelf front sits")
+            xf = (np.arange(G.nx) + 0.5) / G.nx
+            draft = draft_max * np.maximum(
+                0.0, 1.0 - xf / max(edge, 1e-6))
+            draft = np.broadcast_to(draft[None, :], (G.ny, G.nx)).copy()
+        elif prof == "file":
+            from mom6_tpu.io.netcdf import read_nc
+            sfile = pf.get("SHELF_FILE", str, module=m,
+                           desc="netCDF with the shelf draft [m]")
+            svar = pf.get("SHELF_DRAFT_VAR", str, default="draft",
+                          module=m)
+            draft = np.asarray(
+                read_nc(os.path.join(_inputdir(pf, doc_dir), sfile))
+                [svar], np.float64)
+        else:
+            raise NotImplementedError(f"ICE_PROFILE_CONFIG={prof}")
+        # floating shelf: mass per area = rho_sw * draft (hydrostatic);
+        # keep a wet gap under the shelf of at least MIN_OCEAN_GAP
+        gap = pf.get("SHELF_MIN_OCEAN_GAP", float, default=10.0,
+                     units="m", module=m, desc="Minimum water column "
+                     "left under the shelf when trimming")
+        draft = np.minimum(draft, np.asarray(G.bathyT) - gap)
+        draft = np.maximum(draft, 0.0) * np.asarray(G.mask2dT)
+        mass_shelf = jnp.asarray(gv.rho0 * draft, dtype)
+        frac = jnp.asarray((draft > 1.0).astype(np.float64), dtype)
+        melt_p = IceShelfParams(
+            gamma_t=pf.get("SHELF_GAMMA_T", float, default=1e-4,
+                           units="m s-1", module=m),
+            gamma_s=pf.get("SHELF_GAMMA_S", float, default=2.86e-6,
+                           units="m s-1", module=m),
+            rho_i=rho_ice, rho_w=gv.rho0)
+        params = params._replace(shelf=ShelfCoupling(
+            mass_shelf=mass_shelf, frac_shelf_h=frac, melt=melt_p,
+            flux_factor=pf.get("SHELF_FLUX_FACTOR", float, default=1.0,
+                               module=m),
+            ustar_dependent=pf.get("SHELF_USTAR_GAMMA", bool,
+                                   default=False, module=m),
+            utide=pf.get("SHELF_UTIDE", float, default=0.0,
+                         units="m s-1", module=m)))
+        if pf.get("TRIM_IC_FOR_P_SURF", bool, default=True, module=m) \
+                and use_thermo:
+            press = gv.g_earth * mass_shelf * frac
+            rho = gv.rho0 + get_eos(eos_name).density(
+                state.T, state.S, gv.rho0 * gv.g_earth
+                * (jnp.cumsum(state.h, 0) - 0.5 * state.h),
+                rho_ref=gv.rho0)
+            h_t, T_t, S_t = trim_columns_for_p_surf(
+                state.h, state.T, state.S, rho, press, gv.g_earth,
+                min_thickness=float(gv.angstrom))
+            state = state.replace(h=jnp.asarray(h_t, dtype))
 
     if doc_dir:
         pf.write_doc(doc_dir)

@@ -135,7 +135,7 @@ def _lap_uv(u, v, h, G):
 
 
 def horizontal_viscosity(u, v, h, G, p: HorViscParams,
-                         ku_backscatter=None
+                         ku_backscatter=None, kh_scale=None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frictional accelerations (diffu, diffv) [m s-2] on (nz, ny, nx).
 
@@ -147,6 +147,10 @@ def horizontal_viscosity(u, v, h, G, p: HorViscParams,
     signs."""
     sh_xx, sh_xy = _strains(u, v, G)
     kh_h, ah_h = _coefficients(u, v, sh_xx, sh_xy, G, p)
+    if kh_scale is not None:
+        # resolution-function scaling (RESOLN_SCALED_KH,
+        # MOM_lateral_mixing_coeffs.F90 Res_fn_h)
+        kh_h = kh_h * kh_scale
     if p.kh_aniso > 0.0:
         # direction tensor: s2t = 2 n1 n2 (sin 2theta), c2t = n1^2-n2^2
         if p.aniso_mode == 2:

@@ -10,7 +10,7 @@ from mom6_tpu.eos import get_eos
 from mom6_tpu.core.isopycnal_slopes import isopycnal_slopes
 from mom6_tpu.diagnostics.wave_speed import wave_speed_wkb
 from mom6_tpu.physics.lateral.lateral_mixing_coeffs import (
-    VarMixParams, resolution_function)
+    VarMixParams, calc_resoln_function, calc_slope_functions)
 from mom6_tpu.physics.lateral.thickness_diffuse import (GMParams,
                                                         thickness_diffuse)
 from mom6_tpu.physics.lateral.meke import (MEKEParams, meke_diffusivity,
@@ -77,15 +77,52 @@ class TestWaveSpeedVarMix:
         assert 0.1 < float(c_strong.mean()) < 10.0
 
     def test_resolution_function_limits(self):
+        """Res_fn -> 1 where the deformation radius is unresolved
+        (large f -> small Ld), -> 0 where resolved; matches the exact
+        power-2 form dx_term/(dx_term + (coef*cg1)^2) on an f-plane
+        (beta = 0 there, so dx_term = f^2 dx^2)."""
+        import dataclasses
         G, GV, eos = setup()
+        p = VarMixParams()
         c1 = jnp.full((16, 16), 2.0, jnp.float32)
-        f = jnp.full((16, 16), 1e-4, jnp.float32)
-        res_coarse = resolution_function(c1, f, G)        # dx=25km vs Ld=20km
-        f_small = jnp.full((16, 16), 1e-6, jnp.float32)   # Ld huge
-        res_fine = resolution_function(c1, f_small, G)
+        f_big = jnp.full_like(G.CoriolisBu, 1e-4)
+        G_coarse = dataclasses.replace(G, CoriolisBu=f_big)
+        res_coarse = calc_resoln_function(c1, G_coarse, p)
+        G_fine = dataclasses.replace(G, CoriolisBu=f_big * 1e-2)
+        res_fine = calc_resoln_function(c1, G_fine, p)
         assert float(res_fine.mean()) < float(res_coarse.mean())
         r = np.asarray(res_coarse)
         assert (r >= 0).all() and (r <= 1).all()
+        dx2 = float(np.asarray(G.dxT)[0, 0]) ** 2
+        expect = (1e-8 * dx2) / (1e-8 * dx2 + 4.0)
+        np.testing.assert_allclose(r[4, 4], expect, rtol=1e-5)
+
+    def test_slope_functions_tilted_interface(self):
+        """SN_u matches the analytic vertical-mean S*N for a uniformly
+        tilted internal interface in a 2-layer column."""
+        from mom6_tpu.grid.vertical import build_layered_vgrid
+        G, GV, eos = setup()
+        GV2 = build_layered_vgrid(2, gprime_int=0.02)
+        ny = nx = 16
+        # interface tilted in x: e1 = -500 + slope * x
+        slope = 1e-3
+        dx = float(np.asarray(G.dxT)[0, 0])
+        x = (np.arange(nx) + 0.5) * dx
+        e1 = -500.0 + slope * (x - x.mean())
+        h1 = np.broadcast_to(1000.0 + e1, (ny, nx))
+        h = np.stack([h1, 2000.0 - h1])
+        sn_u, sn_v = calc_slope_functions(
+            jnp.asarray(h, jnp.float32), G, GV2, VarMixParams())
+        # N^2 = g'/max(Hdn,Hup); Hdn=Hup=harmonic ~ arithmetic here
+        hd = 2 * h[0] * h[1] / (h[0] + h[1])
+        n2 = 0.02 / hd.max()
+        expect = np.sqrt(hd.mean() * slope ** 2 * n2 / 2000.0)
+        meas = float(np.asarray(sn_u)[8, 7])
+        assert abs(meas / expect - 1.0) < 0.1, (meas, expect)
+        # the v-face S2 carries the transverse (x) slope through the
+        # 4-corner mean, so sn_v ~ sn_u for this isotropy-sampled tilt
+        meas_v = float(np.asarray(sn_v)[8, 7])
+        assert abs(meas_v / expect - 1.0) < 0.15, (meas_v, expect)
 
 
 class TestIsoSlopes:
@@ -291,3 +328,34 @@ def test_meke_backscatter_injects_energy():
     w1 = float(jnp.sum(u * du1) + jnp.sum(v * dv1))
     assert w0 < 0.0
     assert w1 > w0          # net coefficient is negative -> energy input
+
+
+class TestVarMixWiring:
+    def test_tc1_varmix_honored_and_scales_gm(self):
+        """tc1's USE_VARIABLE_MIXING/RESOLN_SCALED_*/VISBECK flags are
+        parsed into MOMParams.varmix AND demonstrably change the
+        solution (the resolution function + Visbeck term rescale the GM
+        and tracer diffusivities inside step_mom)."""
+        import os
+        import jax
+        from mom6_tpu.core.mom import step_mom
+        from mom6_tpu.drivers.config_driver import build_model_from_params
+        from mom6_tpu.framework.config import ParamFile
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pf = ParamFile([os.path.join(repo, "configs", "tc1", "MOM_input")])
+        ms = build_model_from_params(pf)
+        vm = ms.params.varmix
+        assert vm is not None and vm.resoln_scaled_khth \
+            and vm.khth_slope_cff == 0.1
+        step_on = jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid,
+                                             ms.vgrid, ms.params))
+        p_off = ms.params._replace(varmix=None)
+        step_off = jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid,
+                                              ms.vgrid, p_off))
+        s_on = s_off = ms.state
+        for _ in range(4):
+            s_on = step_on(s_on)
+            s_off = step_off(s_off)
+        assert np.isfinite(np.asarray(s_on.h)).all()
+        dh = float(np.abs(np.asarray(s_on.h) - np.asarray(s_off.h)).max())
+        assert dh > 0.0, "VarMix scaling must alter the GM transport"

@@ -141,22 +141,69 @@ class TestKappaShear:
         kd0, _ = kappa_shear(h, jnp.zeros_like(u), v, T, S, G, GV, eos)
         assert float(kd0.max()) < 1e-8       # no shear, no mixing
 
-    def test_self_limitation(self):
-        """The JHL property: at marginal supercriticality the feedback
-        iterations REDUCE the diffusivity relative to the no-feedback
-        estimate (the mixing consumes its own source) — unlike the
-        instantaneous Ri closures."""
+    def test_self_limitation_saturates_with_dt(self):
+        """The defining JHL property: kappa co-evolves with the profiles
+        it mixes, so the total applied mixing kappa*dt grows
+        SUBLINEARLY with dt (an instantaneous Ri closure gives exactly
+        proportional growth: its kappa is dt-independent)."""
         from mom6_tpu.physics.vertical.kappa_shear import (KappaShearParams,
                                                            kappa_shear)
         G, GV, eos, h, T, S = setup(nz=10, mixed_layer=False)
-        u = jnp.zeros_like(h).at[0].set(2.0)   # Ri just below critical
+        u = jnp.zeros_like(h).at[0:2].set(2.0)
         v = jnp.zeros_like(h)
-        kd_fb, _ = kappa_shear(h, u, v, T, S, G, GV, eos,
-                               KappaShearParams(n_iter=6), dt=36000.0)
-        kd_no, _ = kappa_shear(h, u, v, T, S, G, GV, eos,
-                               KappaShearParams(n_iter=0), dt=36000.0)
-        assert float(kd_fb.max()) < 0.8 * float(kd_no.max())
-        assert float(kd_fb.min()) >= 0.0
+        p = KappaShearParams(n_outer=8, kappa_max=10.0)
+        kd_short, _ = kappa_shear(h, u, v, T, S, G, GV, eos, p, dt=1e3)
+        kd_long, _ = kappa_shear(h, u, v, T, S, G, GV, eos, p, dt=1e4)
+        tot_short = float(kd_short.max()) * 1e3
+        tot_long = float(kd_long.max()) * 1e4
+        assert float(kd_short.max()) > 0.1      # the shear does mix
+        # ... but by the long step the driving shear has been consumed
+        # and the scheme has shut itself off (measured r3: kappa -> 0)
+        assert tot_long < 5.0 * tot_short, (tot_short, tot_long)
+        assert float(kd_long.min()) >= 0.0
+
+    def test_unstratified_shear_layer_quantitative(self):
+        """Quantitative JHL: for an unstratified constant-shear column
+        (N^2=0, f=0) the steady kappa equation reduces to
+        kappa'' - kappa/L_bdry^2 + K_src = 0 with
+        K_src = 2*SHEARMIX_RATE*|S| and 1/L_bdry = 1/z + 1/(H-z).
+        Compare the model's mid-depth kappa against an independent
+        scipy BVP solve of the same ODE (<10%), and the TKE against the
+        interior decay balance Q ~ kappa |S| / C_S (<30%)."""
+        import dataclasses
+        from scipy.integrate import solve_bvp
+        from mom6_tpu.physics.vertical.kappa_shear import (
+            KappaShearParams, kappa_shear)
+        G, GV, eos, h, T, S = setup(nz=40, mixed_layer=False)
+        G = dataclasses.replace(
+            G, CoriolisBu=jnp.zeros_like(G.CoriolisBu))
+        nz = 40
+        Hcol = float(np.asarray(h).sum(0)[4, 4])
+        T = jnp.full_like(h, 10.0)          # unstratified
+        S = jnp.full_like(h, 35.0)
+        shear = 1.0e-2                      # du/dz [s-1]
+        zc = np.cumsum(np.asarray(h)[:, 4, 4]) - np.asarray(h)[:, 4, 4] / 2
+        u = jnp.asarray(np.broadcast_to(
+            (shear * zc)[:, None, None], h.shape), jnp.float32)
+        p = KappaShearParams(n_outer=1, kappa_max=1e9)
+        kd, tke = kappa_shear(h, u, jnp.zeros_like(h), T, S, G, GV, eos,
+                              p, dt=1e-3)
+        k_src = 2.0 * p.shearmix_rate * shear
+
+        def ode(z, y):
+            il2 = (1.0 / np.maximum(z, 1e-3)
+                   + 1.0 / np.maximum(Hcol - z, 1e-3)) ** 2
+            return np.vstack([y[1], il2 * y[0] - k_src])
+
+        zg = np.linspace(1e-3, Hcol - 1e-3, 200)
+        sol = solve_bvp(ode, lambda a, b: np.array([a[0], b[0]]),
+                        zg, np.zeros((2, zg.size)), max_nodes=20000)
+        k_mid_ref = float(sol.sol(Hcol / 2)[0])
+        k_mid = float(np.asarray(kd)[nz // 2, 4, 4])
+        assert abs(k_mid / k_mid_ref - 1.0) < 0.1, (k_mid, k_mid_ref)
+        q_mid = float(np.asarray(tke)[nz // 2, 4, 4])
+        q_bal = k_mid * shear / p.c_s
+        assert abs(q_mid / q_bal - 1.0) < 0.3, (q_mid, q_bal)
 
     def test_subcritical_silent(self):
         from mom6_tpu.physics.vertical.kappa_shear import kappa_shear
