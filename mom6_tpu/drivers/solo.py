@@ -304,6 +304,14 @@ def main(argv=None):
         dtbt_fn = jax.jit(_dtbt)
     t_last_reset = t0
     writer = StatsWriter(os.path.join(args.rundir, "ocean.stats"))
+    # f32 production runs: ocean.stats sums inside jit via fixed_point_sum
+    # (bitwise layout-invariant, stays on device; round-2 verdict item 7).
+    # x64 verification runs keep the host f64 EFP oracle.
+    stats_jit = None
+    if state.h.dtype == jnp.float32:
+        from mom6_tpu.diagnostics.sum_output import compute_stats_jit
+        stats_jit = jax.jit(
+            lambda s: compute_stats_jit(s, G, GV, params.dyn.dt))
 
     # gridded diagnostics through the mediator; a diag_table file in the
     # run directory selects fields/reductions/files (FMS diag_table
@@ -408,7 +416,10 @@ def main(argv=None):
                 stepper = build_stepper(params)
         tdays = t_now / 86400.0
         with timer("ocean.stats"):
-            s = compute_stats(state, G, GV, params.dyn.dt)
+            if stats_jit is not None:
+                s = {k: float(v) for k, v in stats_jit(state).items()}
+            else:
+                s = compute_stats(state, G, GV, params.dyn.dt)
             writer.write(step, tdays, s)
         print(format_stats_line(step, tdays, s))
         with timer("diag mediator"):
