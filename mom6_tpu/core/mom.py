@@ -524,19 +524,21 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
     # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
     kd_extra = kd_redi     # Redi K S^2 implicit part, if any
 
-    # Langmuir-turbulence enhancement of boundary-layer mixing
-    # (MOM_wave_interface.F90 -> KPP/ePBL Langmuir number path)
-    lang_enh = None
-    if p.waves is not None and forcing.mech.u10 is not None:
-        from mom6_tpu.physics.waves import (langmuir_enhancement,
-                                            langmuir_number)
+    # Langmuir turbulence: a Langmuir-number closure la_fn(hbl) that
+    # KPP/ePBL evaluate at their own boundary-layer depth, built from
+    # the configured WAVE_METHOD's Stokes drift (LF17 statistical waves,
+    # DHH85 spectrum, SURFBANDS, or the empirical u10 fallback)
+    # (MOM_wave_interface.F90 get_Langmuir_Number -> KPP/ePBL)
+    la_fn = None
+    if p.waves is not None:
+        from mom6_tpu.physics.waves import make_la_fn
         taux = forcing.mech.taux if forcing.mech.taux is not None else \
             jnp.zeros_like(G.mask2dT)
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
         ustar = jnp.sqrt(jnp.sqrt(taux ** 2 + tauy ** 2) / GV.rho0)
-        la_t = langmuir_number(ustar, forcing.mech.u10, p.waves)
-        lang_enh = langmuir_enhancement(la_t)
+        la_fn = make_la_fn(p.waves, ustar, u10=forcing.mech.u10,
+                           h=state.h, u=state.u, v=state.v)
 
     kpp_nonlocal = None
     if p.diabatic.boundary_layer_scheme == "KPP":
@@ -548,7 +550,7 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
         kd_bl, _, kpp_nonlocal = kpp_diffusivity(
             state.h, state.u, state.v, state.T, state.S, G, GV, eos,
             taux, tauy, forcing.buoy.heat_flux,
-            cp=p.diabatic.cp, lang_enh=lang_enh)
+            cp=p.diabatic.cp, la_fn=la_fn)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     elif p.diabatic.boundary_layer_scheme == "EPBL":
         from mom6_tpu.physics.vertical.epbl import epbl_diffusivity
@@ -558,8 +560,8 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
             jnp.zeros_like(G.mask2dT)
         kd_bl, _ = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
                                     taux, tauy, forcing.buoy.heat_flux,
-                                    cp=p.diabatic.cp, lang_enh=lang_enh,
-                                    dt=dt_therm)
+                                    cp=p.diabatic.cp, la_fn=la_fn,
+                                    waves=p.waves, dt=dt_therm)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     if p.diabatic.use_shear_mixing:
         if p.diabatic.shear_scheme == "JHL":

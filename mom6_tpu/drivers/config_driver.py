@@ -820,10 +820,32 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     # -- surface waves -> Langmuir mixing ------------------------------------
     m = "MOM_wave_interface"
     waves = None
-    if pf.get("USE_WAVES", bool, default=False, module=m) and \
+    use_waves = pf.get("USE_WAVES", bool, default=False, module=m)
+    # USE_LA_LI2016 enables statistical (LF17) waves even without a
+    # prognostic wave field (MOM_wave_interface.F90:353-359)
+    la_li2016 = pf.get("USE_LA_LI2016", bool, default=False, module=m)
+    if (use_waves or la_li2016) and \
             pf.get("LANGMUIR_MIXING", bool, default=True, module=m):
         from mom6_tpu.physics.waves import WaveParams
-        waves = WaveParams()
+        method = "LF17" if (la_li2016 and not use_waves) else \
+            pf.get("WAVE_METHOD", str, default="LF17", module=m).upper()
+        waves = WaveParams(
+            method=method,
+            la_frac_hbl=pf.get("LA_DEPTH_RATIO", float, default=0.04,
+                               module=m),
+            la_hbl_min=pf.get("LA_DEPTH_MIN", float, default=0.1,
+                              units="m", module=m),
+            misalignment=pf.get("LA_MISALIGNMENT", bool, default=False,
+                                module=m),
+            wave_age=pf.get("WAVE_AGE", float, default=1.2, module=m),
+            wave_wind=pf.get("WAVE_WIND", float, default=10.0,
+                             units="m s-1", module=m),
+            band_stokes_x=tuple(pf.get_list("SURFBAND_STOKES_X",
+                                            default=(), module=m)),
+            band_stokes_y=tuple(pf.get_list("SURFBAND_STOKES_Y",
+                                            default=(), module=m)),
+            band_wavenumbers=tuple(pf.get_list("SURFBAND_WAVENUMBERS",
+                                               default=(), module=m)))
 
     # -- tracer packages (MOM_tracer_flow_control flags) --------------------
     m = "MOM_tracer_flow_control"

@@ -161,7 +161,8 @@ def _march_mld(h, b_c, e0, conv_rate, p: EPBLParams, mld_guess, dt):
 
 def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
                      p: EPBLParams = EPBLParams(), cp: float = 3991.87,
-                     lang_enh=None, dt: float = 3600.0,
+                     lang_enh=None, dt: float = 3600.0, la_fn=None,
+                     waves=None,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (kd (nz+1,ny,nx) [m2 s-1], mld (ny,nx) [m])."""
     from mom6_tpu.framework.stencil import im1, jm1
@@ -194,6 +195,19 @@ def epbl_diffusivity(h, T, S, G, GV, eos, taux, tauy, heat_flux,
     # fixed-count MLD/m* feedback iteration (USE_MLD_ITERATION analogue)
     mld = jnp.minimum(0.2 * col_depth, 50.0)
     for _ in range(p.n_iter):
+        if la_fn is not None:
+            # Langmuir number at this pass's MLD guess, convectively
+            # modified, applied as the m* rescale (mstar_Langmuir,
+            # MOM_energetic_PBL.F90:3616-3706) — re-evaluated each MLD
+            # iteration as the reference does inside ePBL_column
+            from mom6_tpu.physics.waves import (
+                WaveParams, convective_langmuir_number,
+                mstar_lt_enhancement)
+            wp = waves if waves is not None else WaveParams()
+            la = la_fn(mld)
+            la_conv = convective_langmuir_number(la, bflux, ustar, mld,
+                                                 absf, wp)
+            lang_enh = mstar_lt_enhancement(la_conv, wp)
         mstar = find_mstar(bflux, ustar, mld, absf, p, lang_enh=lang_enh)
         e0 = mstar * ustar ** 3 * dt
         mld = _march_mld(h, b_c, e0, conv_rate, p, mld, dt)

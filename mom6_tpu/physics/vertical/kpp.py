@@ -97,7 +97,7 @@ def _surface_layer_means(z_c, h, fields, eps_frac):
 
 def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
                     p: KPPParams = KPPParams(), cp: float = 3991.87,
-                    lang_enh=None
+                    lang_enh=None, la_fn=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Boundary-layer interface diffusivity, BLD and nonlocal shape.
 
@@ -192,6 +192,12 @@ def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
                        jnp.minimum(z_int, p.surf_layer_ext * hbl[None]))
     ws_int = _w_scales(d_eval, None, ustar[None], bflux[None], p)
     kd = hbl[None] * ws_int * shape
+    if la_fn is not None:
+        # Langmuir number at the diagnosed boundary-layer depth
+        # (get_Langmuir_Number called from KPP_compute_BLD), applied as
+        # the Li et al. 2016 velocity-scale factor (LT_K_ENHANCEMENT)
+        from mom6_tpu.physics.waves import langmuir_enhancement
+        lang_enh = langmuir_enhancement(la_fn(hbl))
     if lang_enh is not None:
         # Langmuir-turbulence enhancement (Li et al. 2016 factor applied
         # to the velocity scale, MOM_CVMix_KPP's LT_K_ENHANCEMENT)
