@@ -207,7 +207,25 @@ def main(argv=None):
         fields += ["T", "S"]
     reg.register_state_attrs(fields)
     reg.lock()
-    t0 = 0.0
+
+    # --- calendar / model dates (FMS time_manager + the solo driver's
+    # ocean_solo.res segment protocol, MOM_driver.F90:225-300) ---------
+    from mom6_tpu.framework import time_manager as tm
+    cal = tm.calendar_from_name(
+        pf.get("CALENDAR", str, default="NO_CALENDAR", module="MOM_driver",
+               desc="Calendar: NO_CALENDAR, THIRTY_DAY, JULIAN, "
+               "GREGORIAN or NOLEAP"))
+    d_init = [int(v) for v in pf.get_list(
+        "START_DATE", default=[1, 1, 1, 0, 0, 0], module="MOM_driver",
+        desc="Model start date: year,month,day,hour,minute,second")]
+    start_time = tm.set_date(cal, *d_init[:6])
+    seg_start = start_time
+    solo_res = os.path.join(args.rundir, "ocean_solo.res")
+    if os.path.exists(solo_res):
+        # segment start fixed by the previous segment's stamp
+        cal, start_time, seg_start = tm.read_ocean_solo_res(solo_res)
+
+    t0 = float(seg_start.total_seconds() - start_time.total_seconds())
     if args.restart_in:
         state, t0, _ = reg.restore_state(args.restart_in, state)
 
@@ -460,6 +478,21 @@ def main(argv=None):
     reg.save_restart(os.path.join(args.rundir, "MOM.res.nc"), state,
                      time_seconds=t0 + n_cycles * dt_cycle, step=n_cycles,
                      io_layout=tuple(int(v) for v in io_layout[:2]))
+    # date-stamped segment bookkeeping (write_ocean_solo_res +
+    # time_stamp.out + FMS-stamped restart name, MOM_driver.F90:606-680).
+    # Written under RESTART/ as the reference does; continuing a segment
+    # means copying RESTART/ocean_solo.res into the next run directory.
+    t_end = start_time.add_seconds(t0 + (n_done or n_cycles) * dt_cycle)
+    res_dir = os.path.join(args.rundir, "RESTART")
+    os.makedirs(res_dir, exist_ok=True)
+    tm.write_ocean_solo_res(os.path.join(res_dir, "ocean_solo.res"),
+                            cal, start_time, t_end)
+    tm.write_time_stamp(args.rundir, cal, seg_start, t_end)
+    if cal != tm.NO_CALENDAR:
+        stamped = os.path.join(res_dir,
+                               tm.date_stamp(cal, t_end) + ".MOM.res.nc")
+        if not os.path.exists(stamped):
+            os.link(os.path.join(args.rundir, "MOM.res.nc"), stamped)
     # chksum_diag-style fingerprint of the final state (the second half of
     # the regression oracle, SURVEY.md §4)
     from mom6_tpu.framework.checksums import chksum_line
