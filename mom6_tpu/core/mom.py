@@ -514,7 +514,8 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
         if p.tfc is not None and state.tr is not None:
             state = state.replace(
                 tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G,
-                                        GV))
+                                        GV, T=state.T, S=state.S,
+                                        forcing=forcing))
         if p.sponge is not None:
             from mom6_tpu.physics.vertical.sponge import apply_sponge
             state = apply_sponge(state, dt_therm, p.sponge, G)
@@ -645,7 +646,9 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
     # MOM_tracer_flow_control.F90:955) --------------------------------------
     if p.tfc is not None and state.tr is not None:
         state = state.replace(
-            tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G, GV))
+            tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G, GV,
+                                    T=state.T, S=state.S,
+                                    forcing=forcing))
 
     # --- sponges (apply_ALE_sponge, MOM_ALE_sponge.F90; sequenced after
     # the diabatic solve as in MOM_diabatic_driver.F90:1770) ----------------

@@ -16,8 +16,8 @@ import numpy as np
 
 from mom6_tpu.framework.repro_sum import reproducing_sum
 
-__all__ = ["compute_stats", "compute_stats_jit", "format_stats_line",
-           "StatsWriter"]
+__all__ = ["compute_stats", "compute_stats_jit", "tracer_stocks",
+           "format_stats_line", "StatsWriter"]
 
 
 def compute_stats(state, G, GV, dt: float) -> Dict[str, float]:
@@ -118,10 +118,32 @@ def compute_stats_jit(state, G, GV, dt: float) -> Dict[str, "object"]:
             "max_CFL": cfl}
 
 
+def tracer_stocks(tr: Dict[str, "object"], h, G,
+                  names=None) -> Dict[str, float]:
+    """Global stock of each registered passive tracer,
+    sum(c h area) [conc m3] — the Tracer_stocks report of
+    MOM_sum_output.F90 (via call_tracer_stocks,
+    MOM_tracer_flow_control.F90:955).  Host-side f64 EFP sums."""
+    area = np.asarray(G.areaT * G.mask2dT, np.float64)
+    h64 = np.asarray(h, np.float64)
+    out: Dict[str, float] = {}
+    for name in (names if names is not None else tr):
+        if name.startswith("_"):
+            continue
+        c = np.asarray(tr[name], np.float64)
+        out[name] = float(reproducing_sum(c * h64 * area[None]))
+    return out
+
+
 def format_stats_line(step: int, time_days: float, s: Dict[str, float]) -> str:
-    return (f"{step:8d}, {time_days:12.3f} days: En {s['energy']: .12e} "
+    line = (f"{step:8d}, {time_days:12.3f} days: En {s['energy']: .12e} "
             f"(KE {s['KE']: .6e}, APE {s['APE']: .6e}), "
             f"Mass {s['mass']: .12e}, maxCFL {s['max_CFL']:.5f}")
+    extras = [k for k in s
+              if k not in ("energy", "KE", "APE", "mass", "max_CFL")]
+    if extras:
+        line += ", Tr: " + " ".join(f"{k}={s[k]: .8e}" for k in extras)
+    return line
 
 
 class StatsWriter:

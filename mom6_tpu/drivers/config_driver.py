@@ -854,12 +854,33 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         from mom6_tpu.tracers.packages import IdealAge
         pkgs.append(IdealAge())
     if pf.get("USE_REGIONAL_DYES", bool, default=False, module=m):
-        from mom6_tpu.tracers.packages import RegionalDye
-        pkgs.append(RegionalDye(
-            i_min=pf.get("DYE_SOURCE_MINI", int, default=0, module=m),
-            i_max=pf.get("DYE_SOURCE_MAXI", int, default=4, module=m),
-            j_min=pf.get("DYE_SOURCE_MINJ", int, default=0, module=m),
-            j_max=pf.get("DYE_SOURCE_MAXJ", int, default=4, module=m)))
+        n_dyes = pf.get("NUM_DYE_TRACERS", int, default=0, module=m,
+                        desc="Number of lon/lat-box dye tracers")
+        if n_dyes > 0:
+            # reference-style per-dye lon/lat(/depth) source boxes
+            # (dye_example.F90:108-160)
+            from mom6_tpu.tracers.packages import RegionalDyes
+            def _dl(name):
+                v = pf.get_list(name, default=(), module=m)
+                if len(v) not in (0, n_dyes):
+                    raise ValueError(
+                        f"{name}: expected {n_dyes} values, got {len(v)}")
+                return tuple(v)
+            pkgs.append(RegionalDyes(
+                minlon=_dl("DYE_SOURCE_MINLON"),
+                maxlon=_dl("DYE_SOURCE_MAXLON"),
+                minlat=_dl("DYE_SOURCE_MINLAT"),
+                maxlat=_dl("DYE_SOURCE_MAXLAT"),
+                mindepth=_dl("DYE_SOURCE_MINDEPTH"),
+                maxdepth=_dl("DYE_SOURCE_MAXDEPTH")))
+        else:
+            from mom6_tpu.tracers.packages import RegionalDye
+            pkgs.append(RegionalDye(
+                i_min=pf.get("DYE_SOURCE_MINI", int, default=0, module=m),
+                i_max=pf.get("DYE_SOURCE_MAXI", int, default=4, module=m),
+                j_min=pf.get("DYE_SOURCE_MINJ", int, default=0, module=m),
+                j_max=pf.get("DYE_SOURCE_MAXJ", int, default=4,
+                             module=m)))
     if pf.get("USE_BOUNDARY_IMPULSE_TRACER", bool, default=False, module=m):
         from mom6_tpu.tracers.packages import BoundaryImpulse
         pkgs.append(BoundaryImpulse())

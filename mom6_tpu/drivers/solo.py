@@ -438,6 +438,13 @@ def main(argv=None):
                 s = {k: float(v) for k, v in stats_jit(state).items()}
             else:
                 s = compute_stats(state, G, GV, params.dyn.dt)
+            if params.tfc is not None and state.tr is not None:
+                # per-tracer global stocks on the stats line
+                # (call_tracer_stocks -> MOM_sum_output)
+                from mom6_tpu.diagnostics.sum_output import tracer_stocks
+                s.update(tracer_stocks(
+                    jax.device_get(state.tr), jax.device_get(state.h),
+                    G, names=params.tfc.registry.names))
             writer.write(step, tdays, s)
         print(format_stats_line(step, tdays, s))
         with timer("diag mediator"):

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 
 from mom6_tpu.tracers.registry import TracerRegistry
 
-__all__ = ["TracerPackage", "IdealAge", "RegionalDye", "BoundaryImpulse",
-           "PseudoSalt", "CFCPackage", "TracerFlowControl"]
+__all__ = ["TracerPackage", "IdealAge", "RegionalDye", "RegionalDyes",
+           "BoundaryImpulse", "PseudoSalt", "CFCPackage",
+           "TracerFlowControl"]
 
 
 @dataclass
@@ -32,8 +33,9 @@ class TracerPackage:
     def init_fields(self, shape, dtype) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
-    def column_physics(self, fields, h, dt, G, GV):
-        """Vertical/source-sink physics per thermo step."""
+    def column_physics(self, fields, h, dt, G, GV, **kw):
+        """Vertical/source-sink physics per thermo step.  ``kw`` may
+        carry the model surface state: T, S (3-D) and forcing."""
         return fields
 
 
@@ -50,7 +52,7 @@ class IdealAge(TracerPackage):
     def init_fields(self, shape, dtype):
         return {"age": jnp.zeros(shape, dtype)}
 
-    def column_physics(self, fields, h, dt, G, GV):
+    def column_physics(self, fields, h, dt, G, GV, **kw):
         age = fields["age"] + dt / (365.0 * 86400.0)
         age = age.at[: self.surface_layers].set(0.0)
         return {**fields, "age": age * G.mask2dT[None]}
@@ -73,11 +75,64 @@ class RegionalDye(TracerPackage):
     def init_fields(self, shape, dtype):
         return {"dye": jnp.zeros(shape, dtype)}
 
-    def column_physics(self, fields, h, dt, G, GV):
+    def column_physics(self, fields, h, dt, G, GV, **kw):
         dye = fields["dye"]
         dye = dye.at[: self.k_max, self.j_min:self.j_max,
                      self.i_min:self.i_max].set(1.0)
         return {**fields, "dye": dye}
+
+
+@dataclass
+class RegionalDyes(TracerPackage):
+    """N dye tracers, each held at 1 inside its own lon/lat/depth source
+    box (regional_dyes, reference: src/tracer/dye_example.F90:108-160 —
+    NUM_DYE_TRACERS with per-dye DYE_SOURCE_{MIN,MAX}{LON,LAT} and
+    MINDEPTH/MAXDEPTH).  The dyes are one batch dimension through the
+    shared advection/diffusion machinery."""
+    name: str = "regional_dyes"
+    minlon: tuple = ()
+    maxlon: tuple = ()
+    minlat: tuple = ()
+    maxlat: tuple = ()
+    mindepth: tuple = ()        # [m]; empty -> surface layer only
+    maxdepth: tuple = ()
+
+    @property
+    def n_dyes(self) -> int:
+        return len(self.minlon)
+
+    def _dye_name(self, m: int) -> str:
+        return f"dye{m + 1:03d}"
+
+    def register(self, reg):
+        for m in range(self.n_dyes):
+            reg.register(self._dye_name(m), units="conc",
+                         longname=f"Regional dye {m + 1}")
+
+    def init_fields(self, shape, dtype):
+        return {self._dye_name(m): jnp.zeros(shape, dtype)
+                for m in range(self.n_dyes)}
+
+    def column_physics(self, fields, h, dt, G, GV, **kw):
+        z_top = jnp.cumsum(h, axis=0) - h
+        z_bot = jnp.cumsum(h, axis=0)
+        out = dict(fields)
+        for m in range(self.n_dyes):
+            box = ((G.geoLonT >= self.minlon[m])
+                   & (G.geoLonT <= self.maxlon[m])
+                   & (G.geoLatT >= self.minlat[m])
+                   & (G.geoLatT <= self.maxlat[m]))
+            if self.mindepth:
+                zsel = (z_bot > self.mindepth[m]) & \
+                    (z_top < self.maxdepth[m])
+            else:
+                zsel = jnp.concatenate(
+                    [jnp.ones_like(h[:1], bool),
+                     jnp.zeros_like(h[1:], bool)], axis=0)
+            src = zsel & box[None]
+            name = self._dye_name(m)
+            out[name] = jnp.where(src, 1.0, fields[name]) * G.mask2dT[None]
+        return out
 
 
 @dataclass
@@ -94,7 +149,7 @@ class BoundaryImpulse(TracerPackage):
         return {"impulse": jnp.zeros(shape, dtype),
                 "_impulse_clock": jnp.zeros((), dtype)}
 
-    def column_physics(self, fields, h, dt, G, GV):
+    def column_physics(self, fields, h, dt, G, GV, **kw):
         t = fields["_impulse_clock"]
         active = (t < self.source_seconds).astype(h.dtype)
         imp = fields["impulse"].at[0].set(
@@ -117,13 +172,24 @@ class PseudoSalt(TracerPackage):
 
 @dataclass
 class CFCPackage(TracerPackage):
-    """CFC-11 + CFC-12 with OCMIP2 air-sea exchange (MOM_OCMIP2_CFC.F90):
-    surface saturation follows the Warner & Weiss (1985) solubility
-    function of the top-layer T/S and a piecewise-linear atmospheric
-    mixing-ratio history; the top layer relaxes toward saturation with a
-    prescribed piston velocity.  Time is carried in a package scalar."""
+    """CFC-11 + CFC-12 with the full OCMIP2 air-sea gas-exchange protocol
+    (MOM_OCMIP2_CFC.F90):
+
+    * solubility K0(T,S) from Warner & Weiss (1985) table 5
+      (:216-236 d/e coefficient defaults);
+    * Schmidt numbers Sc(T) from Zheng et al. (1998)
+      (:184-214 a coefficient defaults);
+    * piston velocity Kw = a_xkw (1-f_ice) u10^2 sqrt(660/Sc), the
+      OCMIP2 Wanninkhof-protocol exchange the reference receives from
+      the FMS coupler (the sc_no_term of :571-584 combined with the
+      coupler's wind-speed kw), with a_xkw = 0.337 cm hr-1 (m s-1)-2;
+    * a piecewise-linear atmospheric mixing-ratio history.
+
+    Surface T/S and the 10 m wind arrive via the column-physics kwargs;
+    time is carried in a package scalar."""
     name: str = "cfc"
-    piston_velocity: float = 5.0 / 86400.0   # air-sea exchange [m s-1]
+    a_xkw: float = 0.337e-2 / 3600.0         # [m s-1 per (m s-1)^2]
+    u10_default: float = 8.0                 # [m s-1] if no wind given
     year0: float = 1950.0                    # model year at t = 0
 
     # atmospheric mole fractions [ppt by volume], northern-hemisphere
@@ -132,6 +198,11 @@ class CFCPackage(TracerPackage):
               2010.0)
     _cfc11_atm = (0.0, 9.0, 60.0, 160.0, 255.0, 264.0, 260.0, 240.0)
     _cfc12_atm = (0.0, 25.0, 110.0, 285.0, 465.0, 500.0, 535.0, 530.0)
+
+    # Schmidt-number polynomials Sc = a1 + T(a2 + T(a3 + T a4))
+    # (Zheng et al. 1998; MOM_OCMIP2_CFC.F90:187-188)
+    _sc11 = (3501.8, -210.31, 6.1851, -0.07513)
+    _sc12 = (3845.4, -228.95, 6.1908, -0.06743)
 
     def register(self, reg):
         reg.register("cfc11", units="mol m-3", longname="CFC-11")
@@ -144,38 +215,50 @@ class CFCPackage(TracerPackage):
 
     @staticmethod
     def _solubility(T, S, a, b):
-        """Warner & Weiss (1985) solubility [mol m-3 patm-1]: coefficients
-        ``a`` (a1..a4) with ln/100 temperature terms and ``b`` (b1..b3)
-        salinity terms; T in degC, returns K0 in mol L-1 atm-1 * 1000."""
+        """Warner & Weiss (1985) solubility: coefficients ``a`` (d1..d4)
+        with 100/T and ln(T/100) terms and ``b`` (e1..e3) salinity
+        terms; T in degC; returns K0 in mol m-3 atm-1."""
         t100 = (T + 273.15) / 100.0
         lnk = (a[0] + a[1] / t100 + a[2] * jnp.log(t100)
                + a[3] * t100 * t100
                + S * (b[0] + b[1] * t100 + b[2] * t100 * t100))
-        return 1000.0 * jnp.exp(lnk)       # mol m-3 atm-1
+        return 1000.0 * jnp.exp(lnk)       # mol L-1 atm-1 -> mol m-3
 
-    def column_physics(self, fields, h, dt, G, GV):
+    @staticmethod
+    def _schmidt(T, a):
+        return a[0] + T * (a[1] + T * (a[2] + T * a[3]))
+
+    def column_physics(self, fields, h, dt, G, GV, T=None, S=None,
+                       forcing=None, **kw):
         t_sec = fields["_cfc_clock"]
         year = self.year0 + t_sec / (365.0 * 86400.0)
         yrs = jnp.asarray(self._years)
         atm11 = jnp.interp(year, yrs, jnp.asarray(self._cfc11_atm)) * 1e-12
         atm12 = jnp.interp(year, yrs, jnp.asarray(self._cfc12_atm)) * 1e-12
-        T = fields.get("_sfc_T", None)
-        S = fields.get("_sfc_S", None)
-        if T is None:
-            T = jnp.full_like(h[0], 10.0)
-            S = jnp.full_like(h[0], 35.0)
-        # Warner & Weiss table 5 coefficients
-        k11 = self._solubility(T, S, (-229.9261, 319.6552, 119.4471,
-                                      -1.39165), (0.142382, -0.091459,
-                                                  0.0157274))
-        k12 = self._solubility(T, S, (-218.0971, 298.9702, 113.8049,
-                                      -1.39165), (0.143566, -0.091015,
-                                                  0.0153924))
+        sst = T[0] if T is not None else jnp.full_like(h[0], 10.0)
+        sss = S[0] if S is not None else jnp.full_like(h[0], 35.0)
+        u10 = None
+        if forcing is not None and forcing.mech.u10 is not None:
+            u10 = forcing.mech.u10
+        if u10 is None:
+            u10 = jnp.full_like(h[0], self.u10_default)
+        # Warner & Weiss table 5 (MOM_OCMIP2_CFC.F90:216-219 defaults)
+        k11 = self._solubility(sst, sss,
+                               (-229.9261, 319.6552, 119.4471, -1.39165),
+                               (-0.142382, 0.091459, -0.0157274))
+        k12 = self._solubility(sst, sss,
+                               (-218.0971, 298.9702, 113.8049, -1.39165),
+                               (-0.143566, 0.091015, -0.0153924))
+        kw_wind = self.a_xkw * u10 * u10     # [m s-1] before Sc term
         out = dict(fields)
-        for name, atm, k0 in (("cfc11", atm11, k11), ("cfc12", atm12, k12)):
+        for name, atm, k0, sc_c in (("cfc11", atm11, k11, self._sc11),
+                                    ("cfc12", atm12, k12, self._sc12)):
+            sc = self._schmidt(sst, sc_c)
+            kw_g = kw_wind * jnp.sqrt(660.0 / jnp.maximum(
+                jnp.abs(sc), 1e-30))         # sc_no_term (:578)
             sat = k0 * atm                   # saturation conc [mol m-3]
             c = fields[name]
-            w = dt * self.piston_velocity / jnp.maximum(h[0], 1e-3)
+            w = dt * kw_g / jnp.maximum(h[0], 1e-3)
             out[name] = c.at[0].set(((c[0] + w * sat) / (1.0 + w))
                                     * G.mask2dT)
         out["_cfc_clock"] = t_sec + dt
@@ -199,9 +282,9 @@ class TracerFlowControl:
             fields.update(pkg.init_fields(shape, dtype))
         return fields
 
-    def column_physics(self, fields, h, dt, G, GV):
+    def column_physics(self, fields, h, dt, G, GV, **kw):
         for pkg in self.packages:
-            fields = pkg.column_physics(fields, h, dt, G, GV)
+            fields = pkg.column_physics(fields, h, dt, G, GV, **kw)
         return fields
 
     def stack(self, fields):
