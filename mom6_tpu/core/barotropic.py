@@ -185,7 +185,7 @@ def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
 def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
            visc_rem_u, visc_rem_v, pbce, eta_PF, dt, G, GV, params: BTParams,
            taux=None, tauy=None, x_first: bool = True,
-           bt_cont=None, obc=None) -> BTOut:
+           bt_cont=None, obc=None, u_uh0=None, v_uh0=None) -> BTOut:
     """One barotropic cycle covering a baroclinic step of length ``dt``.
 
     ``bt_cont``: optional BTCont response curves (set_bt_cont) making the
@@ -194,7 +194,15 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     ``obc``: optional OBCParams; Flather radiation is then applied to the
     barotropic velocities INSIDE every substep (apply_velocity_OBCs,
     MOM_barotropic.F90:3639-3825), so the external mode radiates at the
-    substep cadence rather than only at the baroclinic step boundary."""
+    substep cadence rather than only at the baroclinic step boundary.
+
+    ``u_uh0``/``v_uh0``: velocities to pair with ``uh_in``/``vh_in`` for
+    the uhbt0 transport-mismatch offset, when the transports were
+    evaluated with velocities other than ``u_in`` (the reference's
+    separate u_ptr/uh_ptr arguments, MOM_barotropic.F90 btstep; used by
+    the RK2b corrector where uh comes from the time-filtered u_av while
+    the BT initial velocity is the instantaneous u_inst).  Default:
+    ``u_in``."""
     dtype = u_in.dtype
     nstep, nfilter = params.nstep, params.nfilter
     dtbt = dtype.type(dt / nstep)
@@ -216,14 +224,19 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     vbt_in = jnp.sum(wt_v * v_in, axis=0) / norm_v
 
     # layer-sum transport mismatch (uhbt0): makes the BT continuity agree
-    # with the layer continuity at the initial velocities
+    # with the layer continuity at the velocities that produced uh_in
+    if u_uh0 is None:
+        ubt_uh0, vbt_uh0 = ubt_in, vbt_in
+    else:
+        ubt_uh0 = jnp.sum(wt_u * u_uh0, axis=0) / norm_u
+        vbt_uh0 = jnp.sum(wt_v * v_uh0, axis=0) / norm_v
     if params.use_bt_cont and bt_cont is not None:
         from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
-        uhbt0 = jnp.sum(uh_in, axis=0) - find_uhbt(ubt_in, bt_cont)
-        vhbt0 = jnp.sum(vh_in, axis=0) - find_vhbt(vbt_in, bt_cont)
+        uhbt0 = jnp.sum(uh_in, axis=0) - find_uhbt(ubt_uh0, bt_cont)
+        vhbt0 = jnp.sum(vh_in, axis=0) - find_vhbt(vbt_uh0, bt_cont)
     else:
-        uhbt0 = jnp.sum(uh_in, axis=0) - Datu * ubt_in
-        vhbt0 = jnp.sum(vh_in, axis=0) - Datv * vbt_in
+        uhbt0 = jnp.sum(uh_in, axis=0) - Datu * ubt_uh0
+        vhbt0 = jnp.sum(vh_in, axis=0) - Datv * vbt_uh0
 
     # effective column-mean reduced gravity (gtot of btstep; single value per
     # cell here since our pbce is horizontally local)

@@ -175,13 +175,18 @@ def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None, fold=False):
 def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
                     visc_rem: Optional[jnp.ndarray] = None,
                     monotonic=False, simple_2nd=False, h_min=1e-10,
-                    por=None):
+                    por=None, return_cor: bool = False):
     """Zonal thickness flux; optionally Newton-adjusted so the column sum
     matches a barotropic transport ``uhbt`` (zonal_flux_adjust,
-    MOM_continuity_PPM.F90:1093 — here with a fixed iteration count)."""
+    MOM_continuity_PPM.F90:1093 — here with a fixed iteration count).
+    ``return_cor`` appends the 2-D barotropic velocity correction ``du``
+    (u_adj = u + du * visc_rem; the du_cor argument of the reference's
+    continuity), needed by the RK2b scheme's u_av/u_inst bookkeeping."""
     h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic, simple_2nd)
     uh, duhdu = _zonal_flux_layer(u, h, h_W, h_E, dt, G, por)
     if uhbt is None:
+        if return_cor:
+            return uh, u, jnp.zeros(u.shape[1:], u.dtype)
         return uh, u
     rem = visc_rem if visc_rem is not None else jnp.ones_like(u)
 
@@ -206,19 +211,23 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
 
     du0 = jnp.zeros_like(uhbt)
     du, uh, _ = jax.lax.fori_loop(0, _N_NEWTON, newton, (du0, uh, duhdu))
+    if return_cor:
+        return uh, u + du * rem, du
     return uh, u + du * rem
 
 
 def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
                          visc_rem: Optional[jnp.ndarray] = None,
                          monotonic=False, simple_2nd=False, h_min=1e-10,
-                         por=None):
+                         por=None, return_cor: bool = False):
     fold = getattr(G, "fold_north", False)
     h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
                                     simple_2nd, fold=fold)
     vh, dvhdv = _meridional_flux_layer(v, h, h_S, h_N, dt, G, por,
                                        fold=fold)
     if vhbt is None:
+        if return_cor:
+            return vh, v, jnp.zeros(v.shape[1:], v.dtype)
         return vh, v
     rem = visc_rem if visc_rem is not None else jnp.ones_like(v)
 
@@ -237,6 +246,8 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
 
     dv0 = jnp.zeros_like(vhbt)
     dv, vh, _ = jax.lax.fori_loop(0, _N_NEWTON, newton, (dv0, vh, dvhdv))
+    if return_cor:
+        return vh, v + dv * rem, dv
     return vh, v + dv * rem
 
 
@@ -246,45 +257,52 @@ def continuity_ppm(u, v, h, dt, G, GV, *,
                    visc_rem_u: Optional[jnp.ndarray] = None,
                    visc_rem_v: Optional[jnp.ndarray] = None,
                    monotonic=False, simple_2nd=False, x_first: bool = True,
-                   por_u=None, por_v=None
+                   por_u=None, por_v=None, return_cor: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                               jnp.ndarray, jnp.ndarray]:
     """Directionally-split thickness update (continuity_PPM,
     MOM_continuity_PPM.F90:86).  ``x_first`` is the FIRST_DIRECTION
     parameter of the reference (adjusted by the rotation machinery so
     quarter-turned runs sweep the same physical direction first).
-    Returns (h_new, uh, vh, u_adj, v_adj).
+    Returns (h_new, uh, vh, u_adj, v_adj); with ``return_cor`` also the
+    2-D barotropic corrections (du, dv) with u_adj = u + du * visc_rem
+    (the du_cor/dv_cor outputs of the reference's continuity, consumed
+    by the RK2b scheme's du_av_inst restart fields).
     """
     h_min = GV.angstrom
     fold = getattr(G, "fold_north", False)
     if x_first:
-        uh, u_adj = zonal_mass_flux(u, h, dt, G, uhbt=uhbt,
-                                    visc_rem=visc_rem_u,
-                                    monotonic=monotonic,
-                                    simple_2nd=simple_2nd, h_min=h_min,
-                                    por=por_u)
+        uh, u_adj, du = zonal_mass_flux(u, h, dt, G, uhbt=uhbt,
+                                        visc_rem=visc_rem_u,
+                                        monotonic=monotonic,
+                                        simple_2nd=simple_2nd, h_min=h_min,
+                                        por=por_u, return_cor=True)
         h_x = jnp.maximum(h - dt * G.IareaT * (uh - im1(uh)), h_min)
-        vh, v_adj = meridional_mass_flux(v, h_x, dt, G, vhbt=vhbt,
-                                         visc_rem=visc_rem_v,
-                                         monotonic=monotonic,
-                                         simple_2nd=simple_2nd, h_min=h_min,
-                                         por=por_v)
+        vh, v_adj, dv = meridional_mass_flux(v, h_x, dt, G, vhbt=vhbt,
+                                             visc_rem=visc_rem_v,
+                                             monotonic=monotonic,
+                                             simple_2nd=simple_2nd,
+                                             h_min=h_min,
+                                             por=por_v, return_cor=True)
         h_new = jnp.maximum(
             h_x - dt * G.IareaT * (vh - jm1_s0(vh, fold)), h_min)
     else:
-        vh, v_adj = meridional_mass_flux(v, h, dt, G, vhbt=vhbt,
-                                         visc_rem=visc_rem_v,
-                                         monotonic=monotonic,
-                                         simple_2nd=simple_2nd, h_min=h_min,
-                                         por=por_v)
+        vh, v_adj, dv = meridional_mass_flux(v, h, dt, G, vhbt=vhbt,
+                                             visc_rem=visc_rem_v,
+                                             monotonic=monotonic,
+                                             simple_2nd=simple_2nd,
+                                             h_min=h_min,
+                                             por=por_v, return_cor=True)
         h_y = jnp.maximum(
             h - dt * G.IareaT * (vh - jm1_s0(vh, fold)), h_min)
-        uh, u_adj = zonal_mass_flux(u, h_y, dt, G, uhbt=uhbt,
-                                    visc_rem=visc_rem_u,
-                                    monotonic=monotonic,
-                                    simple_2nd=simple_2nd, h_min=h_min,
-                                    por=por_u)
+        uh, u_adj, du = zonal_mass_flux(u, h_y, dt, G, uhbt=uhbt,
+                                        visc_rem=visc_rem_u,
+                                        monotonic=monotonic,
+                                        simple_2nd=simple_2nd, h_min=h_min,
+                                        por=por_u, return_cor=True)
         h_new = jnp.maximum(h_y - dt * G.IareaT * (uh - im1(uh)), h_min)
+    if return_cor:
+        return h_new, uh, vh, u_adj, v_adj, du, dv
     return h_new, uh, vh, u_adj, v_adj
 
 

@@ -28,14 +28,14 @@ from mom6_tpu.core.continuity_ppm import continuity_ppm
 from mom6_tpu.core.coriolis_adv import SADOURNY75_ENERGY, coriolis_adv
 from mom6_tpu.core.pressure_force import find_eta, pressure_force_montgomery
 from mom6_tpu.core.state import OceanState
-from mom6_tpu.framework.stencil import ip1, jp1
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
 from mom6_tpu.physics.vertical.vert_friction import (gl90_coupling,
                                                      limit_velocity, vertvisc,
                                                      vertvisc_coef,
                                                      vertvisc_remnant)
 
 __all__ = ["DynParams", "MechForcing", "AccelDiag",
-           "step_dynamics_split_rk2"]
+           "step_dynamics_split_rk2", "step_dynamics_split_rk2b"]
 
 
 class AccelDiag(NamedTuple):
@@ -74,10 +74,11 @@ class DynParams(NamedTuple):
     # layers below topography in ALE mode): such momentum is meaningless
     # and otherwise leaks into massive layers via the KE gradient
     massless_h: float = 1e-3     # [m]; 0 disables
-    # "RK2" evaluates the corrector tendencies at the predicted state
-    # (MOM_dynamics_split_RK2.F90); "RK2B" evaluates them at the
-    # time-centred velocities 0.5 (u^n + u*), the reduced form of
-    # MOM_dynamics_split_RK2b.F90's greater use of time-mean velocities
+    # "RK2" steps the instantaneous velocities (MOM_dynamics_split_RK2.F90);
+    # "RK2B" steps the TIME-FILTERED velocities, reconstructing the
+    # instantaneous ones from the stored 2-D barotropic corrections
+    # du_av_inst (MOM_dynamics_split_RK2b.F90; see
+    # step_dynamics_split_rk2b)
     scheme: str = "RK2"
     x_first: bool = True         # FIRST_DIRECTION of the split sweeps
 
@@ -105,30 +106,11 @@ def _massless_ramp(h, G, h0: float):
     return hu / (hu + h0), hv / (hv + h0)
 
 
-def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
-                            G, GV, p: DynParams, *,
-                            pf_fn=None, hv_fn=None, por=None,
-                            bbl_piston=None, obc=None,
-                            return_accel: bool = False):
-    """``pf_fn(h, state) -> PressureForceOut`` overrides the default
-    Montgomery pressure force (used for the FV/EOS thermo path);
-    ``hv_fn(u, v, h) -> (diffu, diffv)`` adds lateral friction
-    (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886);
-    ``por``: optional (por_u, por_v) per-layer fractional open face
-    widths from the porous-barrier parameterization, applied in every
-    continuity call (MOM_porous_barriers.F90 role);
-    ``bbl_piston``: optional (r_u, r_v) BBL bottom-drag piston velocities
-    [m s-1] from set_viscous_BBL (kv_bbl/bbl_thick), replacing the scalar
-    ``p.bottom_drag`` in the implicit vertical friction."""
-    dt = p.dt
-    dt_pred = p.be * dt
-    h, u, v = state.h, state.u, state.v
-    eta = find_eta(h, G)
-    por_u, por_v = por if por is not None else (None, None)
-    if pf_fn is None:
-        pf_fn = lambda hh, st: pressure_force_montgomery(hh, G, GV)
-
-    # ---- shared setup ------------------------------------------------------
+def _visc_setup(h, u, v, G, GV, p: "DynParams", bbl_piston):
+    """Face thicknesses, implicit-viscosity tridiagonal couplings and the
+    viscous remnants over dt (vertvisc_coef + vertvisc_remnant,
+    MOM_vert_friction.F90), shared by the RK2 and RK2b steppers.  ``u``/
+    ``v`` supply the near-bottom speed for the quadratic drag law."""
     h_u, h_v = _face_thickness(h, G)
     # near-bottom speed for the quadratic drag law, averaged over the
     # deepest ~10 m of ACTUAL water — over topography layer nz is often a
@@ -160,8 +142,42 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                        u_bot=u_bot, cdrag=cdrag_eff, a_gl90=agl_u)
     cv = vertvisc_coef(h_v, p.kv, bottom_drag=drag_v,
                        u_bot=v_bot, cdrag=cdrag_eff, a_gl90=agl_v)
-    visc_rem_u = vertvisc_remnant(h_u, cu, dt)
-    visc_rem_v = vertvisc_remnant(h_v, cv, dt)
+    visc_rem_u = vertvisc_remnant(h_u, cu, p.dt)
+    visc_rem_v = vertvisc_remnant(h_v, cv, p.dt)
+    return h_u, h_v, cu, cv, visc_rem_u, visc_rem_v
+
+
+def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
+                            G, GV, p: DynParams, *,
+                            pf_fn=None, hv_fn=None, por=None,
+                            bbl_piston=None, obc=None,
+                            return_accel: bool = False):
+    """``pf_fn(h, state) -> PressureForceOut`` overrides the default
+    Montgomery pressure force (used for the FV/EOS thermo path);
+    ``hv_fn(u, v, h) -> (diffu, diffv)`` adds lateral friction
+    (horizontal_viscosity at MOM_dynamics_split_RK2.F90:886);
+    ``por``: optional (por_u, por_v) per-layer fractional open face
+    widths from the porous-barrier parameterization, applied in every
+    continuity call (MOM_porous_barriers.F90 role);
+    ``bbl_piston``: optional (r_u, r_v) BBL bottom-drag piston velocities
+    [m s-1] from set_viscous_BBL (kv_bbl/bbl_thick), replacing the scalar
+    ``p.bottom_drag`` in the implicit vertical friction."""
+    if p.scheme.upper() == "RK2B":
+        return step_dynamics_split_rk2b(state, forces, G, GV, p,
+                                        pf_fn=pf_fn, hv_fn=hv_fn, por=por,
+                                        bbl_piston=bbl_piston, obc=obc,
+                                        return_accel=return_accel)
+    dt = p.dt
+    dt_pred = p.be * dt
+    h, u, v = state.h, state.u, state.v
+    eta = find_eta(h, G)
+    por_u, por_v = por if por is not None else (None, None)
+    if pf_fn is None:
+        pf_fn = lambda hh, st: pressure_force_montgomery(hh, G, GV)
+
+    # ---- shared setup ------------------------------------------------------
+    h_u, h_v, cu, cv, visc_rem_u, visc_rem_v = _visc_setup(
+        h, u, v, G, GV, p, bbl_piston)
 
     # continuity fluxes of the initial state (for btstep's uhbt0)
     _, uh_in, vh_in, _, _ = continuity_ppm(
@@ -221,11 +237,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     # ---- corrector ------------------------------------------------------------
     pf2 = pf_fn(hp, state)
-    if p.scheme.upper() == "RK2B":
-        # time-centred velocities for the corrector tendencies
-        uc, vc = 0.5 * (u + up_adj), 0.5 * (v + vp_adj)
-    else:
-        uc, vc = up_adj, vp_adj
+    uc, vc = up_adj, vp_adj
     cau2, cav2 = coriolis_adv(uc, vc, hp, uh_p, vh_p, G, GV,
                               scheme=p.coriolis_scheme)
     if hv_fn is not None:
@@ -286,4 +298,166 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     out = state.replace(h=h_new, u=u_new, v=v_new, uh=uh, vh=vh,
                         uhtr=uhtr, vhtr=vhtr)
+    return (out, accel) if return_accel else out
+
+
+def step_dynamics_split_rk2b(state: OceanState, forces: MechForcing,
+                             G, GV, p: DynParams, *,
+                             pf_fn=None, hv_fn=None, por=None,
+                             bbl_piston=None, obc=None,
+                             return_accel: bool = False):
+    """Split RK2b: the variant that time-steps the TIME-FILTERED
+    velocities (step_MOM_dyn_split_RK2b, reference:
+    src/core/MOM_dynamics_split_RK2b.F90:284).
+
+    Differences from :func:`step_dynamics_split_rk2`, mirroring the
+    reference:
+
+    * ``state.u``/``state.v`` are the time-filtered velocities u_av
+      ("layer velocity with the vertical mean replaced by the time-mean
+      barotropic velocity"); the instantaneous velocities are
+      reconstructed each step as ``u_inst = u_av - du_av_inst *
+      visc_rem_u`` from the stored 2-D corrections (restart pair
+      ``du_av_inst``/``dv_av_inst``, ref :701-706).
+    * Predictor tendencies (CorAd, hor_visc) are evaluated at u_av with
+      time-centred thicknesses h_av = (h + hp)/2 from an initial
+      continuity call of (u_av, h) (ref :506-566).
+    * The pressure force is evaluated ONCE at the start-of-step h and
+      reused in the corrector (the reference recomputes only when
+      begw /= 0, ref :827-850; begw = 0 here).
+    * Both btstep calls integrate the FULL dt from (u_inst, eta); only
+      the predictor velocity update is scaled by be*dt (ref :678-709).
+    * Each uhbt-matched continuity call yields the new u_av (the u_cor
+      output); the final one also yields du_cor, stored as du_av_inst
+      for the next step's reconstruction (ref :1007-1010).
+    """
+    dt = p.dt
+    dt_pred = p.be * dt
+    h, u_av, v_av = state.h, state.u, state.v
+    eta = find_eta(h, G)
+    por_u, por_v = por if por is not None else (None, None)
+    if pf_fn is None:
+        pf_fn = lambda hh, st: pressure_force_montgomery(hh, G, GV)
+
+    h_u, h_v, cu, cv, visc_rem_u, visc_rem_v = _visc_setup(
+        h, u_av, v_av, G, GV, p, bbl_piston)
+
+    # reconstruct the instantaneous velocities (ref :701-706)
+    du_i = (state.du_av_inst if state.du_av_inst is not None
+            else jnp.zeros(u_av.shape[1:], u_av.dtype))
+    dv_i = (state.dv_av_inst if state.dv_av_inst is not None
+            else jnp.zeros(v_av.shape[1:], v_av.dtype))
+    u_inst = (u_av - du_i[None] * visc_rem_u) * G.mask2dCu
+    v_inst = (v_av - dv_i[None] * visc_rem_v) * G.mask2dCv
+
+    # transports of the time-filtered velocities drive the predictor
+    # Coriolis/advection (ref :506-510)
+    hp0, uh0, vh0, _, _ = continuity_ppm(
+        u_av, v_av, h, dt, G, GV, monotonic=p.continuity_monotonic,
+        x_first=p.x_first, por_u=por_u, por_v=por_v)
+    h_av0 = 0.5 * (h + hp0)
+
+    # pressure force at h, shared by both stages (begw = 0)
+    pf = pf_fn(h, state)
+    cau, cav = coriolis_adv(u_av, v_av, h_av0, uh0, vh0, G, GV,
+                            scheme=p.coriolis_scheme)
+    diffu = diffv = 0.0
+    if hv_fn is not None:
+        diffu, diffv = hv_fn(u_av, v_av, h_av0)
+    u_bc = (cau + pf.PFu + diffu) * G.mask2dCu
+    v_bc = (cav + pf.PFv + diffv) * G.mask2dCv
+
+    # instantaneous-velocity continuity feeds btstep's uhbt0/BT_cont
+    # (ref :710-716)
+    _, uh_in, vh_in, _, _ = continuity_ppm(
+        u_inst, v_inst, h, dt, G, GV, monotonic=p.continuity_monotonic,
+        x_first=p.x_first, por_u=por_u, por_v=por_v)
+    bt_cont = None
+    if p.bt.use_bt_cont:
+        from mom6_tpu.core.continuity_ppm import set_bt_cont
+        bt_cont = set_bt_cont(h, dt, G, GV,
+                              monotonic=p.continuity_monotonic)
+
+    # ---- predictor: btstep over the FULL dt (ref :735-741) ---------------
+    bt1 = btstep(u_inst, v_inst, eta, u_bc, v_bc, h, uh_in, vh_in,
+                 visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
+                 dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc)
+
+    up = (u_inst + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
+    vp = (v_inst + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
+    up = vertvisc(up, h_u, cu, dt_pred,
+                  tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
+    vp = vertvisc(vp, h_v, cv, dt_pred,
+                  tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+    up, vp, _ = limit_velocity(up, vp, dt_pred, G)
+    if p.massless_h > 0.0:
+        ru, rv = _massless_ramp(h, G, p.massless_h)
+        up, vp = up * ru, vp * rv
+
+    # predictor continuity over the FULL dt; the uhbt-matched output
+    # velocities are the mid-step time-filtered estimates (ref :781-786)
+    hp, uh_p, vh_p, uav_mid, vav_mid = continuity_ppm(
+        up, vp, h, dt, G, GV,
+        uhbt=bt1.uhbt_av, vhbt=bt1.vhbt_av,
+        visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
+        monotonic=p.continuity_monotonic, x_first=p.x_first,
+        por_u=por_u, por_v=por_v)
+    h_av = 0.5 * (h + hp)
+
+    # ---- corrector (ref :870-905) ----------------------------------------
+    cau2, cav2 = coriolis_adv(uav_mid, vav_mid, h_av, uh_p, vh_p, G, GV,
+                              scheme=p.coriolis_scheme)
+    if hv_fn is not None:
+        diffu, diffv = hv_fn(uav_mid, vav_mid, h_av)
+    u_bc2 = (cau2 + pf.PFu + diffu) * G.mask2dCu
+    v_bc2 = (cav2 + pf.PFv + diffv) * G.mask2dCv
+
+    bt2 = btstep(u_inst, v_inst, eta, u_bc2, v_bc2, h, uh_p, vh_p,
+                 visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
+                 dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc,
+                 u_uh0=uav_mid, v_uh0=vav_mid)
+
+    u_pre_visc = (u_inst + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
+    v_pre_visc = (v_inst + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
+    u_new = vertvisc(u_pre_visc, h_u, cu, dt,
+                     tau=forces.taux, rho0=GV.rho0) * G.mask2dCu
+    v_new = vertvisc(v_pre_visc, h_v, cv, dt,
+                     tau=forces.tauy, rho0=GV.rho0) * G.mask2dCv
+    u_new, v_new, _ = limit_velocity(u_new, v_new, dt, G)
+    if p.massless_h > 0.0:
+        ru, rv = _massless_ramp(h, G, p.massless_h)
+        u_new, v_new = u_new * ru, v_new * rv
+    accel = None
+    if return_accel:
+        accel = AccelDiag(
+            PFu=pf.PFu * G.mask2dCu, PFv=pf.PFv * G.mask2dCv,
+            CAu=cau2 * G.mask2dCu, CAv=cav2 * G.mask2dCv,
+            diffu=diffu * jnp.ones_like(u_av),
+            diffv=diffv * jnp.ones_like(v_av),
+            u_bt_accel=bt2.accel_layer_u * G.mask2dCu,
+            v_bt_accel=bt2.accel_layer_v * G.mask2dCv,
+            du_dt_visc=(u_new - u_pre_visc) / dt,
+            dv_dt_visc=(v_new - v_pre_visc) / dt)
+
+    # final continuity: h update + the new time-filtered velocities whose
+    # transports match the time-mean barotropic solution, plus the
+    # corrections for the next step's u_inst reconstruction (ref :1007-1010)
+    h_new, uh, vh, uav_new, vav_new, du_cor, dv_cor = continuity_ppm(
+        u_new, v_new, h, dt, G, GV,
+        uhbt=bt2.uhbt_av, vhbt=bt2.vhbt_av,
+        visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
+        monotonic=p.continuity_monotonic, x_first=p.x_first,
+        por_u=por_u, por_v=por_v, return_cor=True)
+    uav_new = uav_new * G.mask2dCu
+    vav_new = vav_new * G.mask2dCv
+
+    uhtr = state.uhtr + dt * uh if state.uhtr is not None else None
+    vhtr = state.vhtr + dt * vh if state.vhtr is not None else None
+
+    out = state.replace(h=h_new, u=uav_new, v=vav_new, uh=uh, vh=vh,
+                        uhtr=uhtr, vhtr=vhtr,
+                        du_av_inst=du_cor * G.mask2dCu,
+                        dv_av_inst=dv_cor * G.mask2dCv)
     return (out, accel) if return_accel else out

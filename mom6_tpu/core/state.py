@@ -53,6 +53,12 @@ class OceanState:
     # reservoirs role; values only meaningful on the boundary strip)
     obc_res_T: Optional[jnp.ndarray] = None     # (nz, ny, nx)
     obc_res_S: Optional[jnp.ndarray] = None
+    # RK2b scheme restart fields (MOM_dynamics_split_RK2b.F90): the 2-D
+    # barotropic corrections relating the prognostic time-filtered
+    # velocities to the instantaneous ones,
+    # u_inst = u - du_av_inst * visc_rem_u
+    du_av_inst: Optional[jnp.ndarray] = None    # (ny, nx) at u faces
+    dv_av_inst: Optional[jnp.ndarray] = None    # (ny, nx) at v faces
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

@@ -1482,6 +1482,12 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                               obc_res_S=state.S + 0.0)
     if tides is not None:
         state = state.replace(time=jnp.zeros((), dtype))
+    if dyn.scheme.upper() == "RK2B":
+        # RK2b restart pair: 2-D corrections relating the prognostic
+        # time-filtered velocities to the instantaneous ones
+        state = state.replace(
+            du_av_inst=jnp.zeros((G.ny, G.nx), dtype),
+            dv_av_inst=jnp.zeros((G.ny, G.nx), dtype))
     if sppt is not None:
         import jax as _jax
         seed = pf.get("STOCH_SEED", int, default=0,

@@ -205,6 +205,10 @@ def main(argv=None):
     fields = ["h", "u", "v", "uh", "vh", "uhtr", "vhtr"]
     if params.thermo_enabled:
         fields += ["T", "S"]
+    if params.dyn.scheme.upper() == "RK2B":
+        # the RK2b u_av/u_inst correction pair (register_restart_pair,
+        # MOM_dynamics_split_RK2b.F90)
+        fields += ["du_av_inst", "dv_av_inst"]
     reg.register_state_attrs(fields)
     reg.lock()
 

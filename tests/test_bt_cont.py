@@ -136,6 +136,12 @@ def test_rk2b_variant_runs_and_tracks_rk2():
             s = step(s)
         outs[sch] = np.asarray(s.u, np.float64)
         assert np.isfinite(outs[sch]).all(), sch
+        if sch == "RK2B":
+            # the u_av/u_inst correction pair is carried in the state
+            # (the du_av_inst restart fields of MOM_dynamics_split_RK2b)
+            assert s.du_av_inst is not None
+            assert np.isfinite(np.asarray(s.du_av_inst)).all()
+            assert float(jnp.max(jnp.abs(s.du_av_inst))) > 0.0
     a, b = outs["RK2"].ravel(), outs["RK2B"].ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.99, corr
