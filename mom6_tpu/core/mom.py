@@ -94,6 +94,13 @@ class MOMParams(NamedTuple):
     khtr_bl: float = 0.0       # along-boundary-layer diffusivity [m2 s-1]
     n_dyn_per_thermo: int = 1
     tracer_advect_sub: int = 2
+    # DIABATIC_FIRST: apply the diabatic/thermodynamic processes (column
+    # physics + ALE) BEFORE the dynamics in each thermo cycle
+    # (MOM.F90:863-909); tracer advection still follows the dynamics
+    diabatic_first: bool = False
+    # HOMOGENIZE_FORCINGS: replace all forcing fields with their global
+    # means at step entry (MOM.F90:657-662, debugging aid)
+    homogenize_forcings: bool = False
     # --- wired subsystems (each optional; reference wiring cited at the
     # point of use) ------------------------------------------------------
     sponge: Optional["SpongeParams"] = None       # MOM_ALE_sponge role
@@ -200,6 +207,12 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
                    p: MOMParams) -> OceanState:
     eos = get_eos(p.eos_name) if p.thermo_enabled else None
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+
+    # --- HOMOGENIZE_FORCINGS: all forces/fluxes -> their global means
+    # (MOM.F90:657-662) ----------------------------------------------------
+    if p.homogenize_forcings:
+        from mom6_tpu.core.forcing_util import homogenize_forcing
+        forcing = homogenize_forcing(forcing, G)
 
     # --- ice-shelf coupling: fold shelf pressure + melt fluxes into the
     # forcing every downstream consumer sees (add_shelf_pressure +
@@ -308,6 +321,16 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
                 zu, zv = zanna_bolton_accel(u, v, h, G, p.zb)
                 du, dv = du + zu, dv + zv
             return du, dv
+
+    # --- DIABATIC_FIRST: thermodynamics before the dynamics
+    # (MOM.F90:863-909).  The column-physics + ALE block runs here on the
+    # start-of-cycle state; tracer advection still follows the dynamics
+    # with the accumulated transports, and any Redi implicit part from
+    # the lateral diffusion is applied standalone afterwards. ---------------
+    if p.thermo_enabled and p.diabatic_first:
+        names0 = p.tfc.registry.names if p.tfc is not None else []
+        state = _thermo_block(state, forcing, G, GV, p, eos, dt_therm,
+                              None, names0)
 
     # --- lateral eddy parameterizations acting on h (the
     # thickness_diffuse_first path, MOM.F90:1226-1278) -----------------------
@@ -498,6 +521,28 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
         tr = hor_bnd_diffusion(tr, state.h, bld, p.khtr_bl, dt_therm, G)
         state = _unstack_tracers(state, tr, names)
 
+    if p.diabatic_first:
+        # the diabatic solve already ran at the top of the cycle; apply
+        # the lateral diffusion's Redi implicit K S^2 part (if any) as a
+        # standalone implicit vertical solve over T/S + passive tracers
+        if kd_redi is not None:
+            from mom6_tpu.tracers.vert_diff import tracer_vertdiff
+            tr, names = _stack_tracers(state, p)
+            tr = tracer_vertdiff(tr, state.h, kd_redi, dt_therm)
+            state = _unstack_tracers(state, tr, names)
+        return state
+    return _thermo_block(state, forcing, G, GV, p, eos, dt_therm,
+                         kd_redi, names)
+
+
+def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
+                  p: MOMParams, eos, dt_therm: float, kd_redi, names
+                  ) -> OceanState:
+    """Column physics + ALE regrid/remap (step_MOM_thermo,
+    MOM.F90:1591): the diabatic sequence with boundary-layer/shear/tidal
+    diffusivities, tracer-package columns, sponges, ODA increments,
+    stochastics, then the ALE cycle.  Runs after the dynamics by default
+    or before them under DIABATIC_FIRST."""
     # --- column physics (step_MOM_thermo -> diabatic) ---------------------
     if p.diabatic.boundary_layer_scheme == "BULKML":
         # layered (isopycnal) mode: bulk mixed layer + diffusive

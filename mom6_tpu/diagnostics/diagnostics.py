@@ -23,29 +23,84 @@ __all__ = ["SurfaceState", "extract_surface_state", "kinetic_energy_3d",
 
 class SurfaceState(NamedTuple):
     """The fields a coupler consumes (MOM6 ``surface`` type,
-    MOM_variables.F90)."""
-    sst: jnp.ndarray          # [degC]
+    MOM_variables.F90; filled by extract_surface_state,
+    MOM.F90:3954-4354)."""
+    sst: jnp.ndarray          # [degC], averaged over HMIX_SFC
     sss: jnp.ndarray          # [ppt]
     ssh: jnp.ndarray          # [m]
     u_sfc: jnp.ndarray        # surface zonal velocity at h points [m s-1]
-    v_sfc: jnp.ndarray
+    v_sfc: jnp.ndarray        # (averaged over HMIX_UV_SFC)
     speed: jnp.ndarray
     mld: jnp.ndarray = None
+    # heat available to melt ice: -rho0 cp Int_0^HMIX (T - T_freeze) dz
+    # [J m-2] <= 0 (sfc_state%melt_potential, MOM.F90:4090-4120)
+    melt_potential: jnp.ndarray = None
+    ocean_mass: jnp.ndarray = None   # column mass [kg m-2]
+    ocean_heat: jnp.ndarray = None   # column heat  [degC kg m-2]
+    ocean_salt: jnp.ndarray = None   # column salt  [kgSalt m-2]
+    frazil: jnp.ndarray = None       # accumulated frazil heat [J m-2]
 
 
-def extract_surface_state(state, G, GV, *, sfc_layer_depth: float = 5.0
+def _top_average(w3, h, depth: float):
+    """Thickness-weighted average of a 3-D field over the top ``depth``
+    metres of actual water (the depth_ml loops of
+    extract_surface_state)."""
+    z_top = jnp.cumsum(h, axis=0) - h
+    ov = jnp.minimum(z_top + h, depth) - jnp.minimum(z_top, depth)
+    return jnp.sum(w3 * ov, axis=0) / jnp.maximum(jnp.sum(ov, axis=0),
+                                                  1e-6)
+
+
+def extract_surface_state(state, G, GV, *, hmix_sfc: float = 0.0,
+                          hmix_uv_sfc: float = 0.0, tfreeze_fn=None,
+                          cp: float = 3991.87, frazil=None
                           ) -> SurfaceState:
-    """Surface fields, averaging velocities over the top layers
-    (extract_surface_state averages over HMIX_SFC... top layer here)."""
-    eta = jnp.sum(state.h, axis=0) - G.bathyT
-    u_c = 0.5 * (state.u[0] + im1(state.u[0]))
-    v_c = 0.5 * (state.v[0] + jm1(state.v[0]))
-    sst = state.T[0] if state.T is not None else jnp.zeros_like(eta)
-    sss = state.S[0] if state.S is not None else jnp.zeros_like(eta)
+    """Build the coupler surface state (extract_surface_state,
+    MOM.F90:3954-4354): T/S averaged over HMIX_SFC (0 = top layer),
+    velocities over HMIX_UV_SFC, melt potential over the same depth
+    from the freezing temperature, and the column mass/heat/salt
+    contents the coupler reports."""
+    h = state.h
+    eta = jnp.sum(h, axis=0) - G.bathyT
+    if hmix_uv_sfc > 0.0:
+        h_u = 0.5 * (h + jnp.roll(h, -1, axis=-1))
+        h_v = 0.5 * (h + jnp.roll(h, -1, axis=-2))
+        u_f = _top_average(state.u, h_u, hmix_uv_sfc)
+        v_f = _top_average(state.v, h_v, hmix_uv_sfc)
+    else:
+        u_f, v_f = state.u[0], state.v[0]
+    u_c = 0.5 * (u_f + im1(u_f))
+    v_c = 0.5 * (v_f + jm1(v_f))
+    if state.T is not None and hmix_sfc > 0.0:
+        sst = _top_average(state.T, h, hmix_sfc)
+        sss = _top_average(state.S, h, hmix_sfc)
+    else:
+        sst = state.T[0] if state.T is not None else jnp.zeros_like(eta)
+        sss = state.S[0] if state.S is not None else jnp.zeros_like(eta)
+    melt_pot = ocean_heat = ocean_salt = None
+    ocean_mass = GV.rho0 * jnp.sum(h, axis=0) * G.mask2dT
+    if state.T is not None:
+        ocean_heat = GV.rho0 * jnp.sum(h * state.T, axis=0) * G.mask2dT
+        ocean_salt = GV.rho0 * 1e-3 * jnp.sum(h * state.S, axis=0) \
+            * G.mask2dT
+        # melt potential over the HMIX_SFC depth (default: top 1 m if
+        # HMIX_SFC is unset, mirroring the coupled default depth_ml)
+        depth_ml = hmix_sfc if hmix_sfc > 0.0 else 1.0
+        if tfreeze_fn is not None:
+            t_fr = tfreeze_fn(sss, jnp.zeros_like(sss))
+        else:
+            t_fr = -0.054 * sss      # linear TFREEZE_S0_P default
+        z_top = jnp.cumsum(h, axis=0) - h
+        ov = jnp.minimum(z_top + h, depth_ml) - jnp.minimum(z_top,
+                                                            depth_ml)
+        delT = jnp.sum((state.T - t_fr[None]) * ov, axis=0)
+        melt_pot = -GV.rho0 * cp * jnp.maximum(delT, 0.0) * G.mask2dT
     return SurfaceState(
         sst=sst * G.mask2dT, sss=sss * G.mask2dT, ssh=eta * G.mask2dT,
         u_sfc=u_c * G.mask2dT, v_sfc=v_c * G.mask2dT,
-        speed=jnp.sqrt(u_c * u_c + v_c * v_c) * G.mask2dT)
+        speed=jnp.sqrt(u_c * u_c + v_c * v_c) * G.mask2dT,
+        melt_potential=melt_pot, ocean_mass=ocean_mass,
+        ocean_heat=ocean_heat, ocean_salt=ocean_salt, frazil=frazil)
 
 
 def kinetic_energy_3d(state, G):

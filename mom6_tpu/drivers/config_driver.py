@@ -953,6 +953,16 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                            "(matched neutral positions)").lower(),
                        khtr_bl=khtr_bl,
                        n_dyn_per_thermo=n_dyn_per_thermo,
+                       diabatic_first=pf.get(
+                           "DIABATIC_FIRST", bool, default=False,
+                           module="MOM",
+                           desc="Apply diabatic and thermodynamic "
+                           "processes before the dynamics"),
+                       homogenize_forcings=pf.get(
+                           "HOMOGENIZE_FORCINGS", bool, default=False,
+                           module="MOM",
+                           desc="Replace the forces and fluxes with "
+                           "their global means"),
                        interface_filter=iface_filter, porous=porous,
                        zb=zb, bbl_visc=bbl_visc, stanley_coeff=stanley,
                        pf_recon=pf.get(

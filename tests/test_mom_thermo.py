@@ -150,3 +150,32 @@ def test_thermo_gyre_full_suite():
     assert float(np.asarray(state.E_meke).min()) >= 0.0
     vol1 = (h * area).sum()
     assert abs(vol1 - vol0) / vol0 < 1e-4
+
+
+def test_diabatic_first_ordering():
+    """DIABATIC_FIRST (MOM.F90:863-909): the thermodynamics run before
+    the dynamics.  Both orderings must be stable, conserve mass, and —
+    being the same processes in a different sequence — land close after
+    a few cycles."""
+    outs = {}
+    for first in (False, True):
+        G, GV, state, params, forcing = thermo_gyre(
+            nx=12, ny=12, nz=6, dt=1800.0, n_dyn_per_thermo=2)
+        params = params._replace(
+            diabatic_first=first,
+            diabatic=params.diabatic._replace(
+                boundary_layer_scheme="KPP"))
+        step = jax.jit(lambda s, p=params: step_mom(s, forcing, G, GV, p))
+        s = state
+        for _ in range(6):
+            s = step(s)
+        assert np.isfinite(np.asarray(s.h)).all(), first
+        assert np.isfinite(np.asarray(s.T)).all(), first
+        a = np.asarray(G.areaT, np.float64)
+        m0 = (np.asarray(state.h, np.float64) * a).sum()
+        m1 = (np.asarray(s.h, np.float64) * a).sum()
+        np.testing.assert_allclose(m1, m0, rtol=1e-5)
+        outs[first] = np.asarray(s.T, np.float64)
+    # different operator ordering => different but close trajectories
+    np.testing.assert_allclose(outs[True], outs[False], atol=0.2)
+    assert not np.array_equal(outs[True], outs[False])
