@@ -88,6 +88,12 @@ class MechForcing(NamedTuple):
     tauy: Optional[jnp.ndarray] = None
     p_surf: Optional[jnp.ndarray] = None  # surface pressure [Pa] (ice/atmos)
     u10: Optional[jnp.ndarray] = None     # 10-m wind speed [m s-1] (waves)
+    # coupler wave imports (mom_cap.F90:873-877 Sw_lamult/Sw_pstokes):
+    # a mixing-enhancement multiplier, or (nb, ny, nx) partitioned
+    # surface Stokes drift driving the SURFBANDS Langmuir closure
+    lamult: Optional[jnp.ndarray] = None
+    pstokes_x: Optional[jnp.ndarray] = None
+    pstokes_y: Optional[jnp.ndarray] = None
 
 
 def _face_thickness(h, G):

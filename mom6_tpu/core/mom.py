@@ -584,7 +584,10 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
             jnp.zeros_like(G.mask2dT)
         ustar = jnp.sqrt(jnp.sqrt(taux ** 2 + tauy ** 2) / GV.rho0)
         la_fn = make_la_fn(p.waves, ustar, u10=forcing.mech.u10,
-                           h=state.h, u=state.u, v=state.v)
+                           h=state.h, u=state.u, v=state.v,
+                           stk_x=forcing.mech.pstokes_x,
+                           stk_y=forcing.mech.pstokes_y,
+                           lamult=forcing.mech.lamult)
 
     kpp_nonlocal = None
     if p.diabatic.boundary_layer_scheme == "KPP":
@@ -654,6 +657,9 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
         state.T, state.S, state.h, forcing.buoy, dt_therm, G, GV,
         p.diabatic, kd_extra=kd_extra, extra_tracers=passive, eos=eos,
         u=state.u, v=state.v)
+    if frazil is not None and state.frazil is not None:
+        # accumulate the heat deficit for the coupler (Fioo_q export)
+        state = state.replace(frazil=state.frazil + frazil)
 
     # --- KPP nonlocal transport of the surface fluxes
     # (KPP_NonLocalTransport_temp/saln, MOM_CVMix_KPP.F90:1660; applied

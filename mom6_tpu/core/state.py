@@ -59,6 +59,10 @@ class OceanState:
     # u_inst = u - du_av_inst * visc_rem_u
     du_av_inst: Optional[jnp.ndarray] = None    # (ny, nx) at u faces
     dv_av_inst: Optional[jnp.ndarray] = None    # (ny, nx) at v faces
+    # accumulated frazil heat deficit [J m-2] since the coupler last
+    # collected it (CS%tv%frazil role, MOM_variables.F90; exported as
+    # Fioo_q by the NUOPC cap).  None = not tracked.
+    frazil: Optional[jnp.ndarray] = None
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

@@ -42,7 +42,9 @@ _LATENT_FUS = 3.34e5     # latent heat of fusion [J kg-1]
 
 
 class IceOceanBoundary(NamedTuple):
-    """Downward exchange fields (ice_ocean_boundary_type role); all
+    """Downward exchange fields (ice_ocean_boundary_type role —
+    FMS cap MOM_surface_forcing_gfdl.F90 and the wider NUOPC set of
+    mom_surface_forcing_nuopc.F90:1 ice_ocean_boundary_type); all
     (ny, nx) or None.  Sign conventions follow the FMS cap: u/v_flux are
     the stresses on the ocean [Pa]; t_flux (sensible), q_flux
     (evaporation [kg m-2 s-1]) and lw_flux positive remove heat from the
@@ -59,6 +61,39 @@ class IceOceanBoundary(NamedTuple):
     runoff: Optional[jnp.ndarray] = None
     calving: Optional[jnp.ndarray] = None
     p: Optional[jnp.ndarray] = None
+    # -- NUOPC-cap extensions (mom_surface_forcing_nuopc.F90) --------
+    # frozen runoff [kg m-2 s-1]; melts on arrival (latent heat sink)
+    frunoff: Optional[jnp.ndarray] = None
+    # direct salt flux from sea ice [kg salt m-2 s-1], + into ocean
+    salt_flux: Optional[jnp.ndarray] = None
+    # sea-ice/snow melt: heat used [W m-2, + removes ocean heat] and
+    # melt water [kg m-2 s-1, + into ocean]
+    seaice_melt_heat: Optional[jnp.ndarray] = None
+    seaice_melt: Optional[jnp.ndarray] = None
+    # 4-band shortwave [W m-2, + into ocean] (vis/nir x dir/dif)
+    sw_vis_dir: Optional[jnp.ndarray] = None
+    sw_vis_dif: Optional[jnp.ndarray] = None
+    sw_nir_dir: Optional[jnp.ndarray] = None
+    sw_nir_dif: Optional[jnp.ndarray] = None
+    # heat content of the mass fluxes [W m-2, + into ocean]
+    hrain: Optional[jnp.ndarray] = None
+    hsnow: Optional[jnp.ndarray] = None
+    hevap: Optional[jnp.ndarray] = None
+    hcond: Optional[jnp.ndarray] = None
+    hrofl: Optional[jnp.ndarray] = None
+    hrofi: Optional[jnp.ndarray] = None
+    # fractional ice area [1] and 10-m wind speed squared [m2 s-2]
+    ice_fraction: Optional[jnp.ndarray] = None
+    u10_sqr: Optional[jnp.ndarray] = None
+    # mass of overlying ice [kg m-2] (adds to surface pressure) and
+    # sea-ice rigidity (divergence-damping coefficient) [m3 s-1]
+    mi: Optional[jnp.ndarray] = None
+    ice_rigidity: Optional[jnp.ndarray] = None
+    # wave-model imports: Langmuir enhancement multiplier [1] and
+    # partitioned (nb, ny, nx) surface Stokes drift [m s-1]
+    lamult: Optional[jnp.ndarray] = None
+    ustkb: Optional[jnp.ndarray] = None
+    vstkb: Optional[jnp.ndarray] = None
 
 
 def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
@@ -67,24 +102,40 @@ def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
     (convert_IOB_to_fluxes, MOM_surface_forcing_gfdl.F90:420).
 
     Net non-penetrating heat [W m-2, +down] =
-        - t_flux - lw_flux - Lv q_flux - Lf (fprec + calving);
-    shortwave stays separate when ``penetrating_sw``.  Fresh water
-    converts to a virtual salt flux -S_sfc * Fw / rho0 [ppt m s-1]."""
+        - t_flux - lw_flux - Lv q_flux - Lf (fprec + calving + frunoff)
+        - seaice_melt_heat + sum(heat contents of the mass fluxes);
+    shortwave stays separate when ``penetrating_sw`` (the four NUOPC
+    vis/nir x dir/dif bands sum into it).  Fresh water converts to a
+    virtual salt flux -S_sfc * Fw / rho0, plus the ice's direct salt
+    flux [ppt m s-1]."""
     z = lambda a: a if a is not None else 0.0
     heat = -(z(iob.t_flux) + z(iob.lw_flux)
              + _LATENT_VAP * z(iob.q_flux)
-             + _LATENT_FUS * (z(iob.fprec) + z(iob.calving)))
-    sw = z(iob.sw_flux)
+             + _LATENT_FUS * (z(iob.fprec) + z(iob.calving)
+                              + z(iob.frunoff))
+             + z(iob.seaice_melt_heat))
+    heat = heat + (z(iob.hrain) + z(iob.hsnow) + z(iob.hevap)
+                   + z(iob.hcond) + z(iob.hrofl) + z(iob.hrofi))
+    sw = z(iob.sw_flux) + (z(iob.sw_vis_dir) + z(iob.sw_vis_dif)
+                           + z(iob.sw_nir_dir) + z(iob.sw_nir_dif))
     if not penetrating_sw:
         heat = heat + sw
         sw = 0.0
     # fresh water mass flux into the ocean [kg m-2 s-1]
     fw = (z(iob.lprec) + z(iob.fprec) + z(iob.runoff) + z(iob.calving)
-          - z(iob.q_flux))
+          + z(iob.frunoff) + z(iob.seaice_melt) - z(iob.q_flux))
     salt_flux = -sss * fw / GV.rho0          # virtual salt [ppt m s-1]
+    if iob.salt_flux is not None:            # ice brine rejection/uptake
+        salt_flux = salt_flux + 1e3 * iob.salt_flux / GV.rho0
     heat = heat if not isinstance(heat, float) else None
+    u10 = jnp.sqrt(iob.u10_sqr) if iob.u10_sqr is not None else None
+    p_surf = iob.p
+    if iob.mi is not None:                   # weight of overlying ice
+        p_surf = z(p_surf) + 9.8 * iob.mi
     return Forcing(
-        mech=MechForcing(taux=iob.u_flux, tauy=iob.v_flux),
+        mech=MechForcing(taux=iob.u_flux, tauy=iob.v_flux,
+                         p_surf=p_surf, u10=u10, lamult=iob.lamult,
+                         pstokes_x=iob.ustkb, pstokes_y=iob.vstkb),
         buoy=BuoyancyForcing(
             heat_flux=heat,
             sw_flux=sw if not isinstance(sw, float) else None,

@@ -175,10 +175,13 @@ def surfband_stokes_profile(h, stk0, wavenumbers):
     average of exp(2kz) over a layer [top, top-thick] is
     exp(2k top) (1-exp(-2k thick))/(2k thick).
 
-    ``h``: (nz, ...) thicknesses; ``stk0``: per-band surface drift
-    (either scalars broadcast over the map or (..., ) arrays);
-    ``wavenumbers``: per-band central wavenumber.  Returns (nz, ...)."""
+    ``h``: (nz, ...) thicknesses; ``stk0``: per-band surface drift —
+    scalars, a (nb,) tuple, or a coupler-supplied (nb, ny, nx) map
+    (Sw_pstokes import); ``wavenumbers``: per-band central wavenumber.
+    Returns (nz, ...)."""
     stk0 = jnp.asarray(stk0, h.dtype)
+    if stk0.ndim > 1:          # (nb, ny, nx) -> (ny, nx, nb) for the
+        stk0 = jnp.moveaxis(stk0, 0, -1)  # trailing band contraction
     wn = jnp.asarray(wavenumbers, h.dtype)
     top = jnp.concatenate([jnp.zeros_like(h[:1]),
                            jnp.cumsum(h, axis=0)[:-1]], axis=0)
@@ -221,8 +224,21 @@ def _misalignment_factor(us_x_sl, us_y_sl, u, v, h, avg_depth):
     return jnp.sqrt(jnp.maximum(1e-8, jnp.cos(wave_dir - shear_dir)))
 
 
+def la_from_efactor(lamult, p: WaveParams = WaveParams()):
+    """Equivalent Langmuir number for a coupler-provided mixing
+    enhancement factor (the Sw_lamult import of mom_cap.F90:873; the
+    reference's EFACTOR wave method consumes the wave model's
+    multiplier directly).  Inverts the ePBL enhancement law
+    1 + c La^e so that mstar_lt_enhancement reproduces ``lamult``
+    exactly under the default constants."""
+    x = jnp.maximum(lamult - 1.0, 1e-8) / p.lt_enhance_coef
+    la = x ** (1.0 / p.lt_enhance_exp)
+    return jnp.maximum(la, p.la_min)
+
+
 def langmuir_number(ustar, hbl=None, p: WaveParams = WaveParams(),
-                    u10=None, h=None, u=None, v=None):
+                    u10=None, h=None, u=None, v=None,
+                    stk_x=None, stk_y=None, lamult=None):
     """Turbulent Langmuir number La = sqrt(u*/u_s^SL), with the Stokes
     drift averaged over max(LA_DEPTH_RATIO*hbl, LA_DEPTH_MIN)
     (get_Langmuir_Number, :1183-1295).  Dispatch on ``p.method``:
@@ -234,8 +250,16 @@ def langmuir_number(ustar, hbl=None, p: WaveParams = WaveParams(),
       data in ``p``); optional shear misalignment (needs ``u``, ``v``);
     * EFACTOR — empirical equilibrium-sea La from u10 alone (the
       round-2 fallback; needs ``u10``).
+
+    Coupler overrides: ``lamult`` (a wave model's mixing-enhancement
+    import) short-circuits everything; ``stk_x``/``stk_y`` replace the
+    static SURFBANDS band amplitudes with dynamic (nb, ny, nx) maps.
     """
     method = p.method.upper()
+    if lamult is not None:
+        return la_from_efactor(lamult, p)
+    if stk_x is not None:
+        method = "SURFBANDS"
     if method == "EFACTOR" or (method != "LF17" and h is None):
         us0 = jnp.maximum(p.us0_per_u10 * u10, 1e-8)
         la = jnp.sqrt(jnp.maximum(ustar, 1e-8) / us0)
@@ -252,10 +276,10 @@ def langmuir_number(ustar, hbl=None, p: WaveParams = WaveParams(),
         us_sl = sl_average_profile(prof, h, d_sl)
         us_y_sl = jnp.zeros_like(us_sl)
     elif method == "SURFBANDS":
-        prof_x = surfband_stokes_profile(h, p.band_stokes_x,
-                                         p.band_wavenumbers)
-        prof_y = surfband_stokes_profile(h, p.band_stokes_y,
-                                         p.band_wavenumbers)
+        bx = stk_x if stk_x is not None else p.band_stokes_x
+        by = stk_y if stk_y is not None else p.band_stokes_y
+        prof_x = surfband_stokes_profile(h, bx, p.band_wavenumbers)
+        prof_y = surfband_stokes_profile(h, by, p.band_wavenumbers)
         us_sl = sl_average_profile(prof_x, h, d_sl)
         us_y_sl = sl_average_profile(prof_y, h, d_sl)
     else:
@@ -268,13 +292,16 @@ def langmuir_number(ustar, hbl=None, p: WaveParams = WaveParams(),
     return jnp.maximum(la, p.la_min)
 
 
-def make_la_fn(p: WaveParams, ustar, u10=None, h=None, u=None, v=None):
+def make_la_fn(p: WaveParams, ustar, u10=None, h=None, u=None, v=None,
+               stk_x=None, stk_y=None, lamult=None):
     """Closure ``la_fn(hbl) -> La`` for the boundary-layer schemes —
     KPP/ePBL evaluate the Langmuir number at their own (iterated)
     boundary-layer depth, as the reference does by calling
-    get_Langmuir_Number from inside KPP_compute_BLD / ePBL_column."""
+    get_Langmuir_Number from inside KPP_compute_BLD / ePBL_column.
+    ``stk_x``/``stk_y``/``lamult`` carry coupler wave imports."""
     def la_fn(hbl):
-        return langmuir_number(ustar, hbl, p, u10=u10, h=h, u=u, v=v)
+        return langmuir_number(ustar, hbl, p, u10=u10, h=h, u=u, v=v,
+                               stk_x=stk_x, stk_y=stk_y, lamult=lamult)
     return la_fn
 
 
