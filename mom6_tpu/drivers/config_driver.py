@@ -1175,12 +1175,37 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                 os.path.join(_inputdir(pf, doc_dir), zfile)
             raw = read_nc(path)
             z_edges = np.asarray(raw["z_edges"], np.float64)
-            T0 = init_tracer_from_z(z_edges,
-                                    np.asarray(raw[tvar], np.float64),
-                                    state.h, G.bathyT)
-            S0 = init_tracer_from_z(z_edges,
-                                    np.asarray(raw[svar], np.float64),
-                                    state.h, G.bathyT)
+            t_raw = np.asarray(raw[tvar], np.float64)
+            s_raw = np.asarray(raw[svar], np.float64)
+            if "lon" in raw and "lat" in raw and t_raw.ndim == 3 \
+                    and t_raw.shape[1:] != (G.ny, G.nx):
+                # climatology on its own rectilinear grid: bilinear
+                # interp onto the model grid + seeded-relaxation fill of
+                # every wet cell (horiz_interp_and_extrap_tracer,
+                # MOM_horizontal_regridding.F90:276-625)
+                from mom6_tpu.grid.horiz_regrid import \
+                    horiz_interp_and_extrap_tracer
+                missv = pf.get("Z_INIT_DATA_MISSING", float,
+                               default=np.nan, module=m,
+                               desc="Missing value in the climatology "
+                               "(NaN always treated as missing)")
+                per = 360.0 if pf.get(
+                    "GRID_CONFIG", str, default="cartesian",
+                    module="MOM_grid_init") in ("spherical", "mercator",
+                                                "mosaic") else 0.0
+                wet = np.asarray(G.mask2dT) > 0.5
+                lonT = np.asarray(G.geoLonT)
+                latT = np.asarray(G.geoLatT)
+                mv = None if np.isnan(missv) else missv
+                cyc = bool(getattr(G, "cyclic_x", False))
+                t_raw = horiz_interp_and_extrap_tracer(
+                    raw["lon"], raw["lat"], t_raw, wet, lonT, latT,
+                    missing_value=mv, periodic_lon=per, cyclic_x=cyc)
+                s_raw = horiz_interp_and_extrap_tracer(
+                    raw["lon"], raw["lat"], s_raw, wet, lonT, latT,
+                    missing_value=mv, periodic_lon=per, cyclic_x=cyc)
+            T0 = init_tracer_from_z(z_edges, t_raw, state.h, G.bathyT)
+            S0 = init_tracer_from_z(z_edges, s_raw, state.h, G.bathyT)
             state = state.replace(T=jnp.asarray(T0, dtype),
                                   S=jnp.asarray(S0, dtype))
         elif ts_cfg == "front":
