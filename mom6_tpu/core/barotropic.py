@@ -61,6 +61,15 @@ class BTParams(NamedTuple):
     # (MOM_self_attr_load.F90 scalar branch; applied per-substep as the
     # reference's calc_SAL call in btstep)
     sal_scalar: float = 0.0
+    # dynamic surface pressure under rigid sea ice / ice shelves
+    # (DYNAMIC_SURFACE_PRESSURE, MOM_barotropic.F90:1590-1632,3153-3207):
+    # a viscous pressure p = dyn_coef * (eta_pred - eta) damping the
+    # divergence of the external mode where the coupler reports ice
+    # rigidity
+    dynamic_psurf: bool = False
+    const_dyn_psurf: float = 0.9    # CONST_DYN_PSURF
+    ice_strength_length: float = 1.0e4   # ICE_LENGTH_DYN_PSURF [m]
+    dmin_dyn_psurf: float = 1.0e-6  # MIN_DYN_PSURF_AVG depth floor [m]
 
 
 class BTOut(NamedTuple):
@@ -185,7 +194,8 @@ def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
 def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
            visc_rem_u, visc_rem_v, pbce, eta_PF, dt, G, GV, params: BTParams,
            taux=None, tauy=None, x_first: bool = True,
-           bt_cont=None, obc=None, u_uh0=None, v_uh0=None) -> BTOut:
+           bt_cont=None, obc=None, u_uh0=None, v_uh0=None,
+           rigidity_ice=None) -> BTOut:
     """One barotropic cycle covering a baroclinic step of length ``dt``.
 
     ``bt_cont``: optional BTCont response curves (set_bt_cont) making the
@@ -195,6 +205,11 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     barotropic velocities INSIDE every substep (apply_velocity_OBCs,
     MOM_barotropic.F90:3639-3825), so the external mode radiates at the
     substep cadence rather than only at the baroclinic step boundary.
+
+    ``rigidity_ice``: optional (ny, nx) T-point ice rigidity map
+    [m3 s-1] (the coupler's divergence-damping coefficient); with
+    ``params.dynamic_psurf`` it activates the viscous under-ice surface
+    pressure.
 
     ``u_uh0``/``v_uh0``: velocities to pair with ``uh_in``/``vh_in`` for
     the uhbt0 transport-mismatch offset, when the transports were
@@ -317,6 +332,30 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         pfv = -(jp1(ge, kh) - ge) * G.IdyCv * G.mask2dCv
         return pfu, pfv
 
+    # viscous dynamic surface pressure under rigid ice
+    # (MOM_barotropic.F90:1590-1632): dyn_coef relates d(eta)/substep to
+    # a surface pressure, capped by the gravity-wave stability limit
+    dyn_coef = None
+    if params.dynamic_psurf and rigidity_ice is not None:
+        du_dx = Datu * G.IdxCu
+        dv_dy = Datv * G.IdyCv
+        open_sum = (du_dx + im1(du_dx)) + (dv_dy + jm1_s0(dv_dy, kh))
+        f2 = G.CoriolisBu ** 2
+        f2_sum = (f2 + im1(f2)) + (jm1(f2) + im1(jm1(f2)))
+        idt_max2 = 0.5 * (dgeo * (1.0 + 2.0 * bebt)) \
+            * (G.IareaT * gtot * open_sum + f2_sum)
+        h_eff_dx2 = jnp.maximum(
+            params.dmin_dyn_psurf * (G.IdxT ** 2 + G.IdyT ** 2),
+            G.IareaT * open_sum)
+        dyn_coef_max = params.const_dyn_psurf \
+            * jnp.maximum(0.0, 1.0 - dtbt ** 2 * idt_max2) \
+            / (dtbt ** 2 * h_eff_dx2)
+        # T-point rigidity stands in for the 4-face sum (rig_u(I)+
+        # rig_u(I-1)+rig_v(J)+rig_v(J-1) ~ 4 rig_T)
+        ice_strength = 4.0 * rigidity_ice \
+            / (params.ice_strength_length ** 2 * dtbt)
+        dyn_coef = jnp.minimum(dyn_coef_max, ice_strength) * G.mask2dT
+
     wt_trans, wt_vel, _ = _weights(nstep, nfilter, dtype, x_first)
 
     def dragged_u(x):
@@ -366,6 +405,12 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         # 2. pressure force from bebt-weighted eta
         eta_w = (1.0 - bebt) * eta + bebt * eta_pred
         pfu, pfv = pf_anom(eta_w)
+        if dyn_coef is not None:
+            # under-ice viscous surface pressure resisting d(eta)/dt
+            # (btloop_add_dyn_PF, MOM_barotropic.F90:3153-3207)
+            p_dyn = dyn_coef * (eta_pred - eta)
+            pfu = pfu - (ip1(p_dyn) - p_dyn) * G.IdxCu * G.mask2dCu
+            pfv = pfv - (jp1(p_dyn, kh) - p_dyn) * G.IdyCv * G.mask2dCv
         # 3. velocity updates in the prescribed order
         if u_leads:
             cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u

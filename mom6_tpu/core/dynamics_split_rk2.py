@@ -94,6 +94,10 @@ class MechForcing(NamedTuple):
     lamult: Optional[jnp.ndarray] = None
     pstokes_x: Optional[jnp.ndarray] = None
     pstokes_y: Optional[jnp.ndarray] = None
+    # sea-ice/ice-shelf rigidity at T points [m3 s-1] — the coupler's
+    # divergence-damping coefficient, consumed by the barotropic
+    # solver's dynamic surface pressure (DYNAMIC_SURFACE_PRESSURE)
+    rigidity_ice: Optional[jnp.ndarray] = None
 
 
 def _face_thickness(h, G):
@@ -219,7 +223,8 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
                  dt_pred, G, GV, bt_pred, taux=forces.taux,
                  tauy=forces.tauy,
-                 x_first=p.x_first, bt_cont=bt_cont, obc=obc)
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc,
+                 rigidity_ice=forces.rigidity_ice)
 
     up = (u + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
     vp = (v + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
@@ -254,7 +259,8 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
     bt2 = btstep(u, v, eta, u_bc2, v_bc2, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf2.pbce, pf2.eta_PF,
                  dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
-                 x_first=p.x_first, bt_cont=bt_cont, obc=obc)
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc,
+                 rigidity_ice=forces.rigidity_ice)
 
     u_pre_visc = (u + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
     v_pre_visc = (v + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv
@@ -388,7 +394,8 @@ def step_dynamics_split_rk2b(state: OceanState, forces: MechForcing,
     bt1 = btstep(u_inst, v_inst, eta, u_bc, v_bc, h, uh_in, vh_in,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
                  dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
-                 x_first=p.x_first, bt_cont=bt_cont, obc=obc)
+                 x_first=p.x_first, bt_cont=bt_cont, obc=obc,
+                 rigidity_ice=forces.rigidity_ice)
 
     up = (u_inst + dt_pred * (u_bc + bt1.accel_layer_u)) * G.mask2dCu
     vp = (v_inst + dt_pred * (v_bc + bt1.accel_layer_v)) * G.mask2dCv
@@ -423,7 +430,8 @@ def step_dynamics_split_rk2b(state: OceanState, forces: MechForcing,
                  visc_rem_u, visc_rem_v, pf.pbce, pf.eta_PF,
                  dt, G, GV, p.bt, taux=forces.taux, tauy=forces.tauy,
                  x_first=p.x_first, bt_cont=bt_cont, obc=obc,
-                 u_uh0=uav_mid, v_uh0=vav_mid)
+                 u_uh0=uav_mid, v_uh0=vav_mid,
+                 rigidity_ice=forces.rigidity_ice)
 
     u_pre_visc = (u_inst + dt * (u_bc2 + bt2.accel_layer_u)) * G.mask2dCu
     v_pre_visc = (v_inst + dt * (v_bc2 + bt2.accel_layer_v)) * G.mask2dCv

@@ -268,7 +268,16 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                       lin_drag=pf.get("BT_LIN_DRAG", float, default=0.0,
                                       units="m s-1", module=m),
                       cdrag=pf.get("BT_CDRAG", float, default=0.0,
-                                   module=m))
+                                   module=m),
+                      dynamic_psurf=pf.get(
+                          "DYNAMIC_SURFACE_PRESSURE", bool, default=False,
+                          module=m, desc="Viscous surface pressure under "
+                          "rigid ice from the coupler's rigidity"),
+                      const_dyn_psurf=pf.get(
+                          "CONST_DYN_PSURF", float, default=0.9, module=m),
+                      ice_strength_length=pf.get(
+                          "ICE_LENGTH_DYN_PSURF", float, default=1.0e4,
+                          units="m", module=m))
     else:
         bt = BTParams(nstep=1, nfilter=0)
     unsplit = None

@@ -135,7 +135,8 @@ def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
     return Forcing(
         mech=MechForcing(taux=iob.u_flux, tauy=iob.v_flux,
                          p_surf=p_surf, u10=u10, lamult=iob.lamult,
-                         pstokes_x=iob.ustkb, pstokes_y=iob.vstkb),
+                         pstokes_x=iob.ustkb, pstokes_y=iob.vstkb,
+                         rigidity_ice=iob.ice_rigidity),
         buoy=BuoyancyForcing(
             heat_flux=heat,
             sw_flux=sw if not isinstance(sw, float) else None,

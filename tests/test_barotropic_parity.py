@@ -228,3 +228,45 @@ def test_arakawa_lamb_schemes():
         scale = float(jnp.sum(jnp.abs(uh * cau * G.dxCu)) +
                       jnp.sum(jnp.abs(vh * cav * G.dyCv)))
         assert abs(work) < 1e-5 * scale, (sch, work, scale)
+
+
+def test_dynamic_psurf_damps_under_rigid_ice():
+    """DYNAMIC_SURFACE_PRESSURE with a coupler rigidity map: the viscous
+    under-ice pressure damps the external mode's sloshing (eta variance
+    after one cycle well below the ice-free run), stays stable (the
+    dyn_coef_max cap), and a zero-rigidity map reproduces the ice-free
+    answer exactly (MOM_barotropic.F90:1590-1632, 3153-3207)."""
+    ny, nx, depth = 16, 16, 1000.0
+    G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=100.0,
+                             len_lat_km=100.0, max_depth=depth, f0=0.0,
+                             beta=0.0)
+    GV = build_layered_vgrid(2)
+    h = jnp.full((2, ny, nx), depth / 2, jnp.float32)
+    x = np.arange(nx) - nx / 2.0
+    y = np.arange(ny)[:, None] - ny / 2.0
+    eta0 = jnp.asarray(0.5 * np.exp(-(x**2 + y**2) / 8.0), jnp.float32)
+    params = BTParams(nstep=150, nfilter=30, bebt=0.2,
+                      dynamic_psurf=True)
+    args = _bt_args(G, GV, h, eta0)
+    args["dt"] = 1800.0
+    out_free = btstep(params=params, rigidity_ice=None, **args)
+    out_zero = btstep(params=params,
+                      rigidity_ice=jnp.zeros((ny, nx), jnp.float32),
+                      **args)
+    out_soft = btstep(params=params,
+                      rigidity_ice=jnp.full((ny, nx), 1.0e9,
+                                            jnp.float32), **args)
+    out_ice = btstep(params=params,
+                     rigidity_ice=jnp.full((ny, nx), 1.0e11,
+                                           jnp.float32), **args)
+    np.testing.assert_array_equal(np.asarray(out_zero.eta_out),
+                                  np.asarray(out_free.eta_out))
+    # the rigid lid damps the bump's collapse: the solution stays finite
+    # (the dyn_coef_max stability cap) and the filtered velocities are
+    # far weaker than ice-free, monotonically in the rigidity
+    assert np.isfinite(np.asarray(out_ice.eta_out)).all()
+    ke_free = float(jnp.sum(out_free.ubt_av**2 + out_free.vbt_av**2))
+    ke_soft = float(jnp.sum(out_soft.ubt_av**2 + out_soft.vbt_av**2))
+    ke_ice = float(jnp.sum(out_ice.ubt_av**2 + out_ice.vbt_av**2))
+    assert ke_ice < ke_soft < ke_free
+    assert ke_ice < 0.1 * ke_free
