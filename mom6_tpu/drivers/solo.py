@@ -375,6 +375,11 @@ def main(argv=None):
     # restart instead of being killed mid-segment.
     maxcpu = pf.get("MAXCPU", float, default=-1.0, units="wall s",
                     module="MOM", desc="Wall-clock budget; <0 no limit")
+    # sanitizer: per-segment NaN surveillance of the whole state pytree
+    # (the DEBUG init-to-NaN/checksum role; framework/sanitize.py)
+    debug_nans = pf.get("DEBUG_CHECK_NANS", bool, default=False,
+                        module="MOM", desc="Stop with a per-field "
+                        "report if the state goes non-finite")
     from mom6_tpu.framework.timers import report as timer_report
     from mom6_tpu.framework.timers import reset as timer_reset
     from mom6_tpu.framework.timers import timer
@@ -412,6 +417,11 @@ def main(argv=None):
                     f_seg = f_seg._replace(buoy=b)
                 state = stepper(state, f_seg)
             jax.block_until_ready(state.h)
+        if debug_nans:
+            from mom6_tpu.framework.sanitize import check_finite_state
+            check_finite_state(
+                state, G, step=(c + 1) * stats_every,
+                fatal_path=os.path.join(args.rundir, "FATAL_NANS"))
         if arc_rec is not None:
             arc_rec["h_start"].append(h_pre)
             arc_rec["h_end"].append(np.asarray(jax.device_get(state.h)))
