@@ -590,13 +590,14 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
                            lamult=forcing.mech.lamult)
 
     kpp_nonlocal = None
+    bl_mld = None            # boundary-layer depth for the brine plume
     if p.diabatic.boundary_layer_scheme == "KPP":
         from mom6_tpu.physics.vertical.kpp import kpp_diffusivity
         taux = forcing.mech.taux if forcing.mech.taux is not None else \
             jnp.zeros_like(G.mask2dT)
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
-        kd_bl, _, kpp_nonlocal = kpp_diffusivity(
+        kd_bl, bl_mld, kpp_nonlocal = kpp_diffusivity(
             state.h, state.u, state.v, state.T, state.S, G, GV, eos,
             taux, tauy, forcing.buoy.heat_flux,
             cp=p.diabatic.cp, la_fn=la_fn)
@@ -607,7 +608,7 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
             jnp.zeros_like(G.mask2dT)
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
-        kd_bl, _ = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
+        kd_bl, bl_mld = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
                                     taux, tauy, forcing.buoy.heat_flux,
                                     cp=p.diabatic.cp, la_fn=la_fn,
                                     waves=p.waves, dt=dt_therm)
@@ -656,7 +657,7 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
     T, S, kd, passive_new, frazil = diabatic_ale(
         state.T, state.S, state.h, forcing.buoy, dt_therm, G, GV,
         p.diabatic, kd_extra=kd_extra, extra_tracers=passive, eos=eos,
-        u=state.u, v=state.v)
+        u=state.u, v=state.v, mld=bl_mld)
     if frazil is not None and state.frazil is not None:
         # accumulate the heat deficit for the coupler (Fioo_q export)
         state = state.replace(frazil=state.frazil + frazil)

@@ -719,6 +719,17 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                        module=m),
                          tfreeze_form=pf.get("TFREEZE_FORM", str,
                                              default="LINEAR", module=m))
+    if pf.get("DO_BRINE_PLUME", bool, default=False,
+              module="MOM_diabatic_aux",
+              desc="Mix rejected brine over the mixed layer with the "
+              "Nguyen et al. 2009 z^n profile"):
+        diab = diab._replace(
+            do_brine_plume=True,
+            brine_plume_n=pf.get("BRINE_PLUME_EXPONENT", int, default=5,
+                                 module="MOM_diabatic_aux"),
+            brine_plume_frac=pf.get("BRINE_PLUME_FRACTION", float,
+                                    default=1.0,
+                                    module="MOM_diabatic_aux"))
     diab = diab._replace(cp=pf.get("C_P", float, default=3991.87,
                                    units="J kg-1 K-1", module=m))
 

@@ -125,8 +125,10 @@ def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
     fw = (z(iob.lprec) + z(iob.fprec) + z(iob.runoff) + z(iob.calving)
           + z(iob.frunoff) + z(iob.seaice_melt) - z(iob.q_flux))
     salt_flux = -sss * fw / GV.rho0          # virtual salt [ppt m s-1]
+    brine = None
     if iob.salt_flux is not None:            # ice brine rejection/uptake
-        salt_flux = salt_flux + 1e3 * iob.salt_flux / GV.rho0
+        brine = 1e3 * iob.salt_flux / GV.rho0
+        salt_flux = salt_flux + brine
     heat = heat if not isinstance(heat, float) else None
     u10 = jnp.sqrt(iob.u10_sqr) if iob.u10_sqr is not None else None
     p_surf = iob.p
@@ -141,7 +143,8 @@ def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
             heat_flux=heat,
             sw_flux=sw if not isinstance(sw, float) else None,
             salt_flux=salt_flux if not isinstance(salt_flux, float)
-            else None))
+            else None,
+            salt_left_behind=brine))
 
 
 def ocean_model_init(rundir: str) -> OceanModel:

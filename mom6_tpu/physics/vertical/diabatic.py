@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.physics.vertical.set_diffusivity import (DiffusivityParams,
@@ -45,6 +46,11 @@ class BuoyancyForcing(NamedTuple):
     t_restore: Optional[jnp.ndarray] = None   # target SST [degC]
     s_restore: Optional[jnp.ndarray] = None   # target SSS [ppt]
     restore_rate: float = 0.0                 # FLUXCONST [m s-1]
+    # brine rejected by freezing sea ice [ppt m s-1, + into ocean]
+    # (fluxes%salt_left_behind, MOM_forcing_type.F90:163); under
+    # DO_BRINE_PLUME a fraction is injected at depth instead of into
+    # the top layer
+    salt_left_behind: Optional[jnp.ndarray] = None
 
 
 class DiabaticParams(NamedTuple):
@@ -64,6 +70,12 @@ class DiabaticParams(NamedTuple):
     # layered-mode (BULKML) options
     bulkml: Optional["BulkMLParams"] = None
     entrain: Optional["EntrainDiffusiveParams"] = None
+    # brine plume (Nguyen et al. 2009; applyBoundaryFluxesInOut,
+    # MOM_diabatic_aux.F90:990-1040): mix BRINE_PLUME_FRACTION of the
+    # rejected brine over the mixed layer with a z^n profile
+    do_brine_plume: bool = False              # DO_BRINE_PLUME
+    brine_plume_n: int = 5                    # BRINE_PLUME_EXPONENT
+    brine_plume_frac: float = 1.0             # BRINE_PLUME_FRACTION
 
 
 def _make_frazil(T, S, h, GV, cp, tfreeze_form: str = "LINEAR"):
@@ -83,8 +95,11 @@ def _make_frazil(T, S, h, GV, cp, tfreeze_form: str = "LINEAR"):
 def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
                  p: DiabaticParams, kd_extra: Optional[jnp.ndarray] = None,
                  extra_tracers: Optional[jnp.ndarray] = None, eos=None,
-                 u=None, v=None):
+                 u=None, v=None, mld=None):
     """One thermodynamic step of column physics.
+
+    ``mld``: (ny, nx) boundary-layer depth [m] from the BL scheme,
+    required by the brine plume's mixing depth.
 
     Returns (T_new, S_new, kd, extra_tracers_new, frazil)."""
     # --- geothermal heating (geothermal_in_place,
@@ -143,6 +158,40 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
         vsf = -S[0] * forcing.fw_flux
         s_flux = vsf if s_flux is None else s_flux + vsf
 
+    # --- brine plume (Nguyen et al. 2009; MOM_diabatic_aux.F90:990-1040):
+    # move BRINE_PLUME_FRACTION of the rejected brine out of the top
+    # layer and inject it over the mixing depth D with the normalized
+    # profile A z^n, A = (n+1)/D^(n+1); layer k's share is the
+    # sequentially clipped A dK^n h_k, the remainder landing in the
+    # first layer below D.  Net salt exactly conserved.
+    brine_dS = None
+    if p.do_brine_plume and forcing.salt_left_behind is not None:
+        if mld is None:
+            raise ValueError("DO_BRINE_PLUME requires a boundary-layer "
+                             "scheme providing the mixed-layer depth")
+        plume = p.brine_plume_frac * forcing.salt_left_behind * G.mask2dT
+        min_fd = 1e-3                       # MINIMUM_FORCING_DEPTH floor
+        total_h = jnp.sum(h, axis=0)
+        D = jnp.minimum(jnp.maximum(mld - min_fd, min_fd),
+                        jnp.maximum(total_h, GV.angstrom)) + 1e-30
+        n_exp = p.brine_plume_n
+        A = (n_exp + 1) / D ** (n_exp + 1)
+        dK = jnp.cumsum(h, axis=0) - 0.5 * h       # layer-center depths
+        raw = jnp.where(dK <= D[None], A[None] * dK ** n_exp * h, 0.0)
+        cum = jnp.minimum(jnp.cumsum(raw, axis=0), 1.0)
+        w = jnp.diff(jnp.concatenate([jnp.zeros_like(cum[:1]), cum],
+                                     axis=0), axis=0)
+        # remainder -> first layer below D (or the bottom layer)
+        below = dK > D[None]
+        idx = jnp.where(jnp.any(below, axis=0),
+                        jnp.argmax(below, axis=0), h.shape[0] - 1)
+        onehot = jax.nn.one_hot(idx, h.shape[0], axis=0, dtype=h.dtype)
+        w = w + (1.0 - jnp.sum(w, axis=0)) * onehot
+        # surface loses the plume portion; layers gain their shares
+        s_flux = -plume if s_flux is None else s_flux - plume
+        brine_dS = plume[None] * w * dt \
+            / jnp.maximum(h, GV.angstrom) * G.mask2dT[None]
+
     # land columns hold Angstrom-thin layers: any surface flux divided by
     # their thickness produces astronomical tracer values whose EOS
     # evaluation overflows to inf and then poisons wet neighbors through
@@ -170,6 +219,8 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
     else:
         out = tracer_vertdiff(arr, h, kd, dt, sfc_flux=flux_arr)
     T_new, S_new = out[0], out[1]
+    if brine_dS is not None:
+        S_new = S_new + brine_dS
     extra_new = out[n_state:] if extra_tracers is not None else None
 
     frazil = None

@@ -138,3 +138,51 @@ class TestOpacityGeothermal:
         dT = np.asarray(geothermal_heating(h, GV))
         assert dT[1].max() > 0          # deepest massive layer heated
         assert dT[0].max() == 0 and dT[2].max() == 0
+
+class TestBrinePlume:
+    """DO_BRINE_PLUME (MOM_diabatic_aux.F90:990-1040, Nguyen et al.
+    2009): rejected brine is mixed over the boundary layer with a z^n
+    profile instead of salting the top layer."""
+
+    def _run(self, do_plume):
+        from mom6_tpu.physics.vertical.diabatic import (BuoyancyForcing,
+                                                        DiabaticParams,
+                                                        diabatic_ale)
+        nz, ny, nx = 10, 4, 4
+        G = build_cartesian_grid(nx=nx, ny=ny, len_lon_km=100.0,
+                                 len_lat_km=100.0, max_depth=500.0)
+        GV = build_layered_vgrid(nz)
+        h = jnp.full((nz, ny, nx), 50.0, jnp.float32)
+        T = jnp.full((nz, ny, nx), -1.0, jnp.float32)
+        S = jnp.full((nz, ny, nx), 34.0, jnp.float32)
+        brine = jnp.full((ny, nx), 2e-4, jnp.float32)   # ppt m s-1
+        f = BuoyancyForcing(salt_flux=brine, salt_left_behind=brine)
+        p = DiabaticParams(do_brine_plume=do_plume, brine_plume_n=5)
+        mld = jnp.full((ny, nx), 200.0, jnp.float32)    # 4 layers
+        dt = 1800.0
+        T2, S2, _, _, _ = diabatic_ale(T, S, h, f, dt, G, GV, p,
+                                       mld=mld)
+        return np.asarray(h), np.asarray(S), np.asarray(S2), dt
+
+    def test_salt_conserved_and_redistributed(self):
+        h, S0, S_top, dt = self._run(False)
+        _, _, S_plume, _ = self._run(True)
+        tot0 = (S0 * h).sum(axis=0)
+        d_top = (S_top * h).sum(axis=0) - tot0
+        d_plume = (S_plume * h).sum(axis=0) - tot0
+        # both conserve: column salt gain = brine flux * dt
+        np.testing.assert_allclose(d_top, 2e-4 * dt, rtol=5e-3)
+        np.testing.assert_allclose(d_plume, d_top, rtol=5e-3)
+        # without the plume all salt lands near the surface; with it,
+        # the top layer gets less and the lower mixed layer more
+        assert S_plume[0, 2, 2] < S_top[0, 2, 2]
+        assert S_plume[3, 2, 2] > S_top[3, 2, 2]
+
+    def test_profile_increases_with_depth_in_ml(self):
+        _, S0, S_plume, _ = self._run(True)
+        dS = (S_plume - S0)[:, 2, 2]
+        # z^5 weighting: gain grows with depth through the mixed layer
+        # (layers 0-3 span the 200 m MLD; diffusion smooths only a bit)
+        assert dS[3] > dS[2] > dS[1]
+        # essentially nothing reaches far below the mixed layer
+        assert dS[3] > 30 * abs(dS[7])
