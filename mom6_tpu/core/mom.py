@@ -135,6 +135,10 @@ class Forcing(NamedTuple):
     # ODA analysis increments (oda_incupd role), applied ramped inside
     # the diabatic sequence
     oda_inc: Optional[object] = None
+    # named per-tracer surface fluxes from the coupler (the
+    # coupler_2d_bc_type role of ice_ocean_boundary%fluxes): e.g.
+    # {"ndep": (ny, nx) nitrogen deposition} consumed by BGC packages
+    tr_fluxes: Optional[dict] = None
 
 
 def _tidal_geopotential(state, G, p: MOMParams):

@@ -910,6 +910,11 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
     if pf.get("USE_OCMIP2_CFC", bool, default=False, module=m):
         from mom6_tpu.tracers.packages import CFCPackage
         pkgs.append(CFCPackage())
+    if pf.get("USE_generic_tracer", bool, default=False, module=m,
+              desc="Enable the generic-tracer BGC package (NPZD "
+              "ecosystem; the MOM_generic_tracer coupling slot)"):
+        from mom6_tpu.tracers.bgc import NPZD
+        pkgs.append(NPZD())
     tfc = None
     if pkgs:
         from mom6_tpu.tracers.packages import TracerFlowControl

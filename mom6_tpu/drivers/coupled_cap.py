@@ -94,6 +94,11 @@ class IceOceanBoundary(NamedTuple):
     lamult: Optional[jnp.ndarray] = None
     ustkb: Optional[jnp.ndarray] = None
     vstkb: Optional[jnp.ndarray] = None
+    # BGC deposition/coupling fields (nhx_dep/noy_dep/atm_co2_prog of
+    # the NUOPC IOB): nitrogen deposition [mmol N m-2 s-1 after the
+    # cap's unit fold] and atmospheric CO2 [ppm]
+    ndep: Optional[jnp.ndarray] = None
+    atm_co2: Optional[jnp.ndarray] = None
 
 
 def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
@@ -134,11 +139,19 @@ def convert_iob_to_forcing(iob: IceOceanBoundary, sss, GV,
     p_surf = iob.p
     if iob.mi is not None:                   # weight of overlying ice
         p_surf = z(p_surf) + 9.8 * iob.mi
+    tr_fluxes = None
+    if iob.ndep is not None or iob.atm_co2 is not None:
+        tr_fluxes = {}
+        if iob.ndep is not None:
+            tr_fluxes["ndep"] = iob.ndep
+        if iob.atm_co2 is not None:
+            tr_fluxes["atm_co2"] = iob.atm_co2
     return Forcing(
         mech=MechForcing(taux=iob.u_flux, tauy=iob.v_flux,
                          p_surf=p_surf, u10=u10, lamult=iob.lamult,
                          pstokes_x=iob.ustkb, pstokes_y=iob.vstkb,
                          rigidity_ice=iob.ice_rigidity),
+        tr_fluxes=tr_fluxes,
         buoy=BuoyancyForcing(
             heat_flux=heat,
             sw_flux=sw if not isinstance(sw, float) else None,

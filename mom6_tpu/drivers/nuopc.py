@@ -71,6 +71,9 @@ FLDS_TO_OCN: Dict[str, Tuple[str, float]] = {
     "Sw_lamult": ("lamult", 1.0),
     "Sw_pstokes_x": ("ustkb", 1.0),
     "Sw_pstokes_y": ("vstkb", 1.0),
+    # BGC coupling fields (mom_cap.F90:856-868)
+    "Faxa_ndep": ("ndep", 1.0),
+    "Sa_co2prog": ("atm_co2", 1.0),
 }
 
 # export menu (fldsFrOcn, mom_cap.F90:885-893)
