@@ -90,6 +90,58 @@ def bench_om4_shape(nx=360, ny=270, nz=75, dt=900.0):
         return dict(grid=f"{nx}x{ny}x{nz}", error=type(e).__name__)
 
 
+def bench_global(nx=720, ny_reg=336, ny_cap=64, nz=32, dt=1200.0):
+    """Real-continents GLOBAL tripolar case at half-degree (720x400x32):
+    mosaic supergrid + file topography + TRIPOLAR_N fold + the
+    configs/global_2deg physics suite (WRIGHT EOS, KPP, GM, tracer
+    diffusion, z* ALE).  This is the OM4-class capability benchmark on
+    the REAL grid — fold stencils, land masking and all — not a
+    rectangular stand-in.  The mosaic is generated on the fly
+    (tools/make_global_grid.py) into a temp dir."""
+    import os
+    import re
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    from mom6_tpu.core.mom import step_mom
+    from mom6_tpu.drivers.config_driver import build_model_from_params
+    from mom6_tpu.framework.config import ParamFile
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from make_global_grid import write_mosaic
+
+    ny = ny_reg + ny_cap
+    with tempfile.TemporaryDirectory() as tmp:
+        write_mosaic(tmp, nx=nx, ny_reg=ny_reg, ny_cap=ny_cap)
+        base = open(os.path.join(repo, "configs", "global_2deg",
+                                 "MOM_input")).read()
+        for k, v in (("NIGLOBAL", nx), ("NJGLOBAL", ny), ("NK", nz),
+                     ("DT", float(dt)), ("DT_THERM", 2.0 * dt)):
+            base = re.sub(rf"^{k} = .*$", f"{k} = {v}", base,
+                          flags=re.M)
+        cfg = os.path.join(tmp, "MOM_input")
+        open(cfg, "w").write(base)
+        cwd = os.getcwd()
+        os.chdir(tmp)            # GRID_FILE/TOPO_FILE are relative
+        try:
+            ms = build_model_from_params(ParamFile([cfg]))
+        finally:
+            os.chdir(cwd)
+        n_per = 2                # DT_THERM / DT
+        step = jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid,
+                                          ms.vgrid, ms.params),
+                       donate_argnums=0)
+        sec_per_cycle = _time_case(step, ms.state, n_calls=3)
+        wet = float(np.asarray(ms.grid.mask2dT).mean())
+        gps = nx * ny * nz * n_per / sec_per_cycle
+        sypd = (n_per * dt / sec_per_cycle) / 365.0
+        return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
+                    sypd=round(sypd, 2), ocean_frac=round(wet, 2),
+                    physics="full-global-tripolar")
+
+
 def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0):
     from mom6_tpu.drivers.experiments import double_gyre
     from mom6_tpu.drivers.solo import make_stepper
@@ -111,8 +163,12 @@ def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0):
 def main():
     full = bench_full()
     om4 = bench_om4_shape()
+    try:
+        glob = bench_global()
+    except Exception as e:                       # noqa: BLE001
+        glob = dict(error=type(e).__name__, msg=str(e)[:200])
     adia = bench_adiabatic()
-    for c in (full, om4):
+    for c in (full, om4, glob):
         if "gps" in c:
             c["vs_cpu_node"] = round(c["gps"] / CPU_NODE_FULLMODEL_GPS, 2)
     adia["vs_cpu_node"] = round(adia["gps"] / CPU_NODE_DYNCORE_GPS, 2)
@@ -125,7 +181,8 @@ def main():
         "value": head["gps"],
         "unit": "gridpoint-steps/s",
         "vs_baseline": head["vs_cpu_node"],
-        "cases": {"full": full, "om4_tile": om4, "adiabatic": adia},
+        "cases": {"full": full, "om4_tile": om4,
+                  "global_half_deg": glob, "adiabatic": adia},
     }))
 
 

@@ -99,10 +99,15 @@ def _edge_values_implicit_h4(u, h):
     with Dirichlet cell-mean boundaries).  Returns (e_top, e_bot)."""
     from mom6_tpu.framework.solvers import tridiag_solve
     nz = u.shape[0]
-    h0 = jnp.maximum(h[:-1], 1e-10)
-    h1 = jnp.maximum(h[1:], 1e-10)
-    h0 = jnp.maximum(h0, 1e-12 * h1)
-    h1 = jnp.maximum(h1, 1e-12 * h0)
+    # floor each layer of the pair to 1% of the pair sum: alpha + beta
+    # <= (h0^2+h1^2)/(h0+h1)^2 -> 1 as either layer vanishes, and at 1
+    # the Thomas pivot of the tridiagonal hits zero for alternating
+    # thin/thick columns (f32 has no headroom); the floor keeps the
+    # system strictly diagonally dominant, and vanished layers' edge
+    # values are limiter-clipped downstream anyway
+    pair = h[:-1] + h[1:] + 1e-30
+    h0 = jnp.maximum(h[:-1], 0.01 * pair)
+    h1 = jnp.maximum(h[1:], 0.01 * pair)
     i_h2 = 1.0 / (h0 + h1) ** 2
     alpha = h1 * h1 * i_h2
     beta = h0 * h0 * i_h2
@@ -129,21 +134,31 @@ def _boundary_fit(u, h):
     """Value at the outer boundary of a cubic (or lower-degree) polynomial
     whose averages over the ``u.shape[0]`` cells nearest the boundary
     match u (regrid_edge_values.F90's boundary Asys/Bsys solve).  The
-    cells are ordered outward-first; returns the value at z=0."""
+    cells are ordered outward-first; returns the value at z=0.
+
+    Conditioning: the Vandermonde-style system is solved in z NORMALIZED
+    by the stack depth (raw meters put z^4 ~ 1e12 beyond f32), with
+    vanished layers floored to a small fraction of the stack (the
+    reference's hNeglect role) so rows stay linearly independent, and a
+    cell-mean fallback wherever the solve still degenerates — boundary
+    edges are limiter-clipped downstream, so the fallback only costs
+    local order."""
     n = u.shape[0]
-    zi = jnp.concatenate([jnp.zeros_like(h[:1]),
-                          jnp.cumsum(h, axis=0)], axis=0)
+    total = jnp.sum(h, axis=0, keepdims=True) + 1e-30
+    hn = jnp.maximum(h, (1e-3 / n) * total) / total     # normalized, >0
+    zi = jnp.concatenate([jnp.zeros_like(hn[:1]),
+                          jnp.cumsum(hn, axis=0)], axis=0)
     # constraint rows: mean of z^m over cell j = (z_{j+1}^{m+1} -
     # z_j^{m+1}) / ((m+1) h_j); value at the boundary is coeff of z^0
     rows = []
     for m in range(n):
         rows.append((zi[1:] ** (m + 1) - zi[:-1] ** (m + 1))
-                    / ((m + 1) * jnp.maximum(h, 1e-30)))
+                    / ((m + 1) * hn))
     A = jnp.stack(rows, axis=-1)          # (n_cells, ..., n_coeff)
     A = jnp.moveaxis(A, 0, -2)            # (..., n_cells, n_coeff)
     b = jnp.moveaxis(u, 0, -1)[..., None]  # (..., n_cells, 1)
     coef = jnp.linalg.solve(A, b)[..., 0, 0]   # P(0) = c0
-    return coef
+    return jnp.where(jnp.isfinite(coef), coef, u[0])
 
 
 def _edge_values_h6(u, h):

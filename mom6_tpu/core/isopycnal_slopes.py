@@ -39,12 +39,21 @@ def isopycnal_slopes(h, T, S, G, GV, eos, *, slope_max: float = 0.01):
     # so stable stratification gives drho_dz < 0; floor its magnitude
     drho_dz = jnp.minimum(drho_dz, -1e-8)
 
-    def slope(delta_op, idx_metric, mask):
-        drho_dx = (a_t * delta_op(T) + a_s * delta_op(S)) * idx_metric
-        s = -drho_dx / drho_dz
+    def slope(shift_op, idx_metric, mask):
+        # EOS derivatives and N2 averaged to the velocity point (the
+        # reference's 25%-weighted face alpha/beta,
+        # MOM_isopycnal_slopes.F90 calc_isoneutral_slopes): one-sided
+        # cell-center values would bias the slope toward the west/south
+        # cell and break mirror antisymmetry of the face flux
+        a_t_f = 0.5 * (a_t + shift_op(a_t))
+        a_s_f = 0.5 * (a_s + shift_op(a_s))
+        dz_f = jnp.minimum(0.5 * (drho_dz + shift_op(drho_dz)), -1e-8)
+        drho_dx = (a_t_f * (shift_op(T) - T)
+                   + a_s_f * (shift_op(S) - S)) * idx_metric
+        s = -drho_dx / dz_f
         return jnp.clip(s, -slope_max, slope_max) * mask
 
-    sx = slope(lambda x: ip1(x) - x, G.IdxCu, G.mask2dCu)
+    sx = slope(ip1, G.IdxCu, G.mask2dCu)
     kf = "h" if getattr(G, "fold_north", False) else None
-    sy = slope(lambda x: jp1(x, kf) - x, G.IdyCv, G.mask2dCv)
+    sy = slope(lambda x: jp1(x, kf), G.IdyCv, G.mask2dCv)
     return sx, sy

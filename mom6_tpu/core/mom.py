@@ -504,9 +504,11 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
                 if vm is not None and res_fn is not None \
                         and vm.resoln_scaled_khtr:
                     khtr_eff = khtr_eff * res_fn
-                if rd_dx is not None:
+                if rd_dx is not None and p.khtr_passivity_coeff > 0.0:
                     # equatorial passivity enhancement
-                    # (MOM_tracer_hor_diff.F90:251)
+                    # (MOM_tracer_hor_diff.F90:251); coeff 0 (the
+                    # reference default) disables the scaling entirely
+                    # rather than applying the passivity_min floor
                     khtr_eff = khtr_eff * jnp.maximum(
                         p.khtr_passivity_min,
                         p.khtr_passivity_coeff * rd_dx)

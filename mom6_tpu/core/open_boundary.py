@@ -62,6 +62,9 @@ class OBCSegment(NamedTuple):
     T_ext: Optional[float] = None
     S_ext: Optional[float] = None
     nudge_timescale: float = 3600.0
+    # one scheme, or several joined with '+' (the reference's comma lists,
+    # e.g. "FLATHER,ORLANSKI" = Flather on the barotropic normal flow AND
+    # Orlanski radiation of the baroclinic part, MOM_open_boundary.F90:490)
     scheme: str = FLATHER          # FLATHER | ORLANSKI | OBLIQUE | GRADIENT
 
 
@@ -152,19 +155,22 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
     pick_u = {FLATHER: mu, ORLANSKI: mur, OBLIQUE: muo, GRADIENT: mug}
     pick_v = {FLATHER: mv, ORLANSKI: mvr, OBLIQUE: mvo, GRADIENT: mvg}
     for seg in segments:
-        sch = seg.scheme.upper()
-        if sch not in pick_u:
-            raise ValueError(f"OBC scheme {seg.scheme!r}: expected one of "
-                             f"{sorted(pick_u)}")
+        schemes = [s.strip().upper() for s in seg.scheme.split("+")
+                   if s.strip()]
+        for sch in schemes:
+            if sch not in pick_u:
+                raise ValueError(f"OBC scheme {sch!r}: expected one of "
+                                 f"{sorted(pick_u)}")
         sl, cell = segment_slices(seg.edge, seg.lo, seg.hi, ny, nx)
-        if seg.edge == "E":
-            pick_u[sch][sl] = 1.0; su[sl] = 1.0; ue[sl] = seg.vel_ext
-        elif seg.edge == "W":
-            pick_u[sch][sl] = 1.0; su[sl] = -1.0; ue[sl] = seg.vel_ext
-        elif seg.edge == "N":
-            pick_v[sch][sl] = 1.0; sv[sl] = 1.0; ve[sl] = seg.vel_ext
-        else:
-            pick_v[sch][sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
+        for sch in schemes:
+            if seg.edge == "E":
+                pick_u[sch][sl] = 1.0; su[sl] = 1.0; ue[sl] = seg.vel_ext
+            elif seg.edge == "W":
+                pick_u[sch][sl] = 1.0; su[sl] = -1.0; ue[sl] = seg.vel_ext
+            elif seg.edge == "N":
+                pick_v[sch][sl] = 1.0; sv[sl] = 1.0; ve[sl] = seg.vel_ext
+            else:
+                pick_v[sch][sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
         mc[cell] = 1.0
         eta[cell] = seg.eta_ext
         itau[cell] = 1.0 / max(seg.nudge_timescale, 1e-6)
@@ -252,10 +258,20 @@ def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
     eta_v = jnp.where(obc.sign_v >= 0.0, eta, jp1(eta))
     u_fl = obc.uvel_ext + obc.sign_u * c_fac * (eta_u - obc.eta_ext)
     v_fl = obc.vvel_ext + obc.sign_v * c_fac * (eta_v - obc.eta_ext)
-    u = state.u * (1.0 - obc.mask_u)[None] + (obc.mask_u * u_fl)[None]
-    v = state.v * (1.0 - obc.mask_v)[None] + (obc.mask_v * v_fl)[None]
 
-    # baroclinic radiation schemes on their compiled faces
+    m_u_bc = sum((m for m in (obc.mask_u_rad, obc.mask_u_obl,
+                              obc.mask_u_grad) if m is not None),
+                 jnp.zeros_like(obc.mask_u))
+    m_v_bc = sum((m for m in (obc.mask_v_rad, obc.mask_v_obl,
+                              obc.mask_v_grad) if m is not None),
+                 jnp.zeros_like(obc.mask_v))
+    m_u_both = jnp.clip(obc.mask_u * m_u_bc, 0.0, 1.0)
+    m_v_both = jnp.clip(obc.mask_v * m_v_bc, 0.0, 1.0)
+
+    # baroclinic radiation schemes on their compiled faces (run on the
+    # pre-Flather velocities so the layer structure is what radiates)
+    u = state.u
+    v = state.v
     if (obc.mask_u_rad is not None or obc.mask_u_obl is not None
             or obc.mask_u_grad is not None):
         u = _radiate_normal(u, u_old, obc.sign_u, obc.mask_u_rad,
@@ -266,6 +282,26 @@ def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
         v = _radiate_normal(v, v_old, obc.sign_v, obc.mask_v_rad,
                             obc.mask_v_obl, obc.mask_v_grad,
                             jm1, jp1, im1, ip1, obc.rx_max)
+
+    # Flather on the barotropic normal flow.  Faces with ONLY Flather set
+    # every layer to the barotropic value (a one-scheme segment); faces
+    # with Flather AND a baroclinic scheme (the reference's
+    # "FLATHER,ORLANSKI" lists) keep the radiated layer structure but pin
+    # its thickness-weighted depth mean to the Flather value — Flather
+    # acts on ubt in btstep while radiation owns the layer anomalies
+    # (MOM_barotropic.F90 apply_velocity_OBCs + radiation_open_bdry_conds).
+    h_u = jnp.where(obc.sign_u >= 0.0, h, ip1(h))
+    h_v = jnp.where(obc.sign_v >= 0.0, h, jp1(h))
+    ubar = jnp.sum(h_u * u, axis=0) / jnp.maximum(jnp.sum(h_u, axis=0),
+                                                  1e-10)
+    vbar = jnp.sum(h_v * v, axis=0) / jnp.maximum(jnp.sum(h_v, axis=0),
+                                                  1e-10)
+    m_u_only = obc.mask_u * (1.0 - m_u_both)
+    m_v_only = obc.mask_v * (1.0 - m_v_both)
+    u = (u * (1.0 - m_u_only)[None] + (m_u_only * u_fl)[None]
+         + (m_u_both * (u_fl - ubar))[None])
+    v = (v * (1.0 - m_v_only)[None] + (m_v_only * v_fl)[None]
+         + (m_v_both * (v_fl - vbar))[None])
 
     # the outermost cell row is the exterior reservoir: clamp its surface
     # height to the exterior value (the open boundary is non-conservative

@@ -632,7 +632,9 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                     lo, hi = min(a, b), max(a, b)
                     rest = rest[1:]
                 schemes = [it.upper() for it in rest if "=" not in it]
-                scheme = schemes[0] if schemes else "FLATHER"
+                # multi-scheme lists combine (FLATHER on the barotropic
+                # normal flow + ORLANSKI/OBLIQUE on the baroclinic part)
+                scheme = "+".join(schemes) if schemes else "FLATHER"
                 dvals = _parse_data(n, edge, lo, hi)
                 segs.append(OBCSegment(
                     edge=edge, lo=lo, hi=hi, scheme=scheme,

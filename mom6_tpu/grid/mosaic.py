@@ -90,7 +90,18 @@ def build_grid_from_supergrid(sg, depth, *, min_depth: float = 0.5,
 
     areaT = (area[np.ix_(2 * j, 2 * i)] + area[np.ix_(2 * j, ii)]
              + area[np.ix_(jj, 2 * i)] + area[np.ix_(jj, ii)])
-    areaBu = areaT                                  # adequate proxy
+    # true corner area: the 4 supergrid quarter-cells around the NE
+    # corner of cell (j,i).  The quarter-row above the top corner row is
+    # the fold image of the top row (tripolar) or a clamped copy (wall,
+    # masked anyway); columns wrap in x.  An areaT proxy here is NOT
+    # mirror-symmetric under the fold (off by one column), which broke
+    # the Zanna-Bolton fold-exactness gate.
+    ghost = area[-1, ::-1] if fold_north else area[-1, :]
+    area_e = np.concatenate([area, ghost[None]], axis=0)
+    jq1, jq2 = jj, 2 * j + 2                          # rows around corner
+    iq1, iq2 = ii, ip2                                # cols around corner
+    areaBu = (area_e[np.ix_(jq1, iq1)] + area_e[np.ix_(jq1, iq2)]
+              + area_e[np.ix_(jq2, iq1)] + area_e[np.ix_(jq2, iq2)])
 
     mask_t = (depth > min_depth).astype(np.float64)
     depth = np.where(mask_t > 0.5, depth, 0.0)   # land: zero depth, as

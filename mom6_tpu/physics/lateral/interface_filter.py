@@ -10,7 +10,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jm1_s0, jp1
 
 __all__ = ["InterfaceFilterParams", "interface_filter"]
 
@@ -25,12 +25,14 @@ def interface_filter(h, G, GV, dt, p: InterfaceFilterParams
     """Returns (h_new, uh_filt, vh_filt); volume-conserving per column."""
     csum_below = jnp.cumsum(h[::-1], axis=0)[::-1]
     e_int = (csum_below - G.bathyT[None])[1:]        # interior interfaces
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
 
     def lap(e):
         fx = (ip1(e) - e) * G.IdxCu * G.mask2dCu
-        fy = (jp1(e) - e) * G.IdyCv * G.mask2dCv
+        fy = (jp1(e, kh) - e) * G.IdyCv * G.mask2dCv
         return G.IareaT * (G.dyCu * fx - im1(G.dyCu * fx)
-                           + G.dxCv * fy - jm1(G.dxCv * fy))
+                           + G.dxCv * fy - jm1_s0(G.dxCv * fy, fold))
 
     target = e_int
     if p.order == 4:
@@ -41,10 +43,10 @@ def interface_filter(h, G, GV, dt, p: InterfaceFilterParams
     L2 = G.dxT * G.dyT
     coef = jnp.minimum(L2 / p.time_scale, 0.125 * L2 / dt)
     sx = (ip1(target) - target) * G.IdxCu
-    sy = (jp1(target) - target) * G.IdyCv
+    sy = (jp1(target, kh) - target) * G.IdyCv
     sign = -1.0 if p.order == 4 else 1.0
     psi_u = sign * 0.5 * (coef + ip1(coef)) * sx * G.mask2dCu
-    psi_v = sign * 0.5 * (coef + jp1(coef)) * sy * G.mask2dCv
+    psi_v = sign * 0.5 * (coef + jp1(coef, kh)) * sy * G.mask2dCv
 
     zero_u = jnp.zeros_like(psi_u[:1])
     zero_v = jnp.zeros_like(psi_v[:1])
@@ -56,10 +58,10 @@ def interface_filter(h, G, GV, dt, p: InterfaceFilterParams
     # availability limiting as in thickness_diffuse
     vol = h * G.areaT
     out = (jnp.maximum(uh, 0.0) + jnp.maximum(-im1(uh), 0.0)
-           + jnp.maximum(vh, 0.0) + jnp.maximum(-jm1(vh), 0.0))
+           + jnp.maximum(vh, 0.0) + jnp.maximum(-jm1_s0(vh, fold), 0.0))
     r = jnp.minimum(1.0, 0.25 * vol / jnp.maximum(dt * out, 1e-30))
     uh = uh * jnp.where(uh > 0.0, r, ip1(r))
-    vh = vh * jnp.where(vh > 0.0, r, jp1(r))
+    vh = vh * jnp.where(vh > 0.0, r, jp1(r, kh))
 
-    h_new = h - dt * G.IareaT * ((uh - im1(uh)) + (vh - jm1(vh)))
+    h_new = h - dt * G.IareaT * ((uh - im1(uh)) + (vh - jm1_s0(vh, fold)))
     return jnp.maximum(h_new, GV.angstrom), uh, vh

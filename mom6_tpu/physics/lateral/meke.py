@@ -35,7 +35,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jm1_s0, jp1
 
 __all__ = ["MEKEParams", "step_meke", "meke_diffusivity",
            "meke_viscosity", "meke_length_scales", "gm_pe_release"]
@@ -104,9 +104,10 @@ def meke_length_scales(E, h, G, p: MEKEParams, rd_dx=None, sn=None):
     ue = jnp.sqrt(2.0 * jnp.maximum(barotr2 * E, 0.0))
     # combined planetary + topographic PV gradient for the Rhines scale
     f_h = _f_at_h(G)
+    kh = "h" if getattr(G, "fold_north", False) else None
     df_dx = 0.5 * ((ip1(f_h) - f_h) * G.IdxCu
                    + (f_h - im1(f_h)) * im1(G.IdxCu))
-    df_dy = 0.5 * ((jp1(f_h) - f_h) * G.IdyCv
+    df_dy = 0.5 * ((jp1(f_h, kh) - f_h) * G.IdyCv
                    + (f_h - jm1(f_h)) * jm1(G.IdyCv))
     if p.topo_beta != 0.0:
         dmax_x = jnp.maximum(jnp.maximum(ip1(depth), depth), 1e-3)
@@ -114,9 +115,9 @@ def meke_length_scales(E, h, G, p: MEKEParams, rd_dx=None, sn=None):
             (ip1(depth) - depth) * G.IdxCu / dmax_x
             + (depth - im1(depth)) * im1(G.IdxCu)
             / jnp.maximum(jnp.maximum(depth, im1(depth)), 1e-3))
-        dmax_y = jnp.maximum(jnp.maximum(jp1(depth), depth), 1e-3)
+        dmax_y = jnp.maximum(jnp.maximum(jp1(depth, kh), depth), 1e-3)
         bt_y = -p.topo_beta * f_h * 0.5 * (
-            (jp1(depth) - depth) * G.IdyCv / dmax_y
+            (jp1(depth, kh) - depth) * G.IdyCv / dmax_y
             + (depth - jm1(depth)) * jm1(G.IdyCv)
             / jnp.maximum(jnp.maximum(depth, jm1(depth)), 1e-3))
         df_dx, df_dy = df_dx + bt_x, df_dy + bt_y
@@ -155,9 +156,11 @@ def step_meke(E, src_gm, h, G, dt, p: MEKEParams = MEKEParams(), *,
         src = src + p.fr_coeff * jnp.maximum(src_mom, 0.0)
 
     # lateral diffusion of E (kh_flux branch, :609-660)
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
     fx = p.kh_meke * G.dyCu * G.IdxCu * (ip1(E) - E) * G.mask2dCu
-    fy = p.kh_meke * G.dxCv * G.IdyCv * (jp1(E) - E) * G.mask2dCv
-    diff = G.IareaT * ((fx - im1(fx)) + (fy - jm1(fy)))
+    fy = p.kh_meke * G.dxCv * G.IdyCv * (jp1(E, kh) - E) * G.mask2dCv
+    diff = G.IareaT * ((fx - im1(fx)) + (fy - jm1_s0(fy, fold)))
 
     e1 = E + dt * (src + diff)
     # eddy-energy-dependent bottom drag rate, applied implicitly at the
@@ -208,8 +211,9 @@ def gm_pe_release(h, uhd, vhd, G, GV, T=None, S=None, eos=None):
     # rate ~ g' * sum_k uhD_k * d(e_k)/dx / area; cheap proxy:
     csum_below = jnp.cumsum(h[::-1], axis=0)[::-1]
     e = csum_below - G.bathyT[None]
+    kh = "h" if getattr(G, "fold_north", False) else None
     dedx = (ip1(e) - e) * G.IdxCu
-    dedy = (jp1(e) - e) * G.IdyCv
+    dedy = (jp1(e, kh) - e) * G.IdyCv
     gp = 0.001 * GV.g_earth  # representative interior reduced gravity
     work = gp * G.IareaT * (jnp.sum(-uhd * dedx, axis=0)
                             + jnp.sum(-vhd * dedy, axis=0))

@@ -18,7 +18,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import im1, ip1, jm1, jm1_s0, jp1
 
 __all__ = ["MLRestratParams", "mixedlayer_restrat"]
 
@@ -45,15 +45,17 @@ def mixedlayer_restrat(h, T, S, mld, G, GV, eos, dt,
     rho_a = eos.density(T, S, jnp.zeros_like(T), rho_ref=GV.rho0)
     b_ml = -(GV.g_earth / GV.rho0) * jnp.sum(rho_a * w, axis=0) / wsum
 
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
     dbdx = (ip1(b_ml) - b_ml) * G.IdxCu * G.mask2dCu
-    dbdy = (jp1(b_ml) - b_ml) * G.IdyCv * G.mask2dCv
+    dbdy = (jp1(b_ml, kh) - b_ml) * G.IdyCv * G.mask2dCv
 
     f_q = G.CoriolisBu
     f_u = jnp.abs(0.5 * (f_q + jm1(f_q)))
     f_v = jnp.abs(0.5 * (f_q + im1(f_q)))
     itau = 1.0 / p.ml_restrat_tau
     h_ml_u = 0.5 * (mld + ip1(mld))
-    h_ml_v = 0.5 * (mld + jp1(mld))
+    h_ml_v = 0.5 * (mld + jp1(mld, kh))
     psi0_u = p.fox_kemper_coef * h_ml_u ** 2 * dbdx / \
         jnp.sqrt(f_u * f_u + itau * itau)
     psi0_v = p.fox_kemper_coef * h_ml_v ** 2 * dbdy / \
@@ -69,10 +71,10 @@ def mixedlayer_restrat(h, T, S, mld, G, GV, eos, dt,
         return psi[ :-1] - psi[1:]                  # per-layer [m2 s-1]
 
     h_u = 0.5 * (h + ip1(h))
-    h_v = 0.5 * (h + jp1(h))
+    h_v = 0.5 * (h + jp1(h, kh))
     uh = G.dyCu * transports(psi0_u, h_ml_u, h_u) * G.mask2dCu
     vh = G.dxCv * transports(psi0_v, h_ml_v, h_v) * G.mask2dCv
 
-    h_new = h - dt * G.IareaT * ((uh - im1(uh)) + (vh - jm1(vh)))
+    h_new = h - dt * G.IareaT * ((uh - im1(uh)) + (vh - jm1_s0(vh, fold)))
     h_new = jnp.maximum(h_new, GV.angstrom)
     return h_new, uh, vh

@@ -3,7 +3,10 @@
 Analogue of MOM6's tracer_hordiff (reference:
 src/tracer/MOM_tracer_hor_diff.F90:119): subcycled Laplacian diffusion of
 tracers along layers with thickness-weighted fluxes.  Neutral diffusion
-(MOM_neutral_diffusion.F90) and boundary diffusion are planned follow-ons.
+lives in tracers/neutral_diffusion.py, boundary-layer diffusion in
+tracers/hor_bnd_diffusion.py; step_mom picks per the config flags and
+applies the Visbeck/resolution/passivity KHTR scalings before calling
+here (core/mom.py).
 
 TPU design: fixed subcycle count from the diffusive CFL (static), tracer
 axis batched, flux form guarantees conservation."""
@@ -13,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import im1, ip1, jm1_s0, jp1
 
 __all__ = ["tracer_hordiff"]
 
@@ -32,7 +35,8 @@ def tracer_hordiff(T, h, khtr, dt, G, *, n_sub: int = 1):
     # scale with the THIN side, as the reference's thickness weighting
     # does (MOM_tracer_hor_diff.F90:119).
     eps = 1e-10
-    kf = "h" if getattr(G, "fold_north", False) else None
+    fold = getattr(G, "fold_north", False)
+    kf = "h" if fold else None
     jh = jp1(h, kf)
     h_u = 2.0 * h * ip1(h) / (h + ip1(h) + eps) * G.mask2dCu
     h_v = 2.0 * h * jh / (h + jh + eps) * G.mask2dCv
@@ -51,7 +55,7 @@ def tracer_hordiff(T, h, khtr, dt, G, *, n_sub: int = 1):
     def sub(_, T):
         fx = coef_u[None] * (ip1(T) - T)
         fy = coef_v[None] * (jp1(T, kf) - T)
-        div = (fx - im1(fx)) + (fy - jm1(fy))
+        div = (fx - im1(fx)) + (fy - jm1_s0(fy, fold))
         return T + dt_sub * div / vol[None]
 
     return jax.lax.fori_loop(0, n_sub, sub, T)

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.isopycnal_slopes import isopycnal_slopes
-from mom6_tpu.framework.stencil import im1, ip1, jm1, jp1
+from mom6_tpu.framework.stencil import (fold_ghost, im1, ip1, jm1, jm1_s0,
+                                        jp1)
 
 __all__ = ["neutral_diffusion", "neutral_diffusion_surfaces"]
 
@@ -184,10 +185,38 @@ def neutral_diffusion_surfaces(tr, h, T, S, G, GV, eos, khtr, dt, *,
         recv_here = shift_m(recv)        # pulled back to my cell index
         return F, recv_here
 
-    fx, rx = exchange(ip1, im1, G.dyCu, G.IdxCu, G.mask2dCu)
-    fy, ry = exchange(jp1, jm1, G.dxCv, G.IdyCv, G.mask2dCv)
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
+
+    def jp1_fold(a):
+        return jp1(a, kh)
+
+    def jm1_fold(a):
+        # pull the neighbor deposits back: interior rows from the south,
+        # the fold row ALSO from its mirror partner across the fold (the
+        # top row's jp1-neighbor is the x-mirrored top row); the row-0
+        # wrap is a solid southern wall on a tripolar grid
+        r = jm1_s0(a, fold)
+        if fold:
+            r = r.at[..., -1, :].add(fold_ghost(a, "h"))
+        return r
+
+    # every cell initiates an exchange with all four neighbors and each
+    # face flux counts at HALF weight from each side: a one-sided
+    # (east/north-initiated) exchange makes the face flux depend on
+    # which column's interfaces define the sublayers, which biases the
+    # scheme and breaks mirror symmetry; the two-sided average mimics
+    # the reference's union-of-both-columns sublayer set
+    # (find_neutral_surface_positions is symmetric in the two columns)
+    fe, re_ = exchange(ip1, im1, G.dyCu, G.IdxCu, G.mask2dCu)
+    fw, rw = exchange(im1, ip1, im1(G.dyCu), im1(G.IdxCu),
+                      im1(G.mask2dCu))
+    fn, rn = exchange(jp1_fold, jm1_fold, G.dxCv, G.IdyCv, G.mask2dCv)
+    fs, rs = exchange(jm1, jp1, jm1(G.dxCv), jm1(G.IdyCv),
+                      jm1_s0(G.mask2dCv, fold))
     vol = jnp.maximum(h * G.areaT, _H_EPS)
-    dtr = dt * ((fx + rx) + (fy + ry)) / vol[None]
+    dtr = 0.5 * dt * (((fe + re_) + (fw + rw))
+                      + ((fn + rn) + (fs + rs))) / vol[None]
     tr_new = tr + dtr
     return jnp.where(G.mask2dT[None, None] > 0.5, tr_new, tr)
 
@@ -229,6 +258,8 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
     layer, where diffusion should be horizontal, so the cross terms
     vanish there and the along-layer flux reduces to the plain
     horizontal Laplacian)."""
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
     sx, sy = isopycnal_slopes(h, T, S, G, GV, eos, slope_max=slope_max)
     if bld is not None:
         # zero above the boundary-layer base, ramping to full neutral
@@ -237,7 +268,7 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
         bldz = jnp.maximum(bld, _H_EPS)[None]
         ramp = jnp.clip((z_c - bldz) / (0.2 * bldz), 0.0, 1.0)
         sx = sx * 0.5 * (ramp + ip1(ramp))
-        sy = sy * 0.5 * (ramp + jp1(ramp))
+        sy = sy * 0.5 * (ramp + jp1(ramp, kh))
 
     # HARMONIC-mean face thicknesses: the flux through a face must vanish
     # with the THINNER neighbor (an arithmetic mean lets a massive layer
@@ -246,7 +277,7 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
     # neutral-surface fluxes likewise carry no mass through vanished
     # layers)
     h_u = (2.0 * h * ip1(h) / (h + ip1(h) + _H_EPS)) * G.mask2dCu
-    h_v = (2.0 * h * jp1(h) / (h + jp1(h) + _H_EPS)) * G.mask2dCv
+    h_v = (2.0 * h * jp1(h, kh) / (h + jp1(h, kh) + _H_EPS)) * G.mask2dCv
     vol = jnp.maximum(h * G.areaT, _H_EPS)
 
     dtr_dz = _ddz_centers(tr, h[None])                  # (n_tr, nz, ny, nx)
@@ -256,17 +287,17 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
     dtdz_u = 0.5 * (dtr_dz + ip1(dtr_dz))
     fx = -khtr * (gx + sx[None] * dtdz_u) * (h_u * G.dyCu)[None] \
         * G.mask2dCu
-    gy = (jp1(tr) - tr) * G.IdyCv
-    dtdz_v = 0.5 * (dtr_dz + jp1(dtr_dz))
+    gy = (jp1(tr, kh) - tr) * G.IdyCv
+    dtdz_v = 0.5 * (dtr_dz + jp1(dtr_dz, kh))
     fy = -khtr * (gy + sy[None] * dtdz_v) * (h_v * G.dxCv)[None] \
         * G.mask2dCv
 
     # --- explicit vertical cross term at interior interfaces --------------
     # S.grad_h(tr) averaged to the interface between layers k-1 and k
     gx_c = 0.5 * (gx + im1(gx))          # at centers
-    gy_c = 0.5 * (gy + jm1(gy))
+    gy_c = 0.5 * (gy + jm1_s0(gy, fold))
     sx_c = 0.5 * (sx + im1(sx))
-    sy_c = 0.5 * (sy + jm1(sy))
+    sy_c = 0.5 * (sy + jm1_s0(sy, fold))
     sdot = sx_c[None] * gx_c + sy_c[None] * gy_c       # (n_tr, nz, ...)
     sdot_int = 0.5 * (sdot[:, :-1] + sdot[:, 1:])      # interfaces 1..nz-1
     fz = -khtr * sdot_int * G.areaT[None, None] * G.mask2dT[None, None]
@@ -277,7 +308,7 @@ def neutral_diffusion(tr, h, T, S, G, GV, eos, khtr, dt, *,
     zeros = jnp.zeros_like(fz[:, :1])
     fz_full = jnp.concatenate([zeros, fz, zeros], axis=1)  # (n_tr, nz+1,...)
 
-    div = ((fx - im1(fx)) + (fy - jm1(fy))) \
+    div = ((fx - im1(fx)) + (fy - jm1_s0(fy, fold))) \
         + (fz_full[:, :-1] - fz_full[:, 1:])
     tr_new = tr - dt * div / vol[None]
     tr_new = jnp.where(G.mask2dT[None, None] > 0.5, tr_new, tr)

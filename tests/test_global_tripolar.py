@@ -175,3 +175,111 @@ def test_global_2deg_runs_stably():
     assert wetT.min() > -3.0 and wetT.max() < 35.0
     np.testing.assert_array_equal(np.asarray(s.T) * (1 - msk[None]),
                                   T0_land)
+
+
+def test_fold_wired_lateral_modules():
+    """Round-3 fold wiring of MEKE, interface filter, mixed-layer
+    restrat, Zanna-Bolton and neutral diffusion: on the mirror-symmetric
+    cap grid with mirror-symmetric inputs, every center-scalar output
+    stays EXACTLY mirror-symmetric, and the flux forms conserve their
+    integral across the fold (the fold face's export enters the mirror
+    cell)."""
+    from mom6_tpu.eos import get_eos
+    from mom6_tpu.physics.lateral.interface_filter import (
+        InterfaceFilterParams, interface_filter)
+    from mom6_tpu.physics.lateral.meke import MEKEParams, step_meke
+    from mom6_tpu.physics.lateral.mixed_layer_restrat import (
+        MLRestratParams, mixedlayer_restrat)
+    from mom6_tpu.physics.lateral.zanna_bolton import (ZBParams,
+                                                       zanna_bolton_accel)
+    from mom6_tpu.tracers.neutral_diffusion import (
+        neutral_diffusion, neutral_diffusion_surfaces)
+
+    sg, G, lat_t = _cap_grid()
+    GV = build_layered_vgrid(3)
+    eos = get_eos("LINEAR")
+    ny, nx = G.ny, G.nx
+    a = np.asarray(G.areaT, np.float64) * np.asarray(G.mask2dT, np.float64)
+
+    # mirror-symmetric scalar fields peaked near the pole
+    ang = np.pi / 2 - np.deg2rad(lat_t)
+    bump = np.exp(-(ang * R_EARTH / 1e3 / 800.0) ** 2).astype(np.float32)
+    bump = 0.5 * (bump + bump[:, ::-1])          # exact symmetrization
+    h = np.stack([200.0 + 50.0 * bump, 300.0 * np.ones_like(bump),
+                  500.0 - 50.0 * bump]).astype(np.float32)
+    T = np.stack([10.0 + 5.0 * bump, 5.0 + bump, 2.0 * np.ones_like(bump)]
+                 ).astype(np.float32)
+    S = 35.0 * np.ones_like(T)
+    hj, Tj, Sj = jnp.asarray(h), jnp.asarray(T), jnp.asarray(S)
+
+    def sym(x, what):
+        x = np.asarray(x, np.float64) * np.asarray(G.mask2dT)
+        assert np.abs(x - x[..., ::-1]).max() == 0.0, what
+
+    # MEKE: pure lateral diffusion of E (no sources/sinks) -> symmetric
+    # and integral-conserving
+    E = jnp.asarray(bump * 0.01)
+    pm = MEKEParams(bgsrc=0.0, damping=0.0, cdrag=0.0, gm_src_frac=0.0,
+                    uscale=0.0, kh_meke=500.0)
+    E1 = step_meke(E, jnp.zeros_like(E), hj, G, 3600.0, pm)
+    sym(E1, "MEKE E")
+    np.testing.assert_allclose((np.asarray(E1, np.float64) * a).sum(),
+                               (np.asarray(E, np.float64) * a).sum(),
+                               rtol=2e-6)
+
+    # interface filter: h stays symmetric, volume conserved
+    h2, _, _ = interface_filter(hj, G, GV, 3600.0,
+                                InterfaceFilterParams(time_scale=3600.0))
+    for k in range(3):
+        sym(h2[k], f"filter h[{k}]")
+    np.testing.assert_allclose(
+        (np.asarray(h2, np.float64) * a).sum(),
+        (h.astype(np.float64) * a).sum(), rtol=1e-6)
+
+    # mixed-layer restrat (|f| is mirror-symmetric)
+    mld = jnp.asarray(100.0 + 50.0 * bump)
+    h3, _, _ = mixedlayer_restrat(hj, Tj, Sj, mld, G, GV, eos, 3600.0,
+                                  MLRestratParams())
+    for k in range(3):
+        sym(h3[k], f"mlr h[{k}]")
+    np.testing.assert_allclose(
+        (np.asarray(h3, np.float64) * a).sum(),
+        (h.astype(np.float64) * a).sum(), rtol=1e-6)
+
+    # Zanna-Bolton: an x-REFLECTION-invariant velocity field (u -> -u at
+    # the paired face, v -> +v; a reflection, unlike the fold's rotation,
+    # keeps v's sign) produces reflection-consistent accelerations
+    rng = np.random.RandomState(7)
+    u0 = rng.randn(3, ny, nx).astype(np.float32)
+    u_sym = 0.5 * (u0 - np.roll(u0[..., ::-1], -1, axis=-1))
+    v0 = rng.randn(3, ny, nx).astype(np.float32)
+    v_sym = 0.5 * (v0 + v0[..., ::-1])
+    uj = jnp.asarray(u_sym) * G.mask2dCu
+    vj = jnp.asarray(v_sym) * G.mask2dCv
+    du, dv = zanna_bolton_accel(uj, vj, hj, G, ZBParams(amplitude=0.1))
+    du = np.asarray(du, np.float64)
+    dv = np.asarray(dv, np.float64)
+    assert np.isfinite(du).all() and np.isfinite(dv).all()
+    # u-accel is antisymmetric under the face mirror i -> nx-2-i ONLY in
+    # rows untouched by the fold ghost; gate the interior rows exactly
+    dmir = du[:, :-1] + np.roll(du[..., ::-1], -1, axis=-1)[:, :-1]
+    assert np.abs(dmir * np.asarray(G.mask2dCu)[:-1]
+                  * np.roll(np.asarray(G.mask2dCu), -1, -1)[:-1]).max() \
+        < 1e-12
+
+    # neutral diffusion, both schemes: symmetric + tracer-conserving
+    tr = jnp.asarray(T)[None]
+    vol = (h.astype(np.float64) * a).sum(axis=(1, 2))
+    for fn, name in ((neutral_diffusion, "redi"),
+                     (neutral_diffusion_surfaces, "surfaces")):
+        if fn is neutral_diffusion:
+            out, _ = fn(tr, hj, Tj, Sj, G, GV, eos, 500.0, 3600.0)
+        else:
+            out = fn(tr, hj, Tj, Sj, G, GV, eos, 500.0, 3600.0)
+        o = np.asarray(out[0], np.float64)
+        assert np.isfinite(o).all(), name
+        for k in range(3):
+            sym(o[k], f"{name} tr[{k}]")
+        m0 = (T.astype(np.float64) * h.astype(np.float64) * a).sum()
+        m1 = (o * h.astype(np.float64) * a).sum()
+        np.testing.assert_allclose(m1, m0, rtol=1e-6, err_msg=name)

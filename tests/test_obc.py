@@ -158,3 +158,35 @@ def test_orlanski_radiates_waves_out():
     e_closed = wave_energy(s_closed, G, GV)
     assert np.isfinite(np.asarray(s_open.h)).all()
     assert e_open < e_closed, (e_open, e_closed)
+
+
+def test_combined_flather_orlanski():
+    """A multi-scheme segment (the reference's "FLATHER,ORLANSKI" list,
+    .testing/tc3/MOM_input OBC_SEGMENT_001): the thickness-weighted depth
+    mean of the boundary face follows the Flather barotropic value while
+    the layer anomalies keep the Orlanski-radiated structure."""
+    G, GV, state, params = setup_wave()
+    GV3 = build_layered_vgrid(3)
+    state3 = init_state_resting(G, GV3, [30.0, 30.0, 40.0])
+    obc = build_obc([OBCSegment(edge="E", scheme="FLATHER+ORLANSKI")],
+                    G.ny, G.nx)
+    # sheared boundary velocity with zero depth mean + an eta anomaly
+    u = np.zeros((3, G.ny, G.nx), np.float32)
+    u[0], u[2] = 0.2, -0.15         # 30*0.2 - 40*0.15 = 0 depth mean
+    st = state3.replace(u=jnp.asarray(u) * G.mask2dCu)
+    out = apply_obc(st, obc, G, GV3, dt=100.0, u_old=st.u, v_old=st.v)
+    h = np.asarray(out.h)
+    uo = np.asarray(out.u)
+    # Flather value for a resting state (eta = eta_ext = 0, vel_ext = 0)
+    # is 0 -> the face depth mean must be ~0 while layers keep shear
+    ubar = (h[:, 4, -2] * uo[:, 4, -2]).sum() / h[:, 4, -2].sum()
+    assert abs(ubar) < 1e-6, ubar
+    assert uo[0, 4, -2] > 0.1 and uo[2, 4, -2] < -0.05, uo[:, 4, -2]
+
+
+def test_multi_scheme_string_parses():
+    obc = build_obc([OBCSegment(edge="W", scheme="flather+oblique")],
+                    8, 8)
+    assert obc.mask_u is not None and obc.mask_u_obl is not None
+    assert float(obc.mask_u.sum()) == 8.0
+    assert float(obc.mask_u_obl.sum()) == 8.0
