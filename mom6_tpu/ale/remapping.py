@@ -371,13 +371,30 @@ def remap_columns_multi(fields, h0, h1, scheme: str = PPM_H4):
     of the full-physics step; the scan is pure fused VPU arithmetic."""
     nf = fields.shape[0]
     recon = [reconstruct(fields[i], h0, scheme) for i in range(nf)]
-    # (nz0, nf, 5, ...) with the polynomial already in antiderivative
-    # form: P(xi) = xi*(b0 + xi*(b1 + xi*(b2 + xi*(b3 + xi*b4))))
-    coef = jnp.stack(
-        [jnp.stack([jnp.stack([c0, 0.5 * c1, c2 / 3.0, 0.25 * c3,
-                               0.2 * c4])
-                    for (c0, c1, c2, c3, c4) in recon])], 0)[0]
-    coef = jnp.moveaxis(coef, 2, 0)          # (nz0, nf, 5, ny, nx)
+    # antiderivative form: P(xi) = xi*(b0 + xi*(b1 + xi*(b2 + ...)));
+    # parabolic schemes carry 3 coefficients, cubics/quartics 5 —
+    # trimming the structurally-zero planes saves memory traffic
+    npoly = 5 if scheme in (P3M_H4, PQM_IH4IH3) else 3
+    scale = (1.0, 0.5, 1.0 / 3.0, 0.25, 0.2)
+    coef_f = jnp.stack([jnp.stack([scale[p] * r[p]
+                                   for p in range(npoly)])
+                        for r in recon])      # (nf, npoly, nz0, ny, nx)
+
+    col_min = jnp.min(fields, axis=1)
+    col_max = jnp.max(fields, axis=1)
+
+    backend = jax.default_backend()
+    if backend == "tpu" and fields.ndim == 4:
+        # column-resident pallas kernel: O(nz) HBM traffic instead of
+        # the scan's O(nz^2) accumulator re-reads (see remap_pallas.py)
+        from mom6_tpu.ale.remap_pallas import remap_columns_pallas
+        return remap_columns_pallas(coef_f, h0, h1, col_min, col_max,
+                                    npoly=npoly)
+
+    coef = jnp.moveaxis(coef_f, 2, 0)        # (nz0, nf, npoly, ny, nx)
+    if npoly < 5:
+        pad = jnp.zeros_like(coef[:, :, :1])
+        coef = jnp.concatenate([coef] + [pad] * (5 - npoly), axis=2)
 
     z0_top = jnp.concatenate([jnp.zeros_like(h0[:1]),
                               jnp.cumsum(h0, axis=0)[:-1]], axis=0)
