@@ -358,10 +358,30 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
 
     wt_trans, wt_vel, _ = _weights(nstep, nfilter, dtype, x_first)
 
+    # per-substep viscous remnant (bt_rem of MOM_barotropic.F90:1486-1510):
+    # the layered equations lose momentum to implicit bottom drag /
+    # vertical viscosity each baroclinic step (visc_rem_[uv]); the BT
+    # trajectory must decay at the matching rate or the transport
+    # matching RESURRECTS the dragged depth-mean momentum every step and
+    # the external mode feels no bottom drag at all (steady gyres then
+    # run drag-free: the Stommel boundary layer never forms).  Applied
+    # multiplicatively every substep: bt_rem = (sum frhat*visc_rem)^(1/nstep).
+    av_rem_u = jnp.sum(frac_u * visc_rem_u, axis=0)
+    av_rem_v = jnp.sum(frac_v * visc_rem_v, axis=0)
+    instep = dtype.type(1.0 / max(nstep, 1))
+    bt_rem_u = jnp.where(av_rem_u > 0.0,
+                         jnp.maximum(av_rem_u, 1e-30) ** instep, 0.0) \
+        * G.mask2dCu
+    bt_rem_v = jnp.where(av_rem_v > 0.0,
+                         jnp.maximum(av_rem_v, 1e-30) ** instep, 0.0) \
+        * G.mask2dCv
+
     def dragged_u(x):
+        x = bt_rem_u * x
         return x * drag_u if drag_u is not None else x
 
     def dragged_v(x):
+        x = bt_rem_v * x
         return x * drag_v if drag_v is not None else x
 
     if obc is not None:

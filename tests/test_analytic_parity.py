@@ -443,3 +443,102 @@ def test_epbl_convective_deepening():
     N^2, which vanishes in an already-mixed marginal column, instead of
     the ML-mean-vs-layer buoyancy difference."""
     _check_convection(_convective_deepening("ENERGETICS_SFC_PBL = True"))
+
+
+def test_stommel_gyre_sverdrup_balance():
+    """Wind-driven circulation vs the Stommel (1948) analytic model: a
+    single-gyre wind (taux = -tau0 cos(pi y/L)) over a flat 1-layer
+    beta-plane basin with LINEAR bottom drag spins up to a steady state
+    solving
+
+        r grad^2 psi + beta psi_x = curl(tau)/(rho0 H),  psi = 0 on walls.
+
+    For psi = phi(x) sin(pi y/L) the exact phi is particular + two
+    exponentials (roots of r l^2 + beta l - r (pi/L)^2 = 0) — evaluated
+    here in closed form, no asymptotics (at delta_S/L = 0.08 the
+    Sverdrup limit is 20-40% off; the exact profile is the right
+    oracle).  Gates: interior v profile within 10% of exact (f32 model,
+    discrete curl, free surface vs rigid lid); western boundary current
+    northward, peaked within 3 delta_S, >3x interior.
+
+    This test found a real bug in round 3: without the reference's
+    bt_rem substep decay (MOM_barotropic.F90:1486-1510) the barotropic
+    mode felt no bottom drag — the transport matching resurrected the
+    dragged depth-mean momentum every step, the WBC ran ~10x too strong
+    and went unstable.  Ref: Stommel 1948.
+    """
+    from mom6_tpu.core.barotropic import BTParams, set_dtbt
+    from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
+                                                  step_dynamics_split_rk2)
+    from mom6_tpu.core.state import init_state_resting
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+
+    nx = ny = 50
+    L = 4000e3
+    H = 1000.0
+    beta = 2e-11
+    f0 = 5e-5
+    tau0 = 0.1
+    dx = L / nx
+    delta_s = 4.0 * dx                       # resolve the layer: 4 cells
+    r = beta * delta_s                       # Rayleigh rate [1/s]
+    piston = r * H                           # linear-drag piston [m/s]
+
+    G = build_cartesian_grid(ny=ny, nx=nx, len_lon_km=L / 1e3,
+                             len_lat_km=L / 1e3, max_depth=H,
+                             f0=f0, beta=beta)
+    GV = build_layered_vgrid(1)
+    rho0 = GV.rho0
+    state = init_state_resting(G, GV, [H])
+
+    y_u = (np.arange(ny) + 0.5) * dx         # u rows at cell centers
+    taux = -tau0 * np.cos(np.pi * y_u / L)
+    forcing = MechForcing(taux=jnp.asarray(
+        np.broadcast_to(taux[:, None], (ny, nx)).astype(np.float32))
+        * G.mask2dCu)
+
+    dt = 1800.0
+    nstep, _ = set_dtbt(G, GV, H, dt)
+    params = DynParams(dt=dt, bt=BTParams(nstep=nstep,
+                                          nfilter=max(1, nstep // 8)),
+                       kv=0.0, bottom_drag=piston)
+    step = jax.jit(lambda s: step_dynamics_split_rk2(s, forcing, G, GV,
+                                                     params))
+    s = state
+    n_spin, n_avg = 1200, 70                 # 25 d spin-up, inertial avg
+    v_sum = None
+    for i in range(n_spin + n_avg):
+        s = step(s)
+        if i >= n_spin:
+            v_sum = s.v if v_sum is None else v_sum + s.v
+    v = np.asarray(v_sum, np.float64)[0] / n_avg   # (ny, nx)
+    assert np.isfinite(v).all()
+
+    # exact Stommel phi(x): r(phi'' - k^2 phi) + beta phi' = W
+    k2 = (np.pi / L) ** 2
+    W = -tau0 * np.pi / (rho0 * H * L)       # curl tau / (rho0 H) ampl.
+    lam = np.roots([r, beta, -r * k2])
+    phi_p = -W / (r * k2)
+    A = np.array([[1.0, 1.0],
+                  [np.exp(lam[0] * L), np.exp(lam[1] * L)]])
+    c1, c2 = np.linalg.solve(A, [-phi_p, -phi_p])
+    x_v = (np.arange(nx) + 0.5) * dx         # v points at cell centers
+    dphi = (c1 * lam[0] * np.exp(lam[0] * x_v)
+            + c2 * lam[1] * np.exp(lam[1] * x_v))
+    y_v = (np.arange(ny) + 1.0) * dx
+    v_exact = dphi[None, :] * np.sin(np.pi * y_v / L)[:, None]
+
+    # interior: east of the boundary layer, away from N/S walls
+    i0 = int(np.ceil(5 * delta_s / dx))
+    sl = np.s_[ny // 4: 3 * ny // 4, i0: nx - 3]
+    scale = np.abs(v_exact[sl]).max()
+    err = np.abs(v[sl] - v_exact[sl]) / scale
+    assert err.max() < 0.10, err.max()
+
+    # western boundary current: northward return, confined, strong
+    mid = ny // 2
+    wbc = v[mid, : i0]
+    assert wbc.max() > 0.0                   # northward (interior south)
+    assert np.argmax(wbc) <= int(3 * delta_s / dx)
+    assert wbc.max() > 3.0 * np.abs(v_exact[sl]).max()
