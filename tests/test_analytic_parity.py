@@ -17,6 +17,10 @@ Cases:
                              jet vs exact linear inversion (<4% peak)
   6. lock exchange           front speed vs Benjamin 0.5 sqrt(g'H)
                              (hydrostatic band [0.70, 1.00])
+  7. Stommel gyre            exact two-exponential phi(x) (<10%)
+  8. Ekman layer             exact finite-depth spiral (<3%) +
+                             transport -tau/(rho f) (<1%)
+  9. Phillips instability    two-layer growth rate (<15%)
 """
 
 import os
@@ -542,3 +546,141 @@ def test_stommel_gyre_sverdrup_balance():
     assert wbc.max() > 0.0                   # northward (interior south)
     assert np.argmax(wbc) <= int(3 * delta_s / dx)
     assert wbc.max() > 3.0 * np.abs(v_exact[sl]).max()
+
+
+def test_ekman_spiral_finite_depth():
+    """Wind-driven Ekman layer vs the EXACT finite-depth solution: on a
+    reentrant f-plane with constant vertical viscosity, uniform zonal
+    stress and a stress-free bottom, the steady complex velocity
+    U = u + iv solves  i f U = kv U''  with  kv U'(0) = -tau/rho0 and
+    U'(-D) = 0:
+
+        U(z) = (tau/(rho0 kv m)) cosh(m (D - z)) / sinh(m D),
+        m = sqrt(i f / kv).
+
+    Gates (time-averaged over 2 inertial periods to remove the decaying
+    inertial oscillation): pointwise profile within 3% of the surface
+    speed; Ekman transport integral = -tau/(rho0 f) to 1% (exact
+    integral of the momentum budget, independent of the profile); zonal
+    transport ~ 0.  Ref: Ekman 1905; Vallis GFD ch. 5."""
+    from mom6_tpu.core.barotropic import BTParams, set_dtbt
+    from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
+                                                  step_dynamics_split_rk2)
+    from mom6_tpu.core.state import init_state_resting
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+
+    ny = nx = 8
+    f0, tau0, kv = 1e-4, 0.1, 1e-2
+    nz, dz = 30, 2.0
+    D = nz * dz                              # 60 m ~ 4.2 Ekman depths
+    G = build_cartesian_grid(ny=ny, nx=nx, len_lon_km=100.0,
+                             len_lat_km=100.0, max_depth=D,
+                             f0=f0, beta=0.0,
+                             cyclic_x=True, reentrant_y=True)
+    GV = build_layered_vgrid(nz)
+    rho0 = GV.rho0
+    state = init_state_resting(G, GV, [dz] * nz)
+    forcing = MechForcing(taux=jnp.full((ny, nx), tau0, jnp.float32))
+    dt = 900.0
+    nstep, _ = set_dtbt(G, GV, D, dt)
+    p = DynParams(dt=dt, bt=BTParams(nstep=nstep,
+                                     nfilter=max(1, nstep // 8)),
+                  kv=kv, bottom_drag=0.0)
+    step = jax.jit(lambda s: step_dynamics_split_rk2(s, forcing, G, GV,
+                                                     p))
+    s = state
+    n_spin, n_avg = 960, 140                 # 10 d spin-up; T_i = 70 steps
+    usum = vsum = None
+    for i in range(n_spin + n_avg):
+        s = step(s)
+        if i >= n_spin:
+            usum = s.u if usum is None else usum + s.u
+            vsum = s.v if vsum is None else vsum + s.v
+    u = np.asarray(usum, np.float64)[:, 4, 4] / n_avg
+    v = np.asarray(vsum, np.float64)[:, 4, 4] / n_avg
+
+    z = (np.arange(nz) + 0.5) * dz
+    m = np.sqrt(1j * f0 / kv)
+    U = (tau0 / (rho0 * kv * m)) * np.cosh(m * (D - z)) / np.sinh(m * D)
+    scale = np.abs(U[0])
+    assert np.max(np.hypot(u - U.real, v - U.imag)) / scale < 0.03
+    # exact transport integrals
+    np.testing.assert_allclose((v * dz).sum(), -tau0 / (rho0 * f0),
+                               rtol=0.01)
+    assert abs((u * dz).sum()) < 0.02 * abs(tau0 / (rho0 * f0))
+
+
+def test_phillips_baroclinic_instability_growth():
+    """Two-layer Phillips baroclinic instability vs linear theory: equal
+    resting depths H, reduced gravity g', shear u1 = +U0 / u2 = -U0 on
+    an f-plane (beta = 0) reentrant channel.  The normal-mode growth
+    rate for zonal wavenumber k and wall-quantized l = pi/Ly is
+
+        sigma = k U0 sqrt((kd^2 - K^2)/(kd^2 + K^2)),
+        K^2 = k^2 + l^2,   kd^2 = 2 f0^2/(g' H)
+
+    (Vallis GFD 2nd ed. section 9.3, the Phillips problem).  The channel
+    is sized to fit two wavelengths of the fastest mode
+    (k = kd sqrt(sqrt(2)-1)), the interface is seeded with that mode at
+    5 cm, and sigma is fitted from the exponential growth of rms(v)
+    over the linear phase (days 12-40, amplitude < 0.3 U0).  Measured
+    ratio 0.98; gate |ratio - 1| < 0.15 (the thermal-wind interface
+    tilt makes the basic state weakly inhomogeneous — +-14% in local
+    kd^2 here — and the C-grid modes disperse slightly)."""
+    from mom6_tpu.core.barotropic import BTParams, set_dtbt
+    from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
+                                                  step_dynamics_split_rk2)
+    from mom6_tpu.core.state import init_state_resting
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.grid.vertical import build_layered_vgrid
+
+    f0, gprime, Hl, U0 = 1e-4, 0.02, 500.0, 0.05
+    kd = np.sqrt(2 * f0 ** 2 / (gprime * Hl))
+    k = kd * np.sqrt(np.sqrt(2.0) - 1.0)
+    lam = 2 * np.pi / k
+    nx, ny = 64, 40
+    Lx = 2 * lam
+    dx = Lx / nx
+    Ly = ny * dx
+    G = build_cartesian_grid(ny=ny, nx=nx, len_lon_km=Lx / 1e3,
+                             len_lat_km=Ly / 1e3, max_depth=2 * Hl,
+                             f0=f0, beta=0.0, cyclic_x=True)
+    GV = build_layered_vgrid(2, gprime_int=gprime)
+    l = np.pi / Ly
+    K2 = k * k + l * l
+    sigma = k * U0 * np.sqrt((kd ** 2 - K2) / (kd ** 2 + K2))
+
+    yc = (np.arange(ny) + 0.5) * dx - Ly / 2
+    xc = (np.arange(nx) + 0.5) * dx
+    X, Y = np.meshgrid(xc, yc)
+    # thermal-wind interface tilt + fastest-mode seed
+    eta_int = (-f0 * 2 * U0 / gprime * yc[:, None]
+               + 0.05 * np.cos(k * X) * np.sin(np.pi * (Y + Ly / 2) / Ly))
+    h = np.stack([Hl + eta_int, Hl - eta_int]).astype(np.float32)
+    u = np.zeros((2, ny, nx), np.float32)
+    u[0], u[1] = U0, -U0
+    st0 = init_state_resting(G, GV, [Hl, Hl])
+    state = st0.replace(h=jnp.asarray(h) * G.mask2dT
+                        + st0.h * (1 - G.mask2dT),
+                        u=jnp.asarray(u) * G.mask2dCu)
+    dt = 900.0
+    nstep, _ = set_dtbt(G, GV, 2 * Hl, dt)
+    p = DynParams(dt=dt, bt=BTParams(nstep=nstep,
+                                     nfilter=max(1, nstep // 8)), kv=0.0)
+    step = jax.jit(lambda s: step_dynamics_split_rk2(s, MechForcing(),
+                                                     G, GV, p))
+    s = state
+    days, rms = [], []
+    for i in range(int(45 * 86400 / dt)):
+        s = step(s)
+        if i % 48 == 0:
+            days.append((i + 1) * dt / 86400)
+            rms.append(float(jnp.sqrt(jnp.mean(s.v ** 2))))
+    days, rms = np.array(days), np.array(rms)
+    assert np.isfinite(rms).all()
+    sel = (days > 12) & (days < 40) & (rms < 0.3 * U0)
+    assert sel.sum() > 10
+    fit = np.polyfit(days[sel] * 86400, np.log(rms[sel]), 1)
+    ratio = fit[0] / sigma
+    assert abs(ratio - 1.0) < 0.15, ratio
