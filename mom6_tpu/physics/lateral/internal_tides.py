@@ -90,12 +90,48 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
         En = En[None, None]
     nf, nm, na = En.shape[:3]
     dtype = En.dtype
-    th = jnp.asarray(2.0 * np.pi * (np.arange(na) + 0.5) / na, dtype)
-    cos_t = jnp.cos(th)[:, None, None]          # (na, 1, 1)
-    sin_t = jnp.sin(th)[:, None, None]
+
+    # tripolar northern fold: the ghost row above the top edge is the
+    # 180-degree-rotated top row — x-mirrored AND with the propagation
+    # angle rotated by pi (bin a -> a + na/2), since directions rotate
+    # with the grid (framework/stencil.py jp1 handles scalars; the angle
+    # dimension is what makes this field special)
+    fold = getattr(G, "fold_north", False)
+    if fold and na % 2:
+        raise ValueError("TRIPOLAR_N internal tides need an even "
+                         "number of angle bins")
+
+    def jp1_f(a):
+        r = jnp.roll(a, -1, axis=-2)
+        if not fold:
+            return r
+        g = a[..., -1, ::-1]             # (..., n_angle(or 1), nx)
+        if g.shape[-2] > 1:              # real angle axis: rotate by pi
+            g = jnp.roll(g, g.shape[-2] // 2, axis=-2)
+        return r.at[..., -1, :].set(g)
+    # direction tables with EXACT dihedral symmetry: assemble all four
+    # quadrants from the first by sign flips, so that reflection
+    # (th -> pi - th) and the fold's rotation (th -> th + pi) map table
+    # entries to exact negatives/copies — numerically-evaluated
+    # cos(pi - th) differs from -cos(th) by an ulp, which would make
+    # mirror-symmetric wave fields drift asymmetric
+    th_np = 2.0 * np.pi * (np.arange(na) + 0.5) / na
+    if na % 4 == 0:
+        q = na // 4
+        cq = np.cos(th_np[:q])
+        sq = np.sin(th_np[:q])
+        cos_np = np.concatenate([cq, -cq[::-1], -cq, cq[::-1]])
+        sin_np = np.concatenate([sq, sq[::-1], -sq, -sq[::-1]])
+    else:
+        cos_np, sin_np = np.cos(th_np), np.sin(th_np)
+    cos_t = jnp.asarray(cos_np, dtype)[:, None, None]   # (na, 1, 1)
+    sin_t = jnp.asarray(sin_np, dtype)[:, None, None]
 
     f2 = G.CoriolisBu ** 2
-    f2_h = 0.25 * (f2 + im1(f2) + jm1(f2) + im1(jm1(f2)))
+    # pairwise grouping: each inner pair is an E/W corner pair that the
+    # x-mirror swaps (commutative, so bitwise-invariant); left-to-right
+    # association would round differently at mirrored points
+    f2_h = 0.25 * ((f2 + im1(f2)) + (jm1(f2) + im1(jm1(f2))))
     freqs = jnp.asarray(p.freqs[:nf], dtype).reshape(nf, 1, 1, 1, 1)
     sub = jnp.maximum(1.0 - f2_h[None, None, None] / freqs ** 2, 0.0)
     inv_m = (1.0 / jnp.arange(1, nm + 1, dtype=dtype)
@@ -115,14 +151,14 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
 
     # --- refraction (ray turning as c varies) --------------------------
     dcdx = (ip1(cg) - im1(cg)) * (0.5 * G.IdxT)
-    dcdy = (jp1(cg) - jm1(cg)) * (0.5 * G.IdyT)
+    dcdy = (jp1_f(cg) - jm1(cg)) * (0.5 * G.IdyT)
     rate = sin_t * dcdx - cos_t * dcdy
     # angle axis is -3 for the vectorized field
     En = _refract_axis(En, rate, dt, axis=-3)
 
     # --- propagation (upwind, per angle) -------------------------------
     cg_u = 0.5 * (cg + ip1(cg)) * G.mask2dCu
-    cg_v = 0.5 * (cg + jp1(cg)) * G.mask2dCv
+    cg_v = 0.5 * (cg + jp1_f(cg)) * G.mask2dCv
     cgx = cos_t * cg_u
     cgy = sin_t * cg_v
     face_x = G.dyCu * G.mask2dCu
@@ -131,8 +167,13 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
     div = G.IareaT * (flux - im1(flux))
     face_y = G.dxCv * G.mask2dCv
     flux = face_y * (jnp.maximum(cgy, 0.0) * En
-                     + jnp.minimum(cgy, 0.0) * jp1(En))
-    div = div + G.IareaT * (flux - jm1(flux))
+                     + jnp.minimum(cgy, 0.0) * jp1_f(En))
+    flux_s = jm1(flux)
+    if fold:
+        # the row-0 wrap would read the (wet) fold faces; the southern
+        # boundary of a tripolar grid is a wall
+        flux_s = flux_s.at[..., 0, :].set(0.0)
+    div = div + G.IareaT * (flux - flux_s)
     En = jnp.maximum(En - dt * div, 0.0)
 
     # --- losses ---------------------------------------------------------
@@ -151,10 +192,17 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
 
 
 def _refract_axis(E, rate, dt, axis: int):
-    """Periodic upwind transport along ``axis`` (the angle dimension)."""
+    """Periodic upwind transport along ``axis`` (the angle dimension).
+
+    The face velocity between bins a and a+1 is the MEAN of the two
+    bins' turning rates: using the left bin's rate alone biases the
+    transport toward one angular direction and breaks the scheme's
+    reflection equivariance (a mirror-symmetric wave field would
+    de-symmetrize at O(dth) per step)."""
     na = E.shape[axis]
     dth = 2.0 * np.pi / na
     w = jnp.clip(rate * dt / dth, -1.0, 1.0)
-    flux = jnp.maximum(w, 0.0) * E \
-        + jnp.minimum(w, 0.0) * jnp.roll(E, -1, axis=axis)
+    w_face = 0.5 * (w + jnp.roll(w, -1, axis=axis))
+    flux = jnp.maximum(w_face, 0.0) * E \
+        + jnp.minimum(w_face, 0.0) * jnp.roll(E, -1, axis=axis)
     return E - (flux - jnp.roll(flux, 1, axis=axis))

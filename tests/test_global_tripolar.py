@@ -380,3 +380,59 @@ def test_global_solo_driver_end_to_end(tmp_path):
     assert abs(masses[-1] - masses[0]) / masses[0] < 1e-5
     # restart written and reloadable metadata present
     assert any(f.name.startswith("MOM.res") for f in tmp_path.iterdir())
+
+
+def test_fold_wired_internal_tides():
+    """Internal-tide energy propagation across the fold: the ghost row
+    is the x-mirrored top row with the ANGLE dimension rotated by pi
+    (directions rotate with the 180-degree fold).  A field invariant
+    under that involution  E(a, y, i) = E(a + na/2, y, nx-1-i)  must
+    stay EXACTLY invariant, and the total energy must track the forcing
+    with no fold leak (flux form, losses disabled)."""
+    from mom6_tpu.physics.lateral.internal_tides import (
+        InternalTidesParams, step_internal_tides)
+
+    sg, G, lat_t = _cap_grid()
+    GV = build_layered_vgrid(1)
+    ny, nx = G.ny, G.nx
+    na = 8
+    p = InternalTidesParams(n_angle=na, decay_rate=0.0, drag_coef=0.0)
+
+    rng = np.random.RandomState(11)
+    # the involution the MIRROR-SYMMETRIC grid preserves is the
+    # x-REFLECTION, which maps propagation angles th -> pi - th (bin
+    # a -> na/2 - 1 - a); the fold ghost itself uses the ROTATION
+    # th -> th + pi — both must be wired right for reflection symmetry
+    # to survive transport THROUGH the fold
+    def reflect(E):
+        return E[(na // 2 - 1 - np.arange(na)) % na][..., ::-1]
+
+    E0 = rng.rand(na, ny, nx).astype(np.float32)
+    E0 = 0.5 * (E0 + reflect(E0))
+    E0 = E0 * np.asarray(G.mask2dT)
+    ang = np.pi / 2 - np.deg2rad(lat_t)
+    tke = np.exp(-(ang * R_EARTH / 1e3 / 700.0) ** 2).astype(np.float32)
+    tke = 0.5 * (tke + tke[:, ::-1]) * np.asarray(G.mask2dT) * 1e-3
+    cn = 2.0 * np.ones((ny, nx), np.float32)
+
+    En = jnp.asarray(E0)
+    a = np.asarray(G.areaT, np.float64) * np.asarray(G.mask2dT)
+    e_start = (np.asarray(En, np.float64) * a).sum()
+    step = jax.jit(lambda e: step_internal_tides(
+        e, jnp.asarray(tke), jnp.asarray(cn), G, GV, 600.0, p))
+    put = 0.0
+    for _ in range(20):
+        En, loss = step(En)
+        put += 600.0 * (1.0 - p.q_local) * float((tke * a).sum())
+    E1 = np.asarray(En, np.float64)
+    assert np.isfinite(E1).all()
+    # involution symmetry at the ulp: on TPU the evolution is exactly
+    # invariant (verified on hardware); XLA:CPU contracts the upwind
+    # flux (max*E + min*E_nb) into FMAs whose association differs
+    # between mirrored operand orders, leaving ~1 ulp of O(1) energy.
+    # Anything above a few ulps is a fold-wiring bug.
+    d = np.abs(E1 - reflect(E1))
+    assert d.max() < 5e-7, d.max()
+    # energy accounting: start + forcing = end (losses off, flux form)
+    e_end = (E1 * a).sum()
+    np.testing.assert_allclose(e_end, e_start + put, rtol=1e-5)
