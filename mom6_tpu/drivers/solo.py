@@ -139,6 +139,21 @@ def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
             dm.post_data(hid, np.asarray(arr))
 
 
+def _set_diag_axes(dm, G, cal, start_time):
+    """Attach CF axes to the diag mediator: geographic cell centers and
+    the run's calendar/time-units strings (diag files then carry Time /
+    geolat / geolon coordinates instead of anonymous dims)."""
+    import numpy as np
+
+    from mom6_tpu.framework import time_manager as tm
+    y, mo, d, h, mi, s = tm.get_date(cal, start_time)
+    units = (f"days since {y:04d}-{mo:02d}-{d:02d} "
+             f"{h:02d}:{mi:02d}:{s:02d}")
+    dm.set_axes(geolat=np.asarray(G.geoLatT), geolon=np.asarray(G.geoLonT),
+                time_units=units,
+                calendar=tm.calendar_name(cal).lower())
+
+
 def main(argv=None):
     """Command-line solo driver (program MOM6 analogue,
     config_src/drivers/solo_driver/MOM_driver.F90:1): reads MOM_input
@@ -358,8 +373,10 @@ def main(argv=None):
         ke_budget_fn = make_ke_budget_fn(G, GV, params) if any(
             d.name.startswith("KE_") or d.name == "dKE_dt"
             for d in dm._diags.values()) else None
+        _set_diag_axes(dm, G, cal, start_time)
     else:
         dm = DiagMediator(z_targets=z_targets)
+        _set_diag_axes(dm, G, cal, start_time)
         diag_ids = {}
         diag_fields = ["h", "u", "v"] + (["T", "S"]
                                          if params.thermo_enabled else [])

@@ -130,6 +130,26 @@ class DiagMediator:
                                                             np.float64)
         # cached target thicknesses per coordinate (update_remap_grids)
         self._h_target: Dict[str, np.ndarray] = {}
+        # CF axis metadata (set_axes)
+        self._geolat = self._geolon = None
+        self._time_units = "days since 0001-01-01 00:00:00"
+        self._calendar = "no_calendar"
+
+    def set_axes(self, *, geolat=None, geolon=None,
+                 time_units: Optional[str] = None,
+                 calendar: Optional[str] = None) -> None:
+        """Attach CF coordinate metadata (the reference's diag axes,
+        MOM_diag_mediator set_axes_info): 2-D geographic coordinates of
+        cell centers, and the time units/calendar strings written with
+        every flushed file's Time variable."""
+        if geolat is not None:
+            self._geolat = np.asarray(geolat, np.float64)
+        if geolon is not None:
+            self._geolon = np.asarray(geolon, np.float64)
+        if time_units:
+            self._time_units = time_units
+        if calendar:
+            self._calendar = calendar
 
     @classmethod
     def from_diag_table(cls, path: str, **kw) -> "DiagMediator":
@@ -274,15 +294,42 @@ class DiagMediator:
 
     def flush(self, path: str, *, time_seconds: float = 0.0,
               only_file: Optional[str] = None) -> List[str]:
-        """Write accumulated diagnostics; returns the list written."""
+        """Write accumulated diagnostics; returns the list written.
+
+        With axes attached (set_axes), files carry CF coordinates: a
+        Time variable (units + calendar), shared yh/xh horizontal dims
+        with 2-D geolat/geolon, and per-size vertical dims — instead of
+        anonymous per-variable dimensions."""
         w = NCWriter(path, global_attrs={"time_seconds": float(time_seconds)})
         written = []
+        have_axes = self._geolat is not None and self._geolon is not None
+        if have_axes:
+            ny, nx = self._geolat.shape
+            w.write_static("Time", np.array([time_seconds / 86400.0]),
+                           dims=[("Time", 1)], units=self._time_units,
+                           long_name="model time",
+                           attrs={"calendar": self._calendar,
+                                  "cartesian_axis": "T"})
+            hdims = [("yh", ny), ("xh", nx)]
+            w.write_static("geolat", self._geolat, dims=hdims,
+                           units="degrees_north",
+                           long_name="latitude of cell centers")
+            w.write_static("geolon", self._geolon, dims=hdims,
+                           units="degrees_east",
+                           long_name="longitude of cell centers")
         for d in self._diags.values():
             if d.acc is None or (only_file is not None
                                  and d.file != only_file):
                 continue
-            w.write_static(f"{d.module}_{d.out_name}", self._finalize(d),
-                           units=d.units, long_name=d.longname or d.name)
+            data = self._finalize(d)
+            dims = attrs = None
+            if have_axes and data.shape[-2:] == self._geolat.shape:
+                dims = [(f"z{n}", n) for n in data.shape[:-2]] \
+                    + [("yh", data.shape[-2]), ("xh", data.shape[-1])]
+                attrs = {"coordinates": "geolat geolon"}
+            w.write_static(f"{d.module}_{d.out_name}", data,
+                           units=d.units, long_name=d.longname or d.name,
+                           dims=dims, attrs=attrs)
             written.append(f"{d.module}.{d.name}")
             d.acc = None
             d.n_posts = 0

@@ -35,7 +35,8 @@ class NCWriter:
             self._dims[name] = size
 
     def define_var(self, name: str, dims: Sequence[Tuple[str, Optional[int]]],
-                   dtype=np.float64, units: str = "", long_name: str = ""):
+                   dtype=np.float64, units: str = "", long_name: str = "",
+                   attrs: Optional[Dict] = None):
         for dname, dsize in dims:
             self._ensure_dim(dname, dsize)
         v = self._f.createVariable(name, dtype, [d for d, _ in dims])
@@ -43,20 +44,26 @@ class NCWriter:
             v.units = units
         if long_name:
             v.long_name = long_name
+        for k, val in (attrs or {}).items():
+            setattr(v, k, val)
         self._vars[name] = v
         return v
 
     def write_static(self, name: str, data, *, dim_prefix: str = "",
-                     units: str = "", long_name: str = "") -> None:
+                     units: str = "", long_name: str = "",
+                     dims: Optional[Sequence[Tuple[str, int]]] = None,
+                     attrs: Optional[Dict] = None) -> None:
         data = np.asarray(data)
         # NetCDF-3 classic has no 64-bit ints / 16-bit floats
         if data.dtype in (np.int64, np.uint32, np.uint64):
             data = data.astype(np.int32)
         elif data.dtype == np.float16:
             data = data.astype(np.float32)
-        dims = [(f"{dim_prefix}{name}_d{i}", s)
-                for i, s in enumerate(data.shape)]
-        v = self.define_var(name, dims, data.dtype, units, long_name)
+        if dims is None:
+            dims = [(f"{dim_prefix}{name}_d{i}", s)
+                    for i, s in enumerate(data.shape)]
+        v = self.define_var(name, dims, data.dtype, units, long_name,
+                            attrs=attrs)
         v[:] = data
 
     def close(self) -> None:
