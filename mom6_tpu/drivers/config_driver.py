@@ -247,6 +247,65 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                         module=m)
     eos_name = pf.get("EQN_OF_STATE", str, default="WRIGHT", module=m)
 
+    # layered coordinate targets (MOM_coord_initialization.F90:333-430
+    # set_coord_from_TS_range): layer densities from an EOS evaluation of
+    # a T/S range at P_REF, with optional denser-end refinement and
+    # extrapolated targets for the variable-density ML/buffer layers
+    mc = "MOM_coord_initialization"
+    coord_cfg = pf.get("COORD_CONFIG", str, default="gprime", module=mc,
+                       desc="gprime | ts_range | ALE/none/layer_ref "
+                       "(GINT-spaced)")
+    if coord_cfg == "ts_range" and use_thermo:
+        from mom6_tpu.eos import get_eos
+        eos_c = get_eos(eos_name)
+        t_ref = pf.get("T_REF", float, default=10.0, units="degC",
+                       module=mc)
+        t_light = pf.get("TS_RANGE_T_LIGHT", float, default=t_ref,
+                         units="degC", module=mc)
+        t_dense = pf.get("TS_RANGE_T_DENSE", float, default=t_ref,
+                         units="degC", module=mc)
+        s_ref = pf.get("S_REF", float, default=35.0, units="ppt",
+                       module=mc)
+        s_light = pf.get("TS_RANGE_S_LIGHT", float, default=s_ref,
+                         units="ppt", module=mc)
+        s_dense = pf.get("TS_RANGE_S_DENSE", float, default=s_ref,
+                         units="ppt", module=mc)
+        res_rat = pf.get("TS_RANGE_RESOLN_RATIO", float, default=1.0,
+                         module=mc)
+        gfs = pf.get("GFS", float, default=gv.g_earth, units="m s-2",
+                     module=mc)
+        p_ref = pf.get("P_REF", float, default=2e7, units="Pa", module=mc)
+        kl0 = 0
+        if pf.get("BULKMIXEDLAYER", bool, default=False, module=mc):
+            kl0 = (pf.get("NKML", int, default=2, module=mc)
+                   + pf.get("NKBL", int, default=2, module=mc))
+        if nz < kl0 + 2:
+            raise ValueError("COORD_CONFIG=ts_range needs "
+                             "NK >= NKML+NKBL+2")
+        T0 = np.full(nz, float(t_light))
+        S0 = np.full(nz, float(s_light))
+        a1 = 2.0 * res_rat / (1.0 + res_rat)
+        for k in range(kl0 + 1, nz):
+            kf = (k - kl0) / (nz - 1 - kl0)
+            fd = a1 * kf + (1.0 - a1) * kf * kf
+            T0[k] = t_light + fd * (t_dense - t_light)
+            S0[k] = s_light + fd * (s_dense - s_light)
+        rho0 = float(gv.rho0)
+        rlay = rho0 + np.asarray(eos_c.density(
+            jnp.asarray(T0), jnp.asarray(S0),
+            jnp.full(nz, p_ref), rho_ref=rho0), np.float64)
+        for k in range(kl0 - 1, -1, -1):    # extrapolate ML/buffer
+            rlay[k] = 2.0 * rlay[k + 1] - rlay[k + 2]
+        gp = np.empty(nz, np.float64)
+        gp[0] = gfs
+        gp[1:] = gv.g_earth * np.diff(rlay) / rho0
+        from mom6_tpu.grid.vertical import VerticalGrid
+        gv = VerticalGrid(nz=nz, g_earth=gv.g_earth, rho0=rho0,
+                          angstrom=gv.angstrom,
+                          h_subroundoff=gv.h_subroundoff,
+                          g_prime=jnp.asarray(gp, dtype),
+                          Rlay=jnp.asarray(rlay, dtype))
+
     m = "MOM_barotropic"
     if split:
         nstep_auto, _ = set_dtbt(G, gv, max_depth, dt)
