@@ -383,8 +383,16 @@ def remap_columns_multi(fields, h0, h1, scheme: str = PPM_H4):
     col_min = jnp.min(fields, axis=1)
     col_max = jnp.max(fields, axis=1)
 
+    # dispatch keyed on the DEFAULT backend: inside a trace there is no
+    # portable oracle for the eventual execution device, so code that
+    # explicitly pins a jit to CPU on a TPU host must disable the fast
+    # path via MOM6_TPU_NO_PALLAS=1 (the test suite runs under
+    # JAX_PLATFORMS=cpu, where the dispatch is automatically consistent)
+    import os
     backend = jax.default_backend()
-    if backend == "tpu" and fields.ndim == 4:
+    use_pallas = (backend == "tpu" and fields.ndim == 4
+                  and not os.environ.get("MOM6_TPU_NO_PALLAS"))
+    if use_pallas:
         # column-resident pallas kernel: O(nz) HBM traffic instead of
         # the scan's O(nz^2) accumulator re-reads (see remap_pallas.py)
         from mom6_tpu.ale.remap_pallas import remap_columns_pallas
@@ -422,6 +430,4 @@ def remap_columns_multi(fields, h0, h1, scheme: str = PPM_H4):
     # output by the source column's range (harmless for conservation —
     # the affected cells carry negligible mass, and the clamp is the
     # monotone bound a valid reconstruction must satisfy anyway)
-    col_min = jnp.min(fields, axis=1, keepdims=True)
-    col_max = jnp.max(fields, axis=1, keepdims=True)
-    return jnp.clip(u1, col_min, col_max)
+    return jnp.clip(u1, col_min[:, None], col_max[:, None])

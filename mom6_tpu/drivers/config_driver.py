@@ -692,7 +692,18 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                     rest = rest[1:]
                 schemes = [it.upper() for it in rest if "=" not in it]
                 # multi-scheme lists combine (FLATHER on the barotropic
-                # normal flow + ORLANSKI/OBLIQUE on the baroclinic part)
+                # normal flow + ORLANSKI/OBLIQUE on the baroclinic part);
+                # tokens outside the normal-velocity scheme set (NUDGED,
+                # ORLANSKI_TAN, SPECIFIED, SIMPLE...) modify behaviors
+                # this implementation handles elsewhere or not at all —
+                # drop them with a warning rather than refusing the
+                # reference config outright
+                known = {"FLATHER", "ORLANSKI", "OBLIQUE", "GRADIENT"}
+                extra = [s for s in schemes if s not in known]
+                if extra:
+                    print(f"WARNING: OBC segment {n}: ignoring "
+                          f"unsupported scheme tokens {extra}")
+                schemes = [s for s in schemes if s in known]
                 scheme = "+".join(schemes) if schemes else "FLATHER"
                 dvals = _parse_data(n, edge, lo, hi)
                 segs.append(OBCSegment(

@@ -373,10 +373,8 @@ def main(argv=None):
         ke_budget_fn = make_ke_budget_fn(G, GV, params) if any(
             d.name.startswith("KE_") or d.name == "dKE_dt"
             for d in dm._diags.values()) else None
-        _set_diag_axes(dm, G, cal, start_time)
     else:
         dm = DiagMediator(z_targets=z_targets)
-        _set_diag_axes(dm, G, cal, start_time)
         diag_ids = {}
         diag_fields = ["h", "u", "v"] + (["T", "S"]
                                          if params.thermo_enabled else [])

@@ -51,6 +51,7 @@ class _Diag:
     downsample: int = 1
     out_name: str = ""               # output variable name (diag_table)
     file: str = ""                   # diag_table file group ("" = default)
+    stagger: str = "h"               # 'h' | 'u' | 'v' | 'q' grid location
     acc: Optional[np.ndarray] = None
     n_posts: int = 0
 
@@ -177,7 +178,7 @@ class DiagMediator:
                             reduction: Optional[str] = None,
                             vertical_coord: str = "native",
                             downsample: int = 1, out_name: str = "",
-                            file: str = "") -> int:
+                            file: str = "", stagger: str = "") -> int:
         key = f"{module}.{name}"
         if key in self._by_name:
             raise ValueError(f"diagnostic {key} already registered")
@@ -187,9 +188,19 @@ class DiagMediator:
             raise ValueError(f"unknown reduction {reduction!r}")
         hid = self._next
         self._next += 1
+        if not stagger:
+            # known staggered prognostics/diagnostics; everything else
+            # defaults to cell centers
+            base = name
+            for sfx in ("_z", "_rho", "_sigma"):
+                if base.endswith(sfx):
+                    base = base[: -len(sfx)]
+            stagger = {"u": "u", "uh": "u", "uhtr": "u", "taux": "u",
+                       "v": "v", "vh": "v", "vhtr": "v", "tauy": "v",
+                       "RV": "q", "PV": "q"}.get(base, "h")
         self._diags[hid] = _Diag(module, name, units, longname, reduction,
                                  vertical_coord, downsample,
-                                 out_name or name, file)
+                                 out_name or name, file, stagger=stagger)
         self._by_name[key] = hid
         return hid
 
@@ -324,9 +335,17 @@ class DiagMediator:
             data = self._finalize(d)
             dims = attrs = None
             if have_axes and data.shape[-2:] == self._geolat.shape:
+                # dims are shared for all staggerings (non-symmetric
+                # layout: same array sizes), but the geolat/geolon
+                # coordinates describe CELL CENTERS — face/corner
+                # fields must not claim them (the reference writes
+                # those on geolon_u/geolat_v axes)
+                ax = {"h": ("yh", "xh"), "u": ("yh", "xq"),
+                      "v": ("yq", "xh"), "q": ("yq", "xq")}[d.stagger]
                 dims = [(f"z{n}", n) for n in data.shape[:-2]] \
-                    + [("yh", data.shape[-2]), ("xh", data.shape[-1])]
-                attrs = {"coordinates": "geolat geolon"}
+                    + [(ax[0], data.shape[-2]), (ax[1], data.shape[-1])]
+                if d.stagger == "h":
+                    attrs = {"coordinates": "geolat geolon"}
             w.write_static(f"{d.module}_{d.out_name}", data,
                            units=d.units, long_name=d.longname or d.name,
                            dims=dims, attrs=attrs)
