@@ -67,39 +67,44 @@ def _position_of_density(rho_tgt, rho_i, z_i):
 
 def _mean_over_spans(tr, h, z_lo, z_hi):
     """Mean of each tracer over depth spans [z_lo, z_hi) of a column
-    with LIMITED-LINEAR sub-layer reconstruction (the reference's
-    sublayer tracer averages with its linear polynomial option; PCM
-    granularity leaves O(layer-jump) errors for spans interior to one
-    layer, which show up as spurious along-surface fluxes).
+    with LIMITED-PARABOLIC sub-layer reconstruction (the reference's
+    sublayer tracer averages with its parabolic polynomial option,
+    MOM_neutral_diffusion NDIFF ... REMAP degree 2; PCM granularity
+    leaves O(layer-jump) errors for spans interior to one layer, which
+    show up as spurious along-surface fluxes).
 
     tr: (n_tr, nz, ny, nx); z_lo/z_hi: (ns, ny, nx)."""
-    from mom6_tpu.ale.remapping import PLM, reconstruct
+    from mom6_tpu.ale.remapping import PPM_H4, reconstruct
     z_i = jnp.concatenate([jnp.zeros_like(h[:1]),
                            jnp.cumsum(h, axis=0)], axis=0)
-    c0, c1 = [], []
+    c0, c1, c2 = [], [], []
     for i in range(tr.shape[0]):
-        a0, a1, _, _, _ = reconstruct(tr[i], h, PLM)
+        a0, a1, a2, _, _ = reconstruct(tr[i], h, PPM_H4)
         c0.append(a0)
         c1.append(a1)
+        c2.append(a2)
     c0 = jnp.stack(c0)
     c1 = jnp.stack(c1)                              # (n_tr, nz, ny, nx)
+    c2 = jnp.stack(c2)
 
     def I_at(z):
         # gather-free cumulative integral at depth z (same clip-sum
         # form as ale/remapping.remap_columns_multi — gathers serialize
-        # on TPU): I(z) = sum_k h_k (a0 xi + a1 xi^2 / 2) with
+        # on TPU): I(z) = sum_k h_k xi (a0 + a1 xi/2 + a2 xi^2/3) with
         # xi = clip((z - z_k)/h_k, 0, 1)
         def body(acc, xs):
-            a0_k, a1_k, h_k, z_k = xs
+            a0_k, a1_k, a2_k, h_k, z_k = xs
             xi = jnp.clip((z - z_k[None]) / jnp.maximum(h_k, _H_EPS)[None],
                           0.0, 1.0)                 # (ns, ny, nx)
-            return acc + h_k[None, None] * xi[None] \
-                * (a0_k[:, None] + 0.5 * a1_k[:, None] * xi[None]), None
+            poly = a0_k[:, None] + xi[None] * (
+                0.5 * a1_k[:, None] + (1.0 / 3.0) * a2_k[:, None]
+                * xi[None])
+            return acc + h_k[None, None] * xi[None] * poly, None
         acc0 = jnp.zeros(tr.shape[:1] + z.shape, tr.dtype)
         out, _ = jax.lax.scan(
             body, acc0,
-            (jnp.moveaxis(c0, 1, 0), jnp.moveaxis(c1, 1, 0), h,
-             z_i[:-1]))
+            (jnp.moveaxis(c0, 1, 0), jnp.moveaxis(c1, 1, 0),
+             jnp.moveaxis(c2, 1, 0), h, z_i[:-1]))
         return out
     span = jnp.maximum(z_hi - z_lo, 0.0)
     mean = (I_at(z_hi) - I_at(z_lo)) / jnp.maximum(span, _H_EPS)[None]

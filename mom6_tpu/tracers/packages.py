@@ -193,11 +193,18 @@ class CFCPackage(TracerPackage):
     year0: float = 1950.0                    # model year at t = 0
 
     # atmospheric mole fractions [ppt by volume], northern-hemisphere
-    # means at decadal knots (Walker et al. 2000 history, coarse knots)
+    # hemisphere-split decadal knots (Walker et al. 2000 history,
+    # coarse digitization: sources are northern-hemisphere, so the
+    # south lags by ~1.5 years during the growth phase and converges
+    # after the production phase-out).  The reference interpolates
+    # annual N/S tables from the cfc_atm file (MOM_OCMIP2_CFC.F90); the
+    # latitude blend below matches its 10S-10N linear transition.
     _years = (1950.0, 1960.0, 1970.0, 1980.0, 1990.0, 1995.0, 2000.0,
               2010.0)
-    _cfc11_atm = (0.0, 9.0, 60.0, 160.0, 255.0, 264.0, 260.0, 240.0)
-    _cfc12_atm = (0.0, 25.0, 110.0, 285.0, 465.0, 500.0, 535.0, 530.0)
+    _cfc11_n = (0.0, 10.0, 65.0, 168.0, 262.0, 268.0, 261.0, 240.0)
+    _cfc11_s = (0.0, 7.0, 52.0, 150.0, 247.0, 260.0, 258.0, 239.0)
+    _cfc12_n = (0.0, 27.0, 118.0, 297.0, 478.0, 508.0, 540.0, 531.0)
+    _cfc12_s = (0.0, 21.0, 100.0, 270.0, 450.0, 492.0, 530.0, 529.0)
 
     # Schmidt-number polynomials Sc = a1 + T(a2 + T(a3 + T a4))
     # (Zheng et al. 1998; MOM_OCMIP2_CFC.F90:187-188)
@@ -233,8 +240,18 @@ class CFCPackage(TracerPackage):
         t_sec = fields["_cfc_clock"]
         year = self.year0 + t_sec / (365.0 * 86400.0)
         yrs = jnp.asarray(self._years)
-        atm11 = jnp.interp(year, yrs, jnp.asarray(self._cfc11_atm)) * 1e-12
-        atm12 = jnp.interp(year, yrs, jnp.asarray(self._cfc12_atm)) * 1e-12
+        # hemispheric mixing ratios blended across 10S..10N by latitude
+        lat = G.geoLatT if G is not None and G.geoLatT is not None \
+            else jnp.zeros_like(h[0])
+        w_n = jnp.clip((lat + 10.0) / 20.0, 0.0, 1.0)
+
+        def _atm(tab_n, tab_s):
+            xn = jnp.interp(year, yrs, jnp.asarray(tab_n))
+            xs = jnp.interp(year, yrs, jnp.asarray(tab_s))
+            return (w_n * xn + (1.0 - w_n) * xs) * 1e-12
+
+        atm11 = _atm(self._cfc11_n, self._cfc11_s)
+        atm12 = _atm(self._cfc12_n, self._cfc12_s)
         sst = T[0] if T is not None else jnp.full_like(h[0], 10.0)
         sss = S[0] if S is not None else jnp.full_like(h[0], 35.0)
         u10 = None
