@@ -224,6 +224,45 @@ def _build_grid(pf: ParamFile, dtype, doc_dir=None) -> Tuple[Grid, float]:
     return G, max_depth
 
 
+def _benchmark_t_profile(pf, gv, eos_name, nz, G, m):
+    """Layer target temperatures + SST field of the benchmark case
+    (src/user/benchmark_initialization.F90:254-300): T0(k) Newton-solved
+    so the EOS density at (T0, S_REF, P_REF) equals Rlay(k); the
+    ML/buffer layers (below k1) take the latitude-cosine SST.  Returns
+    (T0 (nz,), k1, SST (ny, nx))."""
+    from mom6_tpu.eos import get_eos
+    eos = get_eos(eos_name)
+    s_ref = pf.get("S_REF", float, default=35.0, units="ppt", module=m)
+    t_light = pf.get("BENCHMARK_T_LIGHT", float, default=29.0,
+                     units="degC", module=m)
+    p_ref = pf.get("P_REF", float, default=2e7, units="Pa", module=m)
+    k1 = 0
+    if pf.get("BULKMIXEDLAYER", bool, default=False, module=m):
+        k1 = (pf.get("NKML", int, default=2, module=m)
+              + pf.get("NKBL", int, default=2, module=m))
+    k1 = min(k1, nz - 1)
+    rlay = np.asarray(gv.Rlay, np.float64)
+    rho0 = float(gv.rho0)
+    S = jnp.full(nz, s_ref)
+    P = jnp.full(nz, p_ref)
+
+    def rho_of(T):
+        return rho0 + np.asarray(eos.density(jnp.asarray(T), S, P,
+                                             rho_ref=rho0), np.float64)
+
+    dT1, _ = eos.density_derivs(jnp.full((), t_light), jnp.full((), s_ref),
+                                jnp.full((), p_ref))
+    T0 = t_light + (rlay - rho_of(np.full(nz, t_light))[k1]) / float(dT1)
+    for _ in range(6):
+        dT, _ = eos.density_derivs(jnp.asarray(T0), S, P)
+        T0 = T0 + (rlay - rho_of(T0)) / np.asarray(dT, np.float64)
+    lat = np.asarray(G.geoLatT, np.float64)
+    yfrac = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
+    sst = (0.5 * (T0[k1] + T0[-1])
+           - 0.45 * (T0[k1] - T0[-1]) * np.cos(np.pi * yfrac))
+    return T0, k1, sst
+
+
 def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                             doc_dir: Optional[str] = None) -> ModelSetup:
     G, max_depth = _build_grid(pf, dtype, doc_dir)
@@ -1104,10 +1143,38 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         state = state.replace(h=jnp.asarray(np.maximum(h_np, 1e-10),
                                             dtype))
     elif thick_cfg == "benchmark" and use_thermo:
-        # exponentially-decaying thermocline over linear stratification
-        # (benchmark_initialize_thickness intent; realized here as a z-
-        # uniform grid carrying the benchmark T profile set below)
-        pass
+        # benchmark_initialize_thickness
+        # (src/user/benchmark_initialization.F90:81-210): place the
+        # interfaces where the latitude-dependent temperature profile
+        # (a_exp exponential thermocline over (1-a_exp) linear
+        # stratification) crosses the layers' target temperatures,
+        # Newton-solved per interface; clamped to the mixed-layer depth
+        # above and the bathymetry below
+        T0_bm, k1_bm, sst_bm = _benchmark_t_profile(pf, gv, eos_name, nz,
+                                                    G, m)
+        ml_depth = pf.get("BENCHMARK_ML_DEPTH_IC", float, default=50.0,
+                          units="m", module=m)
+        ts_scale = pf.get("BENCHMARK_THERMOCLINE_SCALE", float,
+                          default=500.0, units="m", module=m)
+        a_exp = 0.9
+        depth = np.asarray(G.bathyT, np.float64)
+        eta = np.zeros((nz + 1, G.ny, G.nx))
+        eta[nz] = -depth
+        t_bot = T0_bm[nz - 1]
+        for K in range(nz - 1, 0, -1):      # interior interfaces, bottom-up
+            t_int = 0.5 * (T0_bm[K] + T0_bm[K - 1])
+            t_frac = (t_int - t_bot) / np.maximum(sst_bm - t_bot, 1e-10)
+            z = np.zeros_like(depth)
+            for _ in range(6):
+                ez = np.exp(z / ts_scale)
+                err = (a_exp * ez
+                       + (1.0 - a_exp) * (z / max_depth + 1.0) - t_frac)
+                derr = a_exp * ez / ts_scale + (1.0 - a_exp) / max_depth
+                z = z - err / derr
+            e = np.minimum(np.maximum(z, -depth), -ml_depth)
+            eta[K] = np.maximum(e, eta[K + 1] + float(gv.angstrom))
+        h_bm = np.maximum(eta[:-1] - eta[1:], float(gv.angstrom))
+        state = state.replace(h=jnp.asarray(h_bm, dtype))
     elif thick_cfg in ("sloshing", "internal_wave"):
         # interface displacements of a resting stratified column:
         # "sloshing" tilts every interior interface with the first-mode
@@ -1237,21 +1304,16 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         t_ref = pf.get("T_REF", float, default=10.0, units="degC", module=m)
         s_ref = pf.get("S_REF", float, default=35.0, units="ppt", module=m)
         if ts_cfg == "benchmark":
-            # latitude-dependent SST with an exponentially decaying
-            # thermocline over linear stratification (the benchmark T
-            # structure, src/user/benchmark_initialization.F90:77-80)
-            t_light = pf.get("TS_RANGE_T_LIGHT", float, default=25.0,
-                             units="degC", module=m)
-            t_dense = pf.get("TS_RANGE_T_DENSE", float, default=3.0,
-                             units="degC", module=m)
-            lat = np.asarray(G.geoLatT)
-            yfrac = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-30)
-            sst = t_dense + (t_light - t_dense) * yfrac     # (ny, nx)
-            zc = np.cumsum(np.full(nz, max_depth / nz)) - \
-                max_depth / nz / 2
-            zfac = (np.exp(-zc / 800.0) * 0.8
-                    + 0.2 * (1.0 - zc / max_depth))[:, None, None]
-            tprof = t_dense + (sst[None] - t_dense) * zfac
+            # benchmark_init_temperature_salinity
+            # (src/user/benchmark_initialization.F90:223-300): layer
+            # temperatures are the Rlay-matched targets (Newton via the
+            # EOS), the variable-density ML/buffer layers carry the
+            # latitude-dependent SST
+            T0_bm, k1_bm, sst_bm = _benchmark_t_profile(pf, gv, eos_name,
+                                                        nz, G, m)
+            tprof = np.broadcast_to(T0_bm[:, None, None],
+                                    (nz, G.ny, G.nx)).copy()
+            tprof[:k1_bm] = sst_bm[None]
             state = state.replace(
                 T=jnp.asarray(tprof, dtype),
                 S=jnp.full(state.h.shape, s_ref, dtype))
