@@ -48,6 +48,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Triage tiers: everything not explicitly marked ``slow`` is ``fast``
+    (the <10-min tier; ``pytest -m fast``).  Heavy driver-level /
+    compile-bound integration files opt into ``slow`` via pytestmark."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def devices8():
     d = jax.devices()
