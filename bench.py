@@ -142,12 +142,99 @@ def bench_global(nx=720, ny_reg=336, ny_cap=64, nz=32, dt=1200.0):
                     physics="full-global-tripolar")
 
 
-def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0):
+def _phase_breakdown(G, GV, state, params, forces):
+    """Per-phase wall times [us/call] of the dyn-core building blocks on
+    the bench state, each jitted separately (attribution tool: separate
+    jits lose cross-phase fusion, so the parts exceed the whole — ratios
+    between phases are what matters for spotting a regression)."""
+    from mom6_tpu.core.barotropic import btstep
+    from mom6_tpu.core.continuity_ppm import continuity_ppm
+    from mom6_tpu.core.coriolis_adv import coriolis_adv
+    from mom6_tpu.core.dynamics_split_rk2 import _visc_setup
+    from mom6_tpu.core.pressure_force import (find_eta,
+                                              pressure_force_montgomery)
+    from mom6_tpu.physics.vertical.vert_friction import vertvisc
+
+    h, u, v = state.h, state.u, state.v
+    dt = params.dt
+    eta = find_eta(h, G)
+    h_u, h_v, cu, cv, vr_u, vr_v = _visc_setup(h, u, v, G, GV, params,
+                                               None)
+    pf = pressure_force_montgomery(h, G, GV)
+    _, uh, vh, _, _ = continuity_ppm(u, v, h, dt, G, GV)
+    zs = jnp.zeros_like(u), jnp.zeros_like(v)
+    REP = 20
+
+    def t(fn, *args):
+        """us per application of ``fn``, measured as REP chained
+        applications inside ONE jit (fn returns its next arguments) so
+        the per-call dispatch/tunnel overhead — larger than any single
+        phase at this grid size — amortizes away."""
+        def chained(a):
+            def body(c, _):
+                return fn(*c), None
+            c, _ = jax.lax.scan(body, a, None, length=REP)
+            return c
+        f = jax.jit(chained)
+        out = f(args)         # compile + warm
+        jax.block_until_ready(out)
+        n = 4
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(args)
+        jax.block_until_ready(out)
+        return round(1e6 * (time.perf_counter() - t0) / (n * REP), 1)
+
+    eps = u.dtype.type(1e-30)
+
+    def p_cont(u_, v_, h_):
+        h2, uh_, vh_, _, _ = continuity_ppm(u_, v_, h_, dt, G, GV)
+        return u_ + eps * uh_, v_ + eps * vh_, h2
+
+    def p_cor(u_, v_):
+        cau, cav = coriolis_adv(u_, v_, h, uh, vh, G, GV,
+                                scheme=params.coriolis_scheme)
+        return u_ + eps * cau, v_ + eps * cav
+
+    def p_pf(h_):
+        o = pressure_force_montgomery(h_, G, GV)
+        return (h_ + eps * o.eta_PF,)
+
+    def p_bt(u_, v_, eta_):
+        o = btstep(u_, v_, eta_, zs[0], zs[1], h, uh, vh, vr_u, vr_v,
+                   pf.pbce, pf.eta_PF, dt, G, GV, params.bt,
+                   taux=forces.taux, tauy=forces.tauy)
+        return (u_ + eps * o.accel_layer_u, v_ + eps * o.accel_layer_v,
+                o.eta_out)
+
+    def p_vv(u_):
+        return (vertvisc(u_, h_u, cu, dt, tau=forces.taux,
+                         rho0=GV.rho0),)
+
+    def p_vs(h_, u_, v_):
+        _, _, _, _, vru, vrv = _visc_setup(h_, u_, v_, G, GV, params,
+                                           None)
+        return h_ + eps * vru, u_ + eps * vru, v_ + eps * vrv
+
+    phases = {
+        "continuity_ppm": t(p_cont, u, v, h),
+        "coriolis_adv": t(p_cor, u, v),
+        "pressure_force": t(p_pf, h),
+        "btstep": t(p_bt, u, v, eta),
+        "vertvisc": t(p_vv, u),
+        "visc_setup": t(p_vs, h, u, v),
+    }
+    return phases
+
+
+def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0, with_phases=True):
     from mom6_tpu.drivers.experiments import double_gyre
     from mom6_tpu.drivers.solo import make_stepper
 
     G, GV, state, params, forces = double_gyre(
         nx=nx, ny=ny, nz=nz, len_lon_km=4500.0, len_lat_km=3500.0, dt=dt)
+    phases = (_phase_breakdown(G, GV, state, params, forces)
+              if with_phases else None)   # before the stepper donates state
     steps_per_call = 10
     stepper = make_stepper(G, GV, params, forces,
                            steps_per_call=steps_per_call)
@@ -155,9 +242,13 @@ def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0):
                               steps_per_call=steps_per_call)
     gps = nx * ny * nz / sec_per_step
     sypd = (dt / sec_per_step) / 365.0
-    return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
-                sypd=round(sypd, 2), bt_substeps=params.bt.nstep,
-                physics="adiabatic")
+    out = dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
+               sypd=round(sypd, 2), bt_substeps=params.bt.nstep,
+               physics="adiabatic")
+    if phases is not None:
+        out["phases_us"] = phases
+        out["step_us"] = round(1e6 * sec_per_step, 1)
+    return out
 
 
 def main():

@@ -376,13 +376,19 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
                          jnp.maximum(av_rem_v, 1e-30) ** instep, 0.0) \
         * G.mask2dCv
 
+    # single per-substep velocity factor: bt_rem (which already carries
+    # the face mask) fused with the implicit BT drag — one VPU multiply
+    # per velocity update in the hot loop instead of three
+    fac_u = bt_rem_u * drag_u if drag_u is not None else bt_rem_u
+    fac_v = bt_rem_v * drag_v if drag_v is not None else bt_rem_v
+
     def dragged_u(x):
         x = bt_rem_u * x
-        return x * drag_u if drag_u is not None else x
+        return (x * drag_u if drag_u is not None else x) * G.mask2dCu
 
     def dragged_v(x):
         x = bt_rem_v * x
-        return x * drag_v if drag_v is not None else x
+        return (x * drag_v if drag_v is not None else x) * G.mask2dCv
 
     if obc is not None:
         # Flather radiation inside the subcycle (same face-mask geometry
@@ -415,12 +421,18 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         def obc_eta(eta):
             return eta
 
-    def half_step(ubt, vbt, eta, u_leads: bool):
+    def half_step(ubt, vbt, eta, uhbt, vhbt, u_leads: bool):
         """One forward-backward substep with a STATIC update order —
         the alternating parity is unrolled into pairs below, so there is
-        no lax.cond in the hot loop (it blocked cross-substep fusion)."""
+        no lax.cond in the hot loop (it blocked cross-substep fusion).
+
+        ``uhbt``/``vhbt`` are the transports of the ENTRY velocities,
+        carried from the previous substep's exit (they are bit-identical
+        to ``transports(ubt, vbt)`` — the velocities do not change
+        between a substep's corrector and the next substep's predictor —
+        so recomputing them would double the transport work per
+        substep)."""
         # 1. eta predictor (forward, with current transports)
-        uhbt, vhbt = transports(ubt, vbt)
         eta_pred = eta + dtbt * div_eta(uhbt, vhbt)
         # 2. pressure force from bebt-weighted eta
         eta_w = (1.0 - bebt) * eta + bebt * eta_pred
@@ -434,18 +446,14 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         # 3. velocity updates in the prescribed order
         if u_leads:
             cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
-            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
-                * G.mask2dCu
+            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu))
             cor_v = _coriolis_v(q_f, _uw(ubt), ku) - cor_ref_v
-            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
-                * G.mask2dCv
+            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv))
         else:
             cor_v = _coriolis_v(q_f, _uw(ubt), ku) - cor_ref_v
-            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv)) \
-                * G.mask2dCv
+            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv))
             cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
-            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu)) \
-                * G.mask2dCu
+            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu))
         ubt, vbt = obc_bt(ubt, vbt, eta_w)
         # 4. eta corrector (backward, with the new transports)
         uhbt, vhbt = transports(ubt, vbt)
@@ -474,25 +482,28 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         )
 
     def pair(carry, wts):
-        ubt, vbt, eta, acc = carry
+        ubt, vbt, eta, uhbt, vhbt, acc = carry
         w_t, w_v = wts
-        o1 = half_step(ubt, vbt, eta, first_u_leads)
+        o1 = half_step(ubt, vbt, eta, uhbt, vhbt, first_u_leads)
         acc = acc_add(acc, w_t[0], w_v[0], o1)
-        o2 = half_step(o1[0], o1[1], o1[2], not first_u_leads)
+        o2 = half_step(o1[0], o1[1], o1[2], o1[3], o1[4],
+                       not first_u_leads)
         acc = acc_add(acc, w_t[1], w_v[1], o2)
-        return (o2[0], o2[1], o2[2], acc), None
+        return (o2[0], o2[1], o2[2], o2[3], o2[4], acc), None
 
     z2u = jnp.zeros_like(ubt_in)
     z2v = jnp.zeros_like(vbt_in)
     z2h = jnp.zeros_like(eta_in)
     acc0 = dict(uhbt_av=z2u, vhbt_av=z2v, ubt_av=z2u, vbt_av=z2v,
                 eta_av=z2h, u_acc=z2u, v_acc=z2v)
-    (ubt_f, vbt_f, eta_f, acc), _ = jax.lax.scan(
-        pair, (ubt_in, vbt_in, eta_in, acc0), wt_pairs, unroll=4)
+    uhbt_0, vhbt_0 = transports(ubt_in, vbt_in)
+    (ubt_f, vbt_f, eta_f, uhbt_f, vhbt_f, acc), _ = jax.lax.scan(
+        pair, (ubt_in, vbt_in, eta_in, uhbt_0, vhbt_0, acc0), wt_pairs,
+        unroll=4)
     if n_tot % 2 == 1:
         # trailing odd substep outside the scan; substep n (1-indexed)
         # leads with u iff n is odd, and n_tot is odd here
-        o = half_step(ubt_f, vbt_f, eta_f, first_u_leads)
+        o = half_step(ubt_f, vbt_f, eta_f, uhbt_f, vhbt_f, first_u_leads)
         acc = acc_add(acc, wt_trans[-1], wt_vel[-1], o)
         ubt_f, vbt_f, eta_f = o[0], o[1], o[2]
     carry = dict(acc, ubt=ubt_f, vbt=vbt_f, eta=eta_f)
