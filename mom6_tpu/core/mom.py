@@ -33,6 +33,7 @@ from mom6_tpu.ale.ale import ALEParams, LAYER, ale_regrid_remap
 from mom6_tpu.core.dynamics_split_rk2 import (DynParams, MechForcing,
                                               step_dynamics_split_rk2)
 from mom6_tpu.core.pressure_force import (find_eta, pressure_force_fv,
+                                          pressure_force_fv_nonbous,
                                           pressure_force_montgomery)
 from mom6_tpu.core.state import OceanState
 from mom6_tpu.eos import get_eos
@@ -240,7 +241,17 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
 
     def make_pf_fn(st0):
         e_tidal = _tidal_geopotential(st0, G, p)
-        if p.thermo_enabled:
+        if p.thermo_enabled and not GV.boussinesq:
+            # non-Boussinesq mode (BOUSSINESQ = False): h is mass/rho0,
+            # the PF comes from the specific-volume pressure-coordinate
+            # form (PressureForce_FV_nonBouss,
+            # MOM_PressureForce_FV.F90:120).  Tides/Stanley/PLM extras
+            # are Boussinesq-path-only for now (PARITY.md).
+            def pf_fn(h, st):
+                return pressure_force_fv_nonbous(
+                    GV.rho0 * h, st.T, st.S, G, GV, eos,
+                    p_surf=forcing.mech.p_surf)
+        elif p.thermo_enabled:
             def pf_fn(h, st):
                 return pressure_force_fv(h, st.T, st.S, G, GV, eos,
                                          p_surf=forcing.mech.p_surf,
@@ -541,39 +552,18 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
                          kd_redi, names)
 
 
-def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
-                  p: MOMParams, eos, dt_therm: float, kd_redi, names
-                  ) -> OceanState:
-    """Column physics + ALE regrid/remap (step_MOM_thermo,
-    MOM.F90:1591): the diabatic sequence with boundary-layer/shear/tidal
-    diffusivities, tracer-package columns, sponges, ODA increments,
-    stochastics, then the ALE cycle.  Runs after the dynamics by default
-    or before them under DIABATIC_FIRST."""
-    # --- column physics (step_MOM_thermo -> diabatic) ---------------------
-    if p.diabatic.boundary_layer_scheme == "BULKML":
-        # layered (isopycnal) mode: bulk mixed layer + diffusive
-        # entrainment; no ALE regrid afterwards
-        from mom6_tpu.physics.vertical.diabatic import diabatic_layered
-        taux = forcing.mech.taux if forcing.mech.taux is not None else \
-            jnp.zeros_like(G.mask2dT)
-        tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
-            jnp.zeros_like(G.mask2dT)
-        h_n, T, S, u_n, v_n, _ = diabatic_layered(
-            state.T, state.S, state.h, state.u, state.v, forcing.buoy,
-            taux, tauy, dt_therm, G, GV, p.diabatic, eos)
-        state = state.replace(h=h_n, T=T, S=S, u=u_n, v=v_n)
-        if p.tfc is not None and state.tr is not None:
-            state = state.replace(
-                tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G,
-                                        GV, T=state.T, S=state.S,
-                                        forcing=forcing))
-        if p.sponge is not None:
-            from mom6_tpu.physics.vertical.sponge import apply_sponge
-            state = apply_sponge(state, dt_therm, p.sponge, G)
-        return state
+def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
+                                GV, p: MOMParams, eos, dt_therm: float,
+                                kd_redi=None):
+    """Interface-diffusivity contributions that feed the diabatic solve
+    (the set_diffusivity feeders of the diabatic_ALE sequence): the
+    boundary-layer scheme (KPP/ePBL, with the Langmuir closure when
+    waves are configured), shear mixing (JHL or Ri-number forms), and
+    low-mode internal-tide energy deposition.  Shared by _thermo_block
+    and the diagnostic catalog's Kd_interface field.
 
-    # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
-    # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
+    Returns (kd_extra, bl_mld, kpp_nonlocal, En_itide_new); En_itide_new
+    is None unless internal tides advanced their energy field."""
     kd_extra = kd_redi     # Redi K S^2 implicit part, if any
 
     # Langmuir turbulence: a Langmuir-number closure la_fn(hbl) that
@@ -614,10 +604,11 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
             jnp.zeros_like(G.mask2dT)
         tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
             jnp.zeros_like(G.mask2dT)
-        kd_bl, bl_mld = epbl_diffusivity(state.h, state.T, state.S, G, GV, eos,
-                                    taux, tauy, forcing.buoy.heat_flux,
-                                    cp=p.diabatic.cp, la_fn=la_fn,
-                                    waves=p.waves, dt=dt_therm)
+        kd_bl, bl_mld = epbl_diffusivity(state.h, state.T, state.S, G, GV,
+                                         eos, taux, tauy,
+                                         forcing.buoy.heat_flux,
+                                         cp=p.diabatic.cp, la_fn=la_fn,
+                                         waves=p.waves, dt=dt_therm)
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     if p.diabatic.use_shear_mixing:
         if p.diabatic.shear_scheme == "JHL":
@@ -634,6 +625,7 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
 
     # --- low-mode internal tides: propagate energy, deposit the losses
     # as extra diffusivity (MOM_internal_tides + tidal_mixing lowmode)
+    en_new = None
     if p.int_tides is not None and state.En_itide is not None:
         from mom6_tpu.diagnostics.wave_speed import wave_speed
         from mom6_tpu.physics.lateral.internal_tides import \
@@ -647,7 +639,6 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
         cn = wave_speed(state.h, state.T, state.S, G, GV, eos)
         en_new, loss = step_internal_tides(state.En_itide, tke_in, cn,
                                            G, GV, dt_therm, p.int_tides)
-        state = state.replace(En_itide=en_new)
         # deposit the propagated-loss energy with mixing efficiency mu
         # (lowmode has no additional local-fraction q)
         kd_low = tidal_mixing_kd(state.h, state.T, state.S, G, GV, eos,
@@ -655,6 +646,46 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
                                  tke_input=loss / max(tmp.gamma_itides,
                                                       1e-6))
         kd_extra = kd_low if kd_extra is None else kd_extra + kd_low
+    return kd_extra, bl_mld, kpp_nonlocal, en_new
+
+
+def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
+                  p: MOMParams, eos, dt_therm: float, kd_redi, names
+                  ) -> OceanState:
+    """Column physics + ALE regrid/remap (step_MOM_thermo,
+    MOM.F90:1591): the diabatic sequence with boundary-layer/shear/tidal
+    diffusivities, tracer-package columns, sponges, ODA increments,
+    stochastics, then the ALE cycle.  Runs after the dynamics by default
+    or before them under DIABATIC_FIRST."""
+    # --- column physics (step_MOM_thermo -> diabatic) ---------------------
+    if p.diabatic.boundary_layer_scheme == "BULKML":
+        # layered (isopycnal) mode: bulk mixed layer + diffusive
+        # entrainment; no ALE regrid afterwards
+        from mom6_tpu.physics.vertical.diabatic import diabatic_layered
+        taux = forcing.mech.taux if forcing.mech.taux is not None else \
+            jnp.zeros_like(G.mask2dT)
+        tauy = forcing.mech.tauy if forcing.mech.tauy is not None else \
+            jnp.zeros_like(G.mask2dT)
+        h_n, T, S, u_n, v_n, _ = diabatic_layered(
+            state.T, state.S, state.h, state.u, state.v, forcing.buoy,
+            taux, tauy, dt_therm, G, GV, p.diabatic, eos)
+        state = state.replace(h=h_n, T=T, S=S, u=u_n, v=v_n)
+        if p.tfc is not None and state.tr is not None:
+            state = state.replace(
+                tr=p.tfc.column_physics(state.tr, state.h, dt_therm, G,
+                                        GV, T=state.T, S=state.S,
+                                        forcing=forcing))
+        if p.sponge is not None:
+            from mom6_tpu.physics.vertical.sponge import apply_sponge
+            state = apply_sponge(state, dt_therm, p.sponge, G)
+        return state
+
+    # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
+    # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
+    kd_extra, bl_mld, kpp_nonlocal, en_new = assemble_diffusivity_extras(
+        state, forcing, G, GV, p, eos, dt_therm, kd_redi=kd_redi)
+    if en_new is not None:
+        state = state.replace(En_itide=en_new)
 
     passive = None
     if names:

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from mom6_tpu.framework.stencil import ip1, jp1
 
 __all__ = ["PressureForceOut", "pressure_force_montgomery",
-           "pressure_force_fv", "pressure_force_fv_nonbous", "find_eta"]
+           "pressure_force_fv", "pressure_force_fv_nonbous", "find_eta",
+           "spv_avg", "find_eta_nonbouss"]
 
 
 class PressureForceOut(NamedTuple):
@@ -43,8 +44,54 @@ class PressureForceOut(NamedTuple):
 
 def find_eta(h, G):
     """Free-surface height (positive up) from thicknesses and bathymetry
-    (analogue of MOM_interface_heights.F90 find_eta)."""
+    (analogue of MOM_interface_heights.F90 find_eta).  In non-Boussinesq
+    mode this is the COLUMN MASS measure (mass/rho0 - depth, the H-units
+    eta the split scheme evolves); the geometric SSH is
+    :func:`find_eta_nonbouss`."""
     return jnp.sum(h, axis=0) - G.bathyT
+
+
+def spv_avg(h, T, S, GV, eos, p_surf=None):
+    """Layer-mean in-situ specific volume [m3 kg-1] at the hydrostatic
+    layer pressures of the mass column ``h`` (in rho0-equivalent meters,
+    mass = rho0*h) — the SpV_avg of calc_derived_thermo
+    (MOM_interface_heights.F90; reference non-Boussinesq thermo
+    derivation).  Exact Boole layer-mean via the dza integrals."""
+    g = GV.g_earth
+    dp = g * GV.rho0 * h
+    p_top = jnp.zeros_like(dp[:1]) if p_surf is None else p_surf[None]
+    p = jnp.concatenate([p_top, p_top + jnp.cumsum(dp, axis=0)], axis=0)
+    dza, _ = _dza_column(T, S, p[:-1], p[1:], 0.0, eos)
+    return dza / jnp.maximum(dp, 1e-3)
+
+
+def geometric_to_mass_h(h_geom, T, S, GV, eos, n_iter: int = 5):
+    """Convert GEOMETRIC layer thicknesses [m] to the non-Boussinesq
+    prognostic thickness h = mass/rho0 [rho0-equivalent m], fixed-pointing
+    the hydrostatic in-situ density at the layer's own pressure (the
+    convert_thickness init step, MOM_state_initialization.F90).  Without
+    this, a z-space initial condition read as mass is out of hydrostatic
+    balance by the full in-situ/rho0 density ratio (~2% of the column —
+    tens of meters of spurious eta)."""
+    g = GV.g_earth
+    rho = GV.rho0 + eos.density(T, S, jnp.zeros_like(T), rho_ref=GV.rho0)
+    for _ in range(n_iter):
+        dp = g * rho * h_geom
+        p_int = jnp.concatenate([jnp.zeros_like(dp[:1]),
+                                 jnp.cumsum(dp, axis=0)], axis=0)
+        p_mid = 0.5 * (p_int[:-1] + p_int[1:])
+        rho = GV.rho0 + eos.density(T, S, p_mid, rho_ref=GV.rho0)
+    return h_geom * rho / GV.rho0
+
+
+def find_eta_nonbouss(h, T, S, G, GV, eos, p_surf=None):
+    """GEOMETRIC free-surface height [m] of a non-Boussinesq column:
+    eta = sum_k (rho0 * h_k) * SpV_avg_k - depth (the find_eta
+    non-Boussinesq branch, MOM_interface_heights.F90).  This is the SSH
+    a tide gauge sees — it rises sterically when the column warms even
+    though the mass (sum h) is unchanged."""
+    dz = (GV.rho0 * h) * spv_avg(h, T, S, GV, eos, p_surf=p_surf)
+    return jnp.sum(dz, axis=0) - G.bathyT
 
 
 # Boole's rule weights for 5-point quadrature over 4 equal intervals
@@ -395,17 +442,27 @@ def pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos,
                              dza, roll_fn(dza),
                              p[-1][None], roll_fn(p[-1])[None],
                              alpha_ref, eos)
-        # x-integral of za along interfaces, accumulated from the bottom
-        intx_za_bot = 0.5 * (za[-1] + roll_fn(za[-1]))
+        # x-integral of za along interfaces, accumulated DOWNWARD from
+        # the surface (intx_za(1) = mean of the column za's, then
+        # intx_za(K+1) = intx_za(K) - intx_dza(k); reference :557-568).
+        # The column za is integrated UP from the bottom, so the surface
+        # geopotential varies linearly between thickness points while the
+        # bottom one does not — the order that guarantees no motion with
+        # flat isopycnals under a nonlinear EOS.  Accumulating intx_za up
+        # from the bottom instead leaves an O(quadrature) inconsistency
+        # that concentrates in slope-intersecting bottom layers
+        # (2e-3 m s-2 from rest — an immediate CFL-limit blowup).
+        intx_za_top = 0.5 * (za[0] + roll_fn(za[0]))
         intx_za = jnp.concatenate(
-            [intx_za_bot[None]
-             + jnp.cumsum(intx_dza[::-1], axis=0)[::-1],
-             intx_za_bot[None]], axis=0)
+            [intx_za_top[None],
+             intx_za_top[None] - jnp.cumsum(intx_dza, axis=0)], axis=0)
         dp_r = roll_fn(dp)
+        # reference :831-835: za/intx_za at the layer BOTTOM (K+1), the
+        # pressure difference at the layer TOP (K)
         pf = (((za[1:] * dp + intp_dza)
                - (roll_fn(za[1:]) * dp_r + roll_fn(intp_dza)))
               + ((dp_r - dp) * intx_za[1:]
-                 - (roll_fn(p_b) - p_b) * intx_dza)) \
+                 - (roll_fn(p_t) - p_t) * intx_dza)) \
             * (2.0 * idx_metric) / ((dp + dp_r) + 1e-3)
         # hard gate on truly massless faces (the dual of PF_GATE in the
         # Boussinesq path: 2e-3 m of water ~ 20 Pa).  The previous smooth
@@ -427,7 +484,15 @@ def pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos,
     # scheme over topography (see pressure_force_fv's pbce note).
     rho0 = GV.rho0
     g_rho0 = g / rho0
-    e = za / g                                  # (nz+1, ny, nx) heights
+    # GEOMETRIC interface heights: dz_k = int alpha dp / g (dza holds the
+    # anomaly part, alpha_ref*dp the reference part).  NOT za/g — za is a
+    # geopotential ANOMALY, O(meters) and non-monotone, and using it as a
+    # height collapses htot to its floor and sends frac to ~1e11 (a
+    # 3-step KE explosion once anything perturbs eta).
+    dz = (dza + alpha_ref * dp) / g
+    e = jnp.concatenate(
+        [jnp.cumsum(dz[::-1], axis=0)[::-1], jnp.zeros_like(dz[:1])],
+        axis=0) - G.bathyT[None]                # (nz+1, ny, nx) heights
     htot = jnp.maximum(e[0] - e[-1], 1e-10)
     rho_sfc = rho0 + eos.density(T[0], S[0], p[0], rho_ref=rho0)
     pbce1 = (g_rho0 * rho_sfc)[None]
@@ -438,5 +503,14 @@ def pressure_force_fv_nonbous(h_mass, T, S, G, GV, eos,
     dpbce = g_rho0 * frac * (dr_dt * (T[1:] - T[:-1])
                              + dr_ds * (S[1:] - S[:-1]))
     pbce = jnp.cumsum(jnp.concatenate([pbce1, dpbce], axis=0), axis=0)
-    eta = e[0]                          # surface geopotential height [m]
-    return PressureForceOut(pfu, pfv, pbce.astype(h_mass.dtype), eta)
+    # The split scheme's prognostic eta is the COLUMN-MASS measure
+    # sum(h) - depth (h in rho0-equivalent meters, find_eta) — NOT the
+    # geometric surface height.  Chain-rule the pbce to that variable:
+    # adding d(h~) of rho0-equivalent surface mass raises the geometric
+    # surface by rho0*alpha_sfc*d(h~), so d(accel)/d(eta_H) =
+    # d(accel)/d(eta_geom) * rho0*alpha_sfc (the H-unit pbce of
+    # Set_pbce_nonBouss, which works in accel per mass-thickness).
+    alpha_sfc = eos.specific_volume(T[0], S[0], p[0])
+    pbce = pbce * (rho0 * alpha_sfc)[None]
+    eta_h = jnp.sum(h_mass, axis=0) / rho0 - G.bathyT
+    return PressureForceOut(pfu, pfv, pbce.astype(h_mass.dtype), eta_h)

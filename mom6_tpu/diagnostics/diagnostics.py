@@ -53,15 +53,23 @@ def _top_average(w3, h, depth: float):
 
 def extract_surface_state(state, G, GV, *, hmix_sfc: float = 0.0,
                           hmix_uv_sfc: float = 0.0, tfreeze_fn=None,
-                          cp: float = 3991.87, frazil=None
+                          cp: float = 3991.87, frazil=None, eos=None
                           ) -> SurfaceState:
     """Build the coupler surface state (extract_surface_state,
     MOM.F90:3954-4354): T/S averaged over HMIX_SFC (0 = top layer),
     velocities over HMIX_UV_SFC, melt potential over the same depth
     from the freezing temperature, and the column mass/heat/salt
-    contents the coupler reports."""
+    contents the coupler reports.  In non-Boussinesq mode (``eos``
+    given and GV.boussinesq False) the reported SSH is the GEOMETRIC
+    steric height via specific volume (find_eta nonBouss branch), not
+    the column-mass measure."""
     h = state.h
-    eta = jnp.sum(h, axis=0) - G.bathyT
+    if (not getattr(GV, "boussinesq", True)) and eos is not None \
+            and state.T is not None:
+        from mom6_tpu.core.pressure_force import find_eta_nonbouss
+        eta = find_eta_nonbouss(h, state.T, state.S, G, GV, eos)
+    else:
+        eta = jnp.sum(h, axis=0) - G.bathyT
     if hmix_uv_sfc > 0.0:
         h_u = 0.5 * (h + jnp.roll(h, -1, axis=-1))
         h_v = 0.5 * (h + jnp.roll(h, -1, axis=-2))

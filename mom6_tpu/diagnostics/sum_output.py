@@ -17,10 +17,13 @@ import numpy as np
 from mom6_tpu.framework.repro_sum import reproducing_sum
 
 __all__ = ["compute_stats", "compute_stats_jit", "tracer_stocks",
-           "format_stats_line", "StatsWriter"]
+           "format_stats_line", "StatsWriter", "BudgetAudit"]
+
+_CP_DEFAULT = 3991.87          # MOM6 C_P default [J kg-1 K-1]
 
 
-def compute_stats(state, G, GV, dt: float) -> Dict[str, float]:
+def compute_stats(state, G, GV, dt: float,
+                  cp: float = _CP_DEFAULT) -> Dict[str, float]:
     h = np.asarray(state.h, dtype=np.float64)
     u = np.asarray(state.u, dtype=np.float64)
     v = np.asarray(state.v, dtype=np.float64)
@@ -55,11 +58,23 @@ def compute_stats(state, G, GV, dt: float) -> Dict[str, float]:
     cfl = max(float(np.max(np.abs(u) * dt * idx[None])),
               float(np.max(np.abs(v) * dt * idy[None])))
 
-    return {"mass": mass, "KE": ke, "APE": ape, "energy": ke + ape,
-            "max_CFL": cfl}
+    out = {"mass": mass, "KE": ke, "APE": ape, "energy": ke + ape,
+           "max_CFL": cfl}
+    # Total Salt [kg] and Total Heat [J] — the conservation-audit half of
+    # write_energy (MOM_sum_output.F90:321-1100: Total Salt / Total Heat
+    # statements; salinity is g salt per kg seawater, hence the 1e-3)
+    if getattr(state, "T", None) is not None:
+        T = np.asarray(state.T, np.float64)
+        S = np.asarray(state.S, np.float64)
+        out["salt"] = reproducing_sum(S * h * area[None],
+                                      scale=GV.rho0 * 1e-3)
+        out["heat"] = reproducing_sum(T * h * area[None],
+                                      scale=GV.rho0 * cp)
+    return out
 
 
-def compute_stats_jit(state, G, GV, dt: float) -> Dict[str, "object"]:
+def compute_stats_jit(state, G, GV, dt: float,
+                      cp: float = _CP_DEFAULT) -> Dict[str, "object"]:
     """ocean.stats reductions inside jit via :func:`fixed_point_sum` —
     bitwise invariant to the device-mesh layout / sharding of the state
     (the in-compiled-code analogue of MOM6's EFP reproducing sums,
@@ -114,8 +129,17 @@ def compute_stats_jit(state, G, GV, dt: float) -> Dict[str, "object"]:
 
     cfl = jnp.maximum(jnp.max(jnp.abs(u) * dt * G.IdxT[None]),
                       jnp.max(jnp.abs(v) * dt * G.IdyT[None]))
-    return {"mass": mass, "KE": ke, "APE": ape, "energy": ke + ape,
-            "max_CFL": cfl}
+    out = {"mass": mass, "KE": ke, "APE": ape, "energy": ke + ape,
+           "max_CFL": cfl}
+    if getattr(state, "T", None) is not None:
+        ts_bound = 64.0          # |T| [degC], S [ppt] stay far below this
+        out["salt"] = GV.rho0 * 1e-3 * fixed_point_sum(
+            state.S * h * area[None],
+            max_mag=ts_bound * h_bound * max_area)
+        out["heat"] = GV.rho0 * cp * fixed_point_sum(
+            state.T * h * area[None],
+            max_mag=ts_bound * h_bound * max_area)
+    return out
 
 
 def tracer_stocks(tr: Dict[str, "object"], h, G,
@@ -135,12 +159,124 @@ def tracer_stocks(tr: Dict[str, "object"], h, G,
     return out
 
 
+class BudgetAudit:
+    """Accumulated net surface inputs of mass, salt and heat, and the
+    conservation drift against them — the net-input half of write_energy
+    (MOM_sum_output.F90:321-1100: the 'Mass Chg Error' / salt & heat
+    anomaly statements).
+
+    ``accumulate(forcing, state, G, GV, interval)`` integrates the
+    forcing that drove the last ``interval`` seconds (restoring fluxes
+    are evaluated against the CURRENT top-layer T/S — exact for fixed
+    fluxes, segment-endpoint approximate for restoring).  Frazil heat is
+    read from ``state.frazil`` (already an accumulation since start).
+    ``drift(stats)`` then returns (change since start) - (net input):
+    zero to rounding for a conservative model."""
+
+    def __init__(self, stats0: Dict[str, float], cp: float = _CP_DEFAULT,
+                 state0=None, G=None):
+        self.m0 = stats0.get("mass")
+        self.s0 = stats0.get("salt")
+        self.h0 = stats0.get("heat")
+        self.cp = cp
+        self.mass_in = 0.0
+        self.salt_in = 0.0
+        self.heat_in = 0.0
+        # frazil baseline must be captured at segment START (restarts
+        # carry a nonzero accumulation); taking it lazily at the first
+        # drift() call silently absorbs all frazil heating before the
+        # first stats line into the baseline
+        self.frazil0 = 0.0
+        if state0 is not None and G is not None \
+                and getattr(state0, "frazil", None) is not None:
+            area = np.asarray(G.areaT, np.float64) \
+                * np.asarray(G.mask2dT, np.float64)
+            self.frazil0 = reproducing_sum(
+                np.asarray(state0.frazil, np.float64) * area)
+
+    def accumulate(self, forcing, state, G, GV, interval: float) -> None:
+        area = np.asarray(G.areaT, np.float64) \
+            * np.asarray(G.mask2dT, np.float64)
+        buoy = getattr(forcing, "buoy", None)
+        if buoy is None:
+            return
+
+        def tot(field):
+            return reproducing_sum(
+                np.asarray(field, np.float64) * area)
+
+        q = 0.0
+        if buoy.heat_flux is not None:
+            q += tot(buoy.heat_flux)
+        if buoy.sw_flux is not None:
+            q += tot(buoy.sw_flux)
+        sf = 0.0
+        if buoy.salt_flux is not None:
+            sf += tot(buoy.salt_flux)
+        if buoy.salt_left_behind is not None:
+            sf += tot(buoy.salt_left_behind)
+        self.heat_in += q * interval
+        self.salt_in += GV.rho0 * 1e-3 * sf * interval
+        if buoy.fw_flux is not None:
+            # this framework applies fresh water as a VIRTUAL salt flux
+            # (volume-conserving surface boundary); it moves salt, not
+            # mass — account it against the salt total
+            vsf = -np.asarray(state.S[0], np.float64) \
+                * np.asarray(buoy.fw_flux, np.float64)
+            self.salt_in += GV.rho0 * 1e-3 * reproducing_sum(
+                vsf * area) * interval
+        if buoy.t_restore is not None:
+            sst = np.asarray(state.T[0], np.float64)
+            rt = buoy.restore_rate * (
+                np.asarray(buoy.t_restore, np.float64) - sst)
+            self.heat_in += GV.rho0 * self.cp * reproducing_sum(
+                rt * area) * interval
+        if buoy.s_restore is not None:
+            sss = np.asarray(state.S[0], np.float64)
+            rs = buoy.restore_rate * (
+                np.asarray(buoy.s_restore, np.float64) - sss)
+            self.salt_in += GV.rho0 * 1e-3 * reproducing_sum(
+                rs * area) * interval
+
+    def drift(self, s: Dict[str, float], state=None, G=None
+              ) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        if self.m0 is not None and "mass" in s:
+            out["mass_drift"] = (s["mass"] - self.m0) - self.mass_in
+        if self.s0 is not None and "salt" in s:
+            out["salt_drift"] = (s["salt"] - self.s0) - self.salt_in
+        if self.h0 is not None and "heat" in s:
+            heat_in = self.heat_in
+            if state is not None and G is not None \
+                    and getattr(state, "frazil", None) is not None:
+                # frazil heating raised T to the freezing point; the
+                # deficit the ice model owes is accumulated in
+                # state.frazil [J m-2] since start
+                area = np.asarray(G.areaT, np.float64) \
+                    * np.asarray(G.mask2dT, np.float64)
+                fz = reproducing_sum(
+                    np.asarray(state.frazil, np.float64) * area)
+                heat_in = heat_in + (fz - self.frazil0)
+            out["heat_drift"] = (s["heat"] - self.h0) - heat_in
+        return out
+
+
 def format_stats_line(step: int, time_days: float, s: Dict[str, float]) -> str:
     line = (f"{step:8d}, {time_days:12.3f} days: En {s['energy']: .12e} "
             f"(KE {s['KE']: .6e}, APE {s['APE']: .6e}), "
             f"Mass {s['mass']: .12e}, maxCFL {s['max_CFL']:.5f}")
+    if "salt" in s:
+        line += f", Salt {s['salt']: .12e}"
+    if "heat" in s:
+        line += f", Heat {s['heat']: .12e}"
+    for k, tag in (("mass_drift", "dM_net"), ("salt_drift", "dS_net"),
+                   ("heat_drift", "dH_net")):
+        if k in s:
+            line += f", {tag} {s[k]: .3e}"
     extras = [k for k in s
-              if k not in ("energy", "KE", "APE", "mass", "max_CFL")]
+              if k not in ("energy", "KE", "APE", "mass", "max_CFL",
+                           "salt", "heat", "mass_drift", "salt_drift",
+                           "heat_drift")]
     if extras:
         line += ", Tr: " + " ".join(f"{k}={s[k]: .8e}" for k in extras)
     return line

@@ -275,7 +275,12 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         rho0=pf.get("RHO_0", float, default=1035.0, units="kg m-3", module=m),
         gprime_int=pf.get("GINT", float, default=9.8e-3, units="m s-2",
                           module=m),
-        dtype=dtype)
+        dtype=dtype,
+        boussinesq=pf.get(
+            "BOUSSINESQ", bool, default=True, module=m,
+            desc="False => mass-conserving non-Boussinesq mode: h is "
+            "mass/RHO_0, the PF uses specific-volume integrals, SSH is "
+            "steric (MOM_verticalGrid.F90:24-96)"))
 
     m = "MOM"
     dt = pf.get("DT", float, module=m, units="s", desc="Baroclinic timestep")
@@ -343,7 +348,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                           angstrom=gv.angstrom,
                           h_subroundoff=gv.h_subroundoff,
                           g_prime=jnp.asarray(gp, dtype),
-                          Rlay=jnp.asarray(rlay, dtype))
+                          Rlay=jnp.asarray(rlay, dtype),
+                          boussinesq=gv.boussinesq)
 
     m = "MOM_barotropic"
     if split:
@@ -1789,6 +1795,17 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                 state.h, state.T, state.S, rho, press, gv.g_earth,
                 min_thickness=float(gv.angstrom))
             state = state.replace(h=jnp.asarray(h_t, dtype))
+
+    # -- non-Boussinesq: the analytic/file ICs above are GEOMETRIC
+    # thicknesses; the prognostic h of BOUSSINESQ=False is mass/RHO_0,
+    # so convert with the hydrostatic in-situ density (convert_thickness,
+    # MOM_state_initialization.F90) or the IC starts ~2%-of-column out of
+    # hydrostatic balance ------------------------------------------------
+    if not gv.boussinesq and use_thermo and state.T is not None:
+        from mom6_tpu.core.pressure_force import geometric_to_mass_h
+        from mom6_tpu.eos import get_eos as _ge
+        state = state.replace(h=geometric_to_mass_h(
+            state.h, state.T, state.S, gv, _ge(eos_name)).astype(dtype))
 
     if doc_dir:
         pf.write_doc(doc_dir)

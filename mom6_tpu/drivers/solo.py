@@ -65,14 +65,15 @@ def make_ke_budget_fn(G, GV, params):
 
 
 def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
-    """Post every diag_table-requested field the model can serve:
-    prognostic state, derived surface fields, vertically-remapped
-    (_z/_rho/_sigma) tracers and the KE term budget."""
+    """Post every diag_table-requested field the model can serve, via
+    the diagnostic catalog (mom6_tpu/diagnostics/catalog.py: the
+    OM4-standard field set incl. CMOR aliases); tracers resolve by
+    their registry names.  Shared intermediates (surface state, Kd,
+    wave speeds, KE budget) are computed once per post through the
+    catalog's lazy DiagContext."""
     import numpy as np
 
-    from mom6_tpu.diagnostics.diagnostics import (column_speed,
-                                                  extract_surface_state,
-                                                  kinetic_energy_3d)
+    from mom6_tpu.diagnostics.catalog import DiagContext, serve
     eos = None
     if params.thermo_enabled:
         from mom6_tpu.eos import get_eos
@@ -83,58 +84,18 @@ def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
                           S=None if state.S is None
                           else jax.device_get(state.S),
                           GV=GV, eos=eos)
-    sfc = None
-    ke_terms = None
+    ctx = DiagContext(state, G, GV, params, forcing=forcing, eos=eos,
+                      ke_budget_fn=ke_budget_fn)
     for key, hid in list(dm._by_name.items()):
         module, name = key.split(".", 1)
         base = name
         for sfx in ("_z", "_rho", "_sigma"):
             if name.endswith(sfx):
                 base = name[: -len(sfx)]
-        arr = None
-        if base in ("h", "u", "v", "T", "S") and \
-                getattr(state, base, None) is not None:
-            arr = jax.device_get(getattr(state, base))
-        elif state.tr is not None and base in state.tr:
+        if state.tr is not None and base in state.tr:
             arr = jax.device_get(state.tr[base])
-        elif base in ("SSH", "SST", "SSS", "speed"):
-            if sfc is None:
-                sfc = extract_surface_state(state, G, GV)
-            arr = jax.device_get({"SSH": sfc.ssh, "SST": sfc.sst,
-                                  "SSS": sfc.sss, "speed": sfc.speed}[base])
-        elif base == "KE":
-            arr = jax.device_get(kinetic_energy_3d(state, G))
-        elif base == "col_speed":
-            arr = jax.device_get(column_speed(state, G))
-        elif base in ("RV", "PV"):
-            from mom6_tpu.core.coriolis_adv import relative_vorticity
-            rv = relative_vorticity(state.u, state.v, G)
-            if base == "PV":
-                # (f + zeta)/h at corners (the reference's PV diag)
-                import jax.numpy as _jnp
-                from mom6_tpu.framework.stencil import ip1 as _ip1
-                from mom6_tpu.framework.stencil import jp1 as _jp1
-                h_q = 0.25 * (state.h + _ip1(state.h) + _jp1(state.h)
-                              + _ip1(_jp1(state.h)))
-                rv = (G.CoriolisBu + rv) / _jnp.maximum(h_q, 1e-3)
-            arr = jax.device_get(rv)
-        elif base == "uh" and state.uh is not None:
-            arr = jax.device_get(state.uh)
-        elif base == "vh" and state.vh is not None:
-            arr = jax.device_get(state.vh)
-        elif base == "e":
-            # interface heights (find_eta-style diagnostic)
-            import numpy as _np
-            hh = _np.asarray(jax.device_get(state.h))
-            csum = _np.cumsum(hh[::-1], axis=0)[::-1]
-            arr = _np.concatenate(
-                [csum, _np.zeros_like(hh[:1])], axis=0)                 - _np.asarray(jax.device_get(G.bathyT))[None]
-        elif ke_budget_fn is not None and (base.startswith("KE_")
-                                           or base == "dKE_dt"):
-            if ke_terms is None:
-                ke_terms = jax.device_get(ke_budget_fn(state, forcing))
-            if base in ke_terms:
-                arr = jax.device_get(ke_terms[base])
+        else:
+            arr = serve(base, ctx)
         if arr is not None:
             dm.post_data(hid, np.asarray(arr))
 
@@ -341,6 +302,11 @@ def main(argv=None):
         dtbt_fn = jax.jit(_dtbt)
     t_last_reset = t0
     writer = StatsWriter(os.path.join(args.rundir, "ocean.stats"))
+    # conservation audit: accumulated net mass/salt/heat inputs and the
+    # drift of the totals against them (write_energy's net-input half,
+    # MOM_sum_output.F90:321-1100), reported per stats line
+    from mom6_tpu.diagnostics.sum_output import BudgetAudit
+    cp_audit = params.diabatic.cp if params.thermo_enabled else 3991.87
     # f32 production runs: ocean.stats sums inside jit via fixed_point_sum
     # (bitwise layout-invariant, stays on device; round-2 verdict item 7).
     # x64 verification runs keep the host f64 EFP oracle.
@@ -348,7 +314,16 @@ def main(argv=None):
     if state.h.dtype == jnp.float32:
         from mom6_tpu.diagnostics.sum_output import compute_stats_jit
         stats_jit = jax.jit(
-            lambda s: compute_stats_jit(s, G, GV, params.dyn.dt))
+            lambda s: compute_stats_jit(s, G, GV, params.dyn.dt,
+                                        cp=cp_audit))
+    # the audit baseline must come from the SAME summation path as the
+    # per-line stats (f32 fixed-point vs host f64 EFP differ at ~4e-8
+    # relative, which would masquerade as day-one drift)
+    if stats_jit is not None:
+        stats0 = {k: float(v) for k, v in stats_jit(state).items()}
+    else:
+        stats0 = compute_stats(state, G, GV, params.dyn.dt, cp=cp_audit)
+    audit = BudgetAudit(stats0, cp=cp_audit, state0=state, G=G)
 
     # gridded diagnostics through the mediator; a diag_table file in the
     # run directory selects fields/reductions/files (FMS diag_table
@@ -373,6 +348,41 @@ def main(argv=None):
         ke_budget_fn = make_ke_budget_fn(G, GV, params) if any(
             d.name.startswith("KE_") or d.name == "dKE_dt"
             for d in dm._diags.values()) else None
+        # no-silent-misses contract: every requested field must resolve
+        # in the catalog (unknown names are a hard error with a hint);
+        # known-but-unservable fields are rejected loudly with the
+        # config reason (the register_diag_field<0 path of the ref)
+        from mom6_tpu.diagnostics.catalog import (rejection_reason,
+                                                  resolve)
+        tr_names = set(state.tr or ())
+        rejected = {}
+        for d in list(dm._diags.values()):
+            base = d.name
+            for sfx in ("_z", "_rho", "_sigma"):
+                if base.endswith(sfx):
+                    base = base[: -len(sfx)]
+            if base in tr_names:
+                continue
+            entry = resolve(base)     # raises KeyError on unknown names
+            if not d.units:
+                d.units = entry.units
+            if not d.longname:
+                d.longname = entry.long_name
+            if entry.stagger in ("u", "v", "q"):
+                d.stagger = entry.stagger
+            why = rejection_reason(base, state, params, forcing=forcing,
+                                   has_ke_budget=ke_budget_fn
+                                   is not None)
+            if why:
+                rejected[d.name] = why
+        if rejected:
+            print("diag_table fields rejected under this configuration:")
+            for nm, why in sorted(rejected.items()):
+                print(f"  {nm}: {why}")
+            with open(os.path.join(args.rundir,
+                                   "diag_rejected"), "w") as fh:
+                for nm, why in sorted(rejected.items()):
+                    fh.write(f"{nm}: {why}\n")
     else:
         dm = DiagMediator(z_targets=z_targets)
         diag_ids = {}
@@ -466,7 +476,15 @@ def main(argv=None):
             if stats_jit is not None:
                 s = {k: float(v) for k, v in stats_jit(state).items()}
             else:
-                s = compute_stats(state, G, GV, params.dyn.dt)
+                s = compute_stats(state, G, GV, params.dyn.dt,
+                                  cp=cp_audit)
+            # net-input accumulation + drift statement (conservation
+            # audit); restoring fluxes are estimated at the segment
+            # endpoint state
+            f_used = f_seg if provider is not None else forcing
+            audit.accumulate(f_used, state, G, GV,
+                             stats_every * dt_cycle)
+            s.update(audit.drift(s, state=state, G=G))
             if params.tfc is not None and state.tr is not None:
                 # per-tracer global stocks on the stats line
                 # (call_tracer_stocks -> MOM_sum_output)

@@ -85,6 +85,66 @@ def test_matches_boussinesq_in_weak_compressibility():
     assert np.abs(a - b).max() < 0.05 * scale, np.abs(a - b).max()
 
 
+def test_pbce_predicts_pf_response():
+    """pbce must be the actual d(PF)/d(eta_H) of the non-Boussinesq PF:
+    add surface mass to half the domain and compare the true PF change
+    at the step face against -pbce * d(eta)/dx, layer by layer (the
+    Set_pbce_nonBouss contract; a wrong pbce destabilizes the split
+    scheme within a few steps — the za/g-as-height bug collapsed htot to
+    its 1e-10 floor and sent pbce to ~1e8).  Runs in an x64 subprocess:
+    the finite difference needs headroom below the PF's own magnitude."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = r'''
+import json, sys
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from mom6_tpu.core.pressure_force import pressure_force_fv_nonbous
+from mom6_tpu.eos import get_eos
+from mom6_tpu.grid.grid import build_cartesian_grid
+from mom6_tpu.grid.vertical import build_layered_vgrid
+NZ, NY, NX, DEPTH = 8, 6, 12, 2000.0
+G = build_cartesian_grid(NX, NY, 120.0, 60.0, max_depth=DEPTH)
+GV = build_layered_vgrid(NZ)
+eos = get_eos("WRIGHT")
+h = jnp.full((NZ, NY, NX), DEPTH / NZ, jnp.float64)
+z = jnp.cumsum(h, 0) - 0.5 * h
+T = (20.0 - 18.0 * z / DEPTH).astype(jnp.float64)
+S = jnp.full_like(T, 35.0)
+rho = GV.rho0 + eos.density(T, S, jnp.zeros_like(T), rho_ref=GV.rho0)
+for _ in range(8):
+    dp = GV.g_earth * rho * h
+    pi = jnp.concatenate([jnp.zeros_like(dp[:1]), jnp.cumsum(dp, 0)], 0)
+    rho = GV.rho0 + eos.density(T, S, 0.5 * (pi[:-1] + pi[1:]),
+                                rho_ref=GV.rho0)
+hm = h * rho / GV.rho0
+d = 0.01
+hp = hm.at[0, :, NX // 2:].add(d)
+pf0 = pressure_force_fv_nonbous(GV.rho0 * hm, T, S, G, GV, eos)
+pf1 = pressure_force_fv_nonbous(GV.rho0 * hp, T, S, G, GV, eos)
+dpf = np.asarray(pf1.PFu - pf0.PFu)[:, NY // 2, NX // 2 - 1]
+idx = float(np.asarray(G.IdxCu)[NY // 2, NX // 2 - 1])
+pred = -np.asarray(pf0.pbce)[:, NY // 2, NX // 2 - 1] * d * idx
+print("PBCE:" + json.dumps((dpf / pred).tolist()))
+''' % repo
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("PBCE:")][-1]
+    ratio = np.asarray(json.loads(line[len("PBCE:"):]))
+    assert np.all(np.abs(ratio - 1.0) < 0.05), ratio
+
+
 def test_eta_bump_accelerates_away():
     """Surface bump: depth-mean PFu points away from the bump with
     magnitude ~ g d(eta)/dx."""
