@@ -90,18 +90,16 @@ def bench_om4_shape(nx=360, ny=270, nz=75, dt=900.0):
         return dict(grid=f"{nx}x{ny}x{nz}", error=type(e).__name__)
 
 
-def bench_global(nx=720, ny_reg=336, ny_cap=64, nz=32, dt=1200.0):
+def bench_global():
     """Real-continents GLOBAL tripolar case at half-degree (720x400x32):
-    mosaic supergrid + file topography + TRIPOLAR_N fold + the
-    configs/global_2deg physics suite (WRIGHT EOS, KPP, GM, tracer
+    sourced from the configs/global_half_deg run dir (mosaic supergrid +
+    file topography + TRIPOLAR_N fold, WRIGHT EOS, KPP, GM, tracer
     diffusion, z* ALE).  This is the OM4-class capability benchmark on
     the REAL grid — fold stencils, land masking and all — not a
-    rectangular stand-in.  The mosaic is generated on the fly
-    (tools/make_global_grid.py) into a temp dir."""
+    rectangular stand-in.  Grid inputs generate on first use
+    (configs/global_half_deg/make_inputs.py)."""
     import os
-    import re
     import sys
-    import tempfile
 
     import numpy as np
 
@@ -109,37 +107,33 @@ def bench_global(nx=720, ny_reg=336, ny_cap=64, nz=32, dt=1200.0):
     from mom6_tpu.drivers.config_driver import build_model_from_params
     from mom6_tpu.framework.config import ParamFile
     repo = os.path.dirname(os.path.abspath(__file__))
-    sys.path.insert(0, os.path.join(repo, "tools"))
-    from make_global_grid import write_mosaic
-
-    ny = ny_reg + ny_cap
-    with tempfile.TemporaryDirectory() as tmp:
-        write_mosaic(tmp, nx=nx, ny_reg=ny_reg, ny_cap=ny_cap)
-        base = open(os.path.join(repo, "configs", "global_2deg",
-                                 "MOM_input")).read()
-        for k, v in (("NIGLOBAL", nx), ("NJGLOBAL", ny), ("NK", nz),
-                     ("DT", float(dt)), ("DT_THERM", 2.0 * dt)):
-            base = re.sub(rf"^{k} = .*$", f"{k} = {v}", base,
-                          flags=re.M)
-        cfg = os.path.join(tmp, "MOM_input")
-        open(cfg, "w").write(base)
-        cwd = os.getcwd()
-        os.chdir(tmp)            # GRID_FILE/TOPO_FILE are relative
-        try:
-            ms = build_model_from_params(ParamFile([cfg]))
-        finally:
-            os.chdir(cwd)
-        n_per = 2                # DT_THERM / DT
-        step = jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid,
-                                          ms.vgrid, ms.params),
-                       donate_argnums=0)
-        sec_per_cycle = _time_case(step, ms.state, n_calls=3)
-        wet = float(np.asarray(ms.grid.mask2dT).mean())
-        gps = nx * ny * nz * n_per / sec_per_cycle
-        sypd = (n_per * dt / sec_per_cycle) / 365.0
-        return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
-                    sypd=round(sypd, 2), ocean_frac=round(wet, 2),
-                    physics="full-global-tripolar")
+    rundir = os.path.join(repo, "configs", "global_half_deg")
+    if not os.path.exists(os.path.join(rundir, "ocean_hgrid.nc")):
+        sys.path.insert(0, rundir)
+        import make_inputs
+        make_inputs.main(rundir)
+    cfg = os.path.join(rundir, "MOM_input")
+    cwd = os.getcwd()
+    os.chdir(rundir)             # GRID_FILE/TOPO_FILE are relative
+    try:
+        ms = build_model_from_params(ParamFile([cfg]))
+    finally:
+        os.chdir(cwd)
+    p = ms.params
+    nz, ny, nx = ms.state.h.shape
+    dt = p.dyn.dt
+    n_per = p.n_dyn_per_thermo
+    step = jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid,
+                                      ms.vgrid, ms.params),
+                   donate_argnums=0)
+    sec_per_cycle = _time_case(step, ms.state, n_calls=3)
+    wet = float(np.asarray(ms.grid.mask2dT).mean())
+    gps = nx * ny * nz * n_per / sec_per_cycle
+    sypd = (n_per * dt / sec_per_cycle) / 365.0
+    return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
+                sypd=round(sypd, 2), ocean_frac=round(wet, 2),
+                physics="full-global-tripolar",
+                source="configs/global_half_deg")
 
 
 def _phase_breakdown(G, GV, state, params, forces):

@@ -157,6 +157,28 @@ def main(argv=None):
               desc="Integrate in float64 (CPU verification mode)"):
         jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64
+    # generated-input run dirs (e.g. configs/global_half_deg): large grid
+    # mosaics ship as a make_inputs.py generator instead of committed
+    # netCDF; build them on first use
+    mk = os.path.join(args.rundir, "make_inputs.py")
+    gfile = pf.get("GRID_FILE", str, default="ocean_hgrid.nc",
+                   module="MOM_grid_init") \
+        if pf.get("GRID_CONFIG", str, default="cartesian",
+                  module="MOM_grid_init") == "mosaic" else None
+    if gfile and os.path.exists(mk) \
+            and not os.path.exists(os.path.join(args.rundir, gfile)):
+        import subprocess
+        import sys as _sys
+
+        import mom6_tpu as _pkg
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(_pkg.__file__)))
+        env = dict(os.environ, MOM6_TPU_REPO=repo_root,
+                   PYTHONPATH=repo_root + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        print(f"generating grid inputs via {mk} ...")
+        subprocess.run([_sys.executable, mk, args.rundir], check=True,
+                       env=env)
     setup = build_model_from_params(pf, dtype=dtype, doc_dir=args.rundir)
     G, GV, state, params, forcing = (setup.grid, setup.vgrid, setup.state,
                                      setup.params, setup.forcing)

@@ -1,0 +1,51 @@
+"""configs/global_half_deg: the single-chip OM4-class proxy run dir
+(720x400x32 tripolar, generated mosaic + coarse-Earth topography;
+round-3 verdict item 7).
+
+Gate: the run dir is driveable end-to-end through the solo driver —
+grid inputs generate on first use, a short segment integrates stably,
+ocean.stats shows exact volume bookkeeping and small CFL.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_global_half_deg_solo_segment(tmp_path):
+    rundir = tmp_path / "run"
+    rundir.mkdir()
+    src = os.path.join(REPO, "configs", "global_half_deg")
+    shutil.copy(os.path.join(src, "MOM_input"), rundir / "MOM_input")
+    shutil.copy(os.path.join(src, "make_inputs.py"),
+                rundir / "make_inputs.py")
+    # 3 cycles; stats every cycle
+    (rundir / "MOM_override").write_text(
+        "#override DAYMAX = 0.084\n#override ENERGYSAVEDAYS = 0.028\n")
+
+    from mom6_tpu.drivers import solo
+    solo.main([str(rundir)])
+
+    stats = (rundir / "ocean.stats").read_text().strip().splitlines()
+    rows = [ln for ln in stats if not ln.startswith("#")]
+    assert len(rows) >= 2, stats
+    import re
+
+    def field(ln, key):
+        return float(re.search(rf"{key}\s+([-\d.e+]+)", ln).group(1))
+
+    masses = [field(ln, "Mass") for ln in rows]
+    assert all(np.isfinite(m) for m in masses)
+    # volume bookkeeping exact across the segment (f32 stats print 12
+    # significant digits; continuity is finite-volume)
+    assert masses[-1] == pytest.approx(masses[0], rel=1e-9)
+    for ln in rows:
+        assert field(ln, "maxCFL") < 0.5
+        assert np.isfinite(field(ln, "En"))
+    # restart written => the run dir round-trips
+    assert (rundir / "MOM.res.nc").exists()
