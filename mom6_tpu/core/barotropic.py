@@ -70,6 +70,195 @@ class BTParams(NamedTuple):
     const_dyn_psurf: float = 0.9    # CONST_DYN_PSURF
     ice_strength_length: float = 1.0e4   # ICE_LENGTH_DYN_PSURF [m]
     dmin_dyn_psurf: float = 1.0e-6  # MIN_DYN_PSURF_AVG depth floor [m]
+    # wide-halo (march-inward) subcycle — the production analogue of the
+    # reference's widened barotropic halos (BT_HALO_SIZE / BTHALO,
+    # MOM_barotropic.F90:2506-2518,5450): each shard carries a
+    # ``wide_halo``-cell rim of its neighbors, marches
+    # wide_halo // halo_per_substep substeps locally, then refreshes the
+    # rim with one ppermute exchange — one collective round per E
+    # substeps instead of XLA's CollectivePermute per shift per substep.
+    # 0 (default) keeps the GSPMD dense path.  Requires ``mesh``.
+    wide_halo: int = 0
+    halo_per_substep: int = 2   # rim cells consumed per substep (the
+    #                             scheme's dependency radius; 2 covers
+    #                             the FB substep incl. BT_cont and OBC)
+    mesh: object = None         # jax.sharding.Mesh for the shard_map path
+
+
+class BTFields(NamedTuple):
+    """Every (ny, nx) field the subcycle body reads.  Factored out of
+    ``btstep``'s prep so the SAME half-step physics runs either densely
+    under GSPMD or inside the wide-halo shard_map rim (explicit pytree:
+    shard_map cannot close over sharded arrays).  Optional fields are
+    None when the corresponding physics is off."""
+    eta_PF: jnp.ndarray
+    gtot: jnp.ndarray
+    bt_force_u: jnp.ndarray
+    bt_force_v: jnp.ndarray
+    q_f: jnp.ndarray
+    tot_hu: jnp.ndarray
+    tot_hv: jnp.ndarray
+    cor_ref_u: jnp.ndarray
+    cor_ref_v: jnp.ndarray
+    rem_u: jnp.ndarray          # per-substep viscous remnant bt_rem
+    rem_v: jnp.ndarray
+    uhbt0: jnp.ndarray
+    vhbt0: jnp.ndarray
+    mask_u: jnp.ndarray
+    mask_v: jnp.ndarray
+    IareaT: jnp.ndarray
+    IdxCu: jnp.ndarray
+    IdyCv: jnp.ndarray
+    Datu: jnp.ndarray = None        # None when use_bt_cont
+    Datv: jnp.ndarray = None
+    drag_u: jnp.ndarray = None      # implicit BT drag factor | None
+    drag_v: jnp.ndarray = None
+    btc: object = None              # BTCont | None
+    dyn_coef: jnp.ndarray = None    # dynamic surface pressure | None
+    # OBC (Flather-in-subcycle) arrays | None
+    obc_mask_u: jnp.ndarray = None
+    obc_mask_v: jnp.ndarray = None
+    obc_mask_cell: jnp.ndarray = None
+    obc_sign_u: jnp.ndarray = None
+    obc_sign_v: jnp.ndarray = None
+    obc_uvel_ext: jnp.ndarray = None
+    obc_vvel_ext: jnp.ndarray = None
+    obc_eta_ext: jnp.ndarray = None
+    obc_c_fl: jnp.ndarray = None
+
+
+def dense_kit(G):
+    """Stencil kit for the GSPMD dense path: global rolls with the
+    tripolar-fold ghost rows where the grid has one."""
+    fold = getattr(G, "fold_north", False)
+    kh = "h" if fold else None
+    ku = "u" if fold else None
+    from mom6_tpu.framework.stencil import jm1_s0
+    return dict(ip1=ip1, im1=im1, jm1=jm1,
+                jp1_h=lambda a: jp1(a, kh),
+                jp1_u=lambda a: jp1(a, ku),
+                jm1_s0=lambda a: jm1_s0(a, kh))
+
+
+def local_kit():
+    """Stencil kit for the shard_map wide-halo path: plain local rolls —
+    ALL topology (x periodicity, walls, the tripolar fold) lives in the
+    exchanged rim content, so the body itself is translation-only."""
+    return dict(ip1=ip1, im1=im1, jm1=jm1,
+                jp1_h=lambda a: jp1(a, None),
+                jp1_u=lambda a: jp1(a, None),
+                jm1_s0=jm1)
+
+
+def _make_half_step(F: BTFields, consts: dict, kit: dict):
+    """Build the forward-backward substep function from the field pytree
+    (the body of the reference's btstep substep loop,
+    MOM_barotropic.F90:2505-3300).  Identical physics for the dense and
+    wide-halo paths; only the stencil kit differs."""
+    dtbt = consts["dtbt"]
+    bebt = consts["bebt"]
+    dgeo = consts["dgeo"]
+    sal_fac = consts["sal_fac"]
+    ip1_, im1_, jm1_ = kit["ip1"], kit["im1"], kit["jm1"]
+    jp1_h, jp1_u, jm1_s0_ = kit["jp1_h"], kit["jp1_u"], kit["jm1_s0"]
+
+    def cor_u(Vw):
+        fv_q = F.q_f * 0.5 * (Vw + ip1_(Vw))
+        return 0.5 * (fv_q + jm1_(fv_q))
+
+    def cor_v(Uw):
+        fu_q = F.q_f * 0.5 * (Uw + jp1_u(Uw))
+        return -0.5 * (fu_q + im1_(fu_q))
+
+    def div_eta(uhbt, vhbt):
+        return -F.IareaT * ((uhbt - im1_(uhbt))
+                            + (vhbt - jm1_s0_(vhbt)))
+
+    def pf_anom(eta_w):
+        ge = F.gtot * (eta_w - F.eta_PF) * (dgeo * sal_fac)
+        pfu = -(ip1_(ge) - ge) * F.IdxCu * F.mask_u
+        pfv = -(jp1_h(ge) - ge) * F.IdyCv * F.mask_v
+        return pfu, pfv
+
+    if consts["use_bt_cont"]:
+        from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
+
+        def transports(ubt, vbt):
+            return (find_uhbt(ubt, F.btc) + F.uhbt0,
+                    find_vhbt(vbt, F.btc) + F.vhbt0)
+    else:
+        def transports(ubt, vbt):
+            return F.Datu * ubt + F.uhbt0, F.Datv * vbt + F.vhbt0
+
+    # exact operation order of the pre-refactor btstep (bit-identical
+    # dense path: the x64 golden gates pin it)
+    def dragged_u(x):
+        x = F.rem_u * x
+        return (x * F.drag_u if F.drag_u is not None else x) * F.mask_u
+
+    def dragged_v(x):
+        x = F.rem_v * x
+        return (x * F.drag_v if F.drag_v is not None else x) * F.mask_v
+
+    if F.obc_mask_u is not None:
+        def obc_bt(ubt, vbt, eta):
+            eta_u = jnp.where(F.obc_sign_u >= 0.0, eta, ip1_(eta))
+            eta_v = jnp.where(F.obc_sign_v >= 0.0, eta, jp1_h(eta))
+            u_fl = F.obc_uvel_ext + F.obc_sign_u * F.obc_c_fl \
+                * (eta_u - F.obc_eta_ext)
+            v_fl = F.obc_vvel_ext + F.obc_sign_v * F.obc_c_fl \
+                * (eta_v - F.obc_eta_ext)
+            ubt = ubt * (1.0 - F.obc_mask_u) + F.obc_mask_u * u_fl
+            vbt = vbt * (1.0 - F.obc_mask_v) + F.obc_mask_v * v_fl
+            return ubt, vbt
+
+        def obc_eta(eta):
+            return jnp.where(F.obc_mask_cell > 0.5, F.obc_eta_ext, eta)
+    else:
+        def obc_bt(ubt, vbt, eta):
+            return ubt, vbt
+
+        def obc_eta(eta):
+            return eta
+
+    def half_step(ubt, vbt, eta, uhbt, vhbt, u_leads: bool):
+        """One forward-backward substep with a STATIC update order —
+        the alternating parity is unrolled into pairs by the runner, so
+        there is no lax.cond in the hot loop.
+
+        ``uhbt``/``vhbt`` are the transports of the ENTRY velocities,
+        carried from the previous substep's exit (bit-identical to
+        ``transports(ubt, vbt)``, so recomputing would double the
+        transport work)."""
+        # 1. eta predictor (forward, with current transports)
+        eta_pred = eta + dtbt * div_eta(uhbt, vhbt)
+        # 2. pressure force from bebt-weighted eta
+        eta_w = (1.0 - bebt) * eta + bebt * eta_pred
+        pfu, pfv = pf_anom(eta_w)
+        if F.dyn_coef is not None:
+            # under-ice viscous surface pressure resisting d(eta)/dt
+            # (btloop_add_dyn_PF, MOM_barotropic.F90:3153-3207)
+            p_dyn = F.dyn_coef * (eta_pred - eta)
+            pfu = pfu - (ip1_(p_dyn) - p_dyn) * F.IdxCu * F.mask_u
+            pfv = pfv - (jp1_h(p_dyn) - p_dyn) * F.IdyCv * F.mask_v
+        # 3. velocity updates in the prescribed order
+        if u_leads:
+            cu = cor_u(F.tot_hv * vbt) - F.cor_ref_u
+            ubt = dragged_u(ubt + dtbt * (F.bt_force_u + cu + pfu))
+            cv = cor_v(F.tot_hu * ubt) - F.cor_ref_v
+            vbt = dragged_v(vbt + dtbt * (F.bt_force_v + cv + pfv))
+        else:
+            cv = cor_v(F.tot_hu * ubt) - F.cor_ref_v
+            vbt = dragged_v(vbt + dtbt * (F.bt_force_v + cv + pfv))
+            cu = cor_u(F.tot_hv * vbt) - F.cor_ref_u
+            ubt = dragged_u(ubt + dtbt * (F.bt_force_u + cu + pfu))
+        ubt, vbt = obc_bt(ubt, vbt, eta_w)
+        # 4. eta corrector (backward, with the new transports)
+        uhbt, vhbt = transports(ubt, vbt)
+        eta = obc_eta(eta + dtbt * div_eta(uhbt, vhbt))
+        return ubt, vbt, eta, uhbt, vhbt, cu + pfu, cv + pfv
+
+    return half_step
 
 
 class BTOut(NamedTuple):
@@ -191,6 +380,63 @@ def _weights(nstep: int, nfilter: int, dtype, x_first: bool = True):
             jnp.asarray(parity.astype(np.int32)))
 
 
+def _acc_add(acc, w_t, w_v, out):
+    """Accumulate one substep's weighted contribution to the filtered
+    transports/velocities/eta and the time-mean accelerations."""
+    ubt, vbt, eta, uhbt, vhbt, uac, vac = out
+    return dict(
+        uhbt_av=acc["uhbt_av"] + w_t * uhbt,
+        vhbt_av=acc["vhbt_av"] + w_t * vhbt,
+        ubt_av=acc["ubt_av"] + w_v * ubt,
+        vbt_av=acc["vbt_av"] + w_v * vbt,
+        eta_av=acc["eta_av"] + w_v * eta,
+        u_acc=acc["u_acc"] + w_t * uac,
+        v_acc=acc["v_acc"] + w_t * vac,
+    )
+
+
+def _acc_zero(ubt_in, vbt_in, eta_in):
+    z2u = jnp.zeros_like(ubt_in)
+    z2v = jnp.zeros_like(vbt_in)
+    z2h = jnp.zeros_like(eta_in)
+    return dict(uhbt_av=z2u, vhbt_av=z2v, ubt_av=z2u, vbt_av=z2v,
+                eta_av=z2h, u_acc=z2u, v_acc=z2v)
+
+
+def _run_subcycle_dense(half_step, evolve0, wt_trans, wt_vel,
+                        nstep: int, nfilter: int, first_u_leads: bool):
+    """The GSPMD dense subcycle: one lax.scan over substep PAIRS (static
+    update order inside each pair — no lax.cond in the hot loop), with a
+    trailing odd substep unrolled outside."""
+    ubt_in, vbt_in, eta_in, uhbt_0, vhbt_0 = evolve0
+    n_tot = nstep + nfilter
+    n_pairs = n_tot // 2
+    wt_pairs = (wt_trans[:2 * n_pairs].reshape(n_pairs, 2),
+                wt_vel[:2 * n_pairs].reshape(n_pairs, 2))
+
+    def pair(carry, wts):
+        ubt, vbt, eta, uhbt, vhbt, acc = carry
+        w_t, w_v = wts
+        o1 = half_step(ubt, vbt, eta, uhbt, vhbt, first_u_leads)
+        acc = _acc_add(acc, w_t[0], w_v[0], o1)
+        o2 = half_step(o1[0], o1[1], o1[2], o1[3], o1[4],
+                       not first_u_leads)
+        acc = _acc_add(acc, w_t[1], w_v[1], o2)
+        return (o2[0], o2[1], o2[2], o2[3], o2[4], acc), None
+
+    acc0 = _acc_zero(ubt_in, vbt_in, eta_in)
+    (ubt_f, vbt_f, eta_f, uhbt_f, vhbt_f, acc), _ = jax.lax.scan(
+        pair, (ubt_in, vbt_in, eta_in, uhbt_0, vhbt_0, acc0), wt_pairs,
+        unroll=4)
+    if n_tot % 2 == 1:
+        # trailing odd substep outside the scan; substep n (1-indexed)
+        # leads with u iff n is odd, and n_tot is odd here
+        o = half_step(ubt_f, vbt_f, eta_f, uhbt_f, vhbt_f, first_u_leads)
+        acc = _acc_add(acc, wt_trans[-1], wt_vel[-1], o)
+        ubt_f, vbt_f, eta_f = o[0], o[1], o[2]
+    return dict(acc, ubt=ubt_f, vbt=vbt_f, eta=eta_f)
+
+
 def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
            visc_rem_u, visc_rem_v, pbce, eta_PF, dt, G, GV, params: BTParams,
            taux=None, tauy=None, x_first: bool = True,
@@ -285,15 +531,7 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     cor_ref_u = _coriolis_u(q_f, _vw(vbt_in))
     cor_ref_v = _coriolis_v(q_f, _uw(ubt_in), ku)
 
-    if params.use_bt_cont and bt_cont is not None:
-        from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
-
-        def transports(ubt, vbt):
-            return (find_uhbt(ubt, bt_cont) + uhbt0,
-                    find_vhbt(vbt, bt_cont) + vhbt0)
-    else:
-        def transports(ubt, vbt):
-            return Datu * ubt + uhbt0, Datv * vbt + vhbt0
+    use_btc = bool(params.use_bt_cont and bt_cont is not None)
 
     # implicit barotropic drag rate (bt Rayleigh drag; the lin_drag role
     # of MOM_barotropic.F90): r = (lin + cdrag |u0|) / H_face
@@ -320,17 +558,7 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
 
     from mom6_tpu.framework.stencil import jm1_s0
 
-    def div_eta(uhbt, vhbt):
-        return -G.IareaT * ((uhbt - im1(uhbt))
-                            + (vhbt - jm1_s0(vhbt, kh)))
-
     sal_fac = dtype.type(1.0 - params.sal_scalar)
-
-    def pf_anom(eta_w):
-        ge = gtot * (eta_w - eta_PF) * (dgeo * sal_fac)
-        pfu = -(ip1(ge) - ge) * G.IdxCu * G.mask2dCu
-        pfv = -(jp1(ge, kh) - ge) * G.IdyCv * G.mask2dCv
-        return pfu, pfv
 
     # viscous dynamic surface pressure under rigid ice
     # (MOM_barotropic.F90:1590-1632): dyn_coef relates d(eta)/substep to
@@ -376,137 +604,57 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
                          jnp.maximum(av_rem_v, 1e-30) ** instep, 0.0) \
         * G.mask2dCv
 
-    # single per-substep velocity factor: bt_rem (which already carries
-    # the face mask) fused with the implicit BT drag — one VPU multiply
-    # per velocity update in the hot loop instead of three
-    fac_u = bt_rem_u * drag_u if drag_u is not None else bt_rem_u
-    fac_v = bt_rem_v * drag_v if drag_v is not None else bt_rem_v
-
-    def dragged_u(x):
-        x = bt_rem_u * x
-        return (x * drag_u if drag_u is not None else x) * G.mask2dCu
-
-    def dragged_v(x):
-        x = bt_rem_v * x
-        return (x * drag_v if drag_v is not None else x) * G.mask2dCv
-
+    # OBC (Flather-in-subcycle) arrays: same face-mask geometry as
+    # open_boundary.apply_obc; the eta entering the radiation condition
+    # is the INTERIOR-side cell of each boundary face
+    obc_fields = dict(obc_mask_u=None, obc_mask_v=None,
+                      obc_mask_cell=None, obc_sign_u=None,
+                      obc_sign_v=None, obc_uvel_ext=None,
+                      obc_vvel_ext=None, obc_eta_ext=None, obc_c_fl=None)
     if obc is not None:
-        # Flather radiation inside the subcycle (same face-mask geometry
-        # as open_boundary.apply_obc, which handles the layer velocities).
-        # The eta entering the radiation condition is the INTERIOR-side
-        # cell of each boundary face: the face index itself on E/N edges
-        # (sign>0), one cell inward (ip1/jp1) on W/S edges.
-        c_fl = jnp.sqrt(GV.g_earth / jnp.maximum(G.bathyT, 1.0))
+        obc_fields = dict(
+            obc_mask_u=obc.mask_u, obc_mask_v=obc.mask_v,
+            obc_mask_cell=obc.mask_cell, obc_sign_u=obc.sign_u,
+            obc_sign_v=obc.sign_v, obc_uvel_ext=obc.uvel_ext,
+            obc_vvel_ext=obc.vvel_ext, obc_eta_ext=obc.eta_ext,
+            obc_c_fl=jnp.sqrt(GV.g_earth / jnp.maximum(G.bathyT, 1.0)))
 
-        def obc_bt(ubt, vbt, eta):
-            eta_u = jnp.where(obc.sign_u >= 0.0, eta, ip1(eta))
-            eta_v = jnp.where(obc.sign_v >= 0.0, eta, jp1(eta))
-            u_fl = obc.uvel_ext + obc.sign_u * c_fl * (eta_u - obc.eta_ext)
-            v_fl = obc.vvel_ext + obc.sign_v * c_fl * (eta_v - obc.eta_ext)
-            ubt = ubt * (1.0 - obc.mask_u) + obc.mask_u * u_fl
-            vbt = vbt * (1.0 - obc.mask_v) + obc.mask_v * v_fl
-            return ubt, vbt
-
-        def obc_eta(eta):
-            # the one-cell exterior strip is the reservoir: its surface
-            # height is prescribed, not prognostic, inside the subcycle
-            # (otherwise the radiated outflow re-feeds the Flather
-            # condition through the accumulating strip and the external
-            # mode e-folds per substep)
-            return jnp.where(obc.mask_cell > 0.5, obc.eta_ext, eta)
-    else:
-        def obc_bt(ubt, vbt, eta):
-            return ubt, vbt
-
-        def obc_eta(eta):
-            return eta
-
-    def half_step(ubt, vbt, eta, uhbt, vhbt, u_leads: bool):
-        """One forward-backward substep with a STATIC update order —
-        the alternating parity is unrolled into pairs below, so there is
-        no lax.cond in the hot loop (it blocked cross-substep fusion).
-
-        ``uhbt``/``vhbt`` are the transports of the ENTRY velocities,
-        carried from the previous substep's exit (they are bit-identical
-        to ``transports(ubt, vbt)`` — the velocities do not change
-        between a substep's corrector and the next substep's predictor —
-        so recomputing them would double the transport work per
-        substep)."""
-        # 1. eta predictor (forward, with current transports)
-        eta_pred = eta + dtbt * div_eta(uhbt, vhbt)
-        # 2. pressure force from bebt-weighted eta
-        eta_w = (1.0 - bebt) * eta + bebt * eta_pred
-        pfu, pfv = pf_anom(eta_w)
-        if dyn_coef is not None:
-            # under-ice viscous surface pressure resisting d(eta)/dt
-            # (btloop_add_dyn_PF, MOM_barotropic.F90:3153-3207)
-            p_dyn = dyn_coef * (eta_pred - eta)
-            pfu = pfu - (ip1(p_dyn) - p_dyn) * G.IdxCu * G.mask2dCu
-            pfv = pfv - (jp1(p_dyn, kh) - p_dyn) * G.IdyCv * G.mask2dCv
-        # 3. velocity updates in the prescribed order
-        if u_leads:
-            cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
-            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu))
-            cor_v = _coriolis_v(q_f, _uw(ubt), ku) - cor_ref_v
-            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv))
-        else:
-            cor_v = _coriolis_v(q_f, _uw(ubt), ku) - cor_ref_v
-            vbt = dragged_v(vbt + dtbt * (bt_force_v + cor_v + pfv))
-            cor_u = _coriolis_u(q_f, _vw(vbt)) - cor_ref_u
-            ubt = dragged_u(ubt + dtbt * (bt_force_u + cor_u + pfu))
-        ubt, vbt = obc_bt(ubt, vbt, eta_w)
-        # 4. eta corrector (backward, with the new transports)
-        uhbt, vhbt = transports(ubt, vbt)
-        eta = obc_eta(eta + dtbt * div_eta(uhbt, vhbt))
-        return ubt, vbt, eta, uhbt, vhbt, cor_u + pfu, cor_v + pfv
+    F = BTFields(
+        eta_PF=eta_PF, gtot=gtot, bt_force_u=bt_force_u,
+        bt_force_v=bt_force_v, q_f=q_f, tot_hu=tot_hu, tot_hv=tot_hv,
+        cor_ref_u=cor_ref_u, cor_ref_v=cor_ref_v,
+        rem_u=bt_rem_u, rem_v=bt_rem_v, uhbt0=uhbt0, vhbt0=vhbt0,
+        mask_u=G.mask2dCu, mask_v=G.mask2dCv, IareaT=G.IareaT,
+        IdxCu=G.IdxCu, IdyCv=G.IdyCv,
+        Datu=None if use_btc else Datu, Datv=None if use_btc else Datv,
+        drag_u=drag_u, drag_v=drag_v, btc=bt_cont if use_btc else None,
+        dyn_coef=dyn_coef, **obc_fields)
+    consts = dict(dtbt=dtbt, bebt=bebt, dgeo=dgeo, sal_fac=sal_fac,
+                  use_bt_cont=use_btc)
 
     # substep 1 order (reference's alternating u/v-first with the
     # FIRST_DIRECTION parity); subsequent substeps alternate.  Substep 1
     # leads with u exactly when x_first (see _weights' parity).
     first_u_leads = bool(x_first)
-    n_tot = nstep + nfilter
-    n_pairs = n_tot // 2
-    wt_pairs = (wt_trans[:2 * n_pairs].reshape(n_pairs, 2),
-                wt_vel[:2 * n_pairs].reshape(n_pairs, 2))
+    half_step = _make_half_step(F, consts, dense_kit(G))
+    if use_btc:
+        from mom6_tpu.core.continuity_ppm import find_uhbt, find_vhbt
+        uhbt_0 = find_uhbt(ubt_in, bt_cont) + uhbt0
+        vhbt_0 = find_vhbt(vbt_in, bt_cont) + vhbt0
+    else:
+        uhbt_0 = Datu * ubt_in + uhbt0
+        vhbt_0 = Datv * vbt_in + vhbt0
 
-    def acc_add(acc, w_t, w_v, out):
-        ubt, vbt, eta, uhbt, vhbt, uac, vac = out
-        return dict(
-            uhbt_av=acc["uhbt_av"] + w_t * uhbt,
-            vhbt_av=acc["vhbt_av"] + w_t * vhbt,
-            ubt_av=acc["ubt_av"] + w_v * ubt,
-            vbt_av=acc["vbt_av"] + w_v * vbt,
-            eta_av=acc["eta_av"] + w_v * eta,
-            u_acc=acc["u_acc"] + w_t * uac,
-            v_acc=acc["v_acc"] + w_t * vac,
-        )
-
-    def pair(carry, wts):
-        ubt, vbt, eta, uhbt, vhbt, acc = carry
-        w_t, w_v = wts
-        o1 = half_step(ubt, vbt, eta, uhbt, vhbt, first_u_leads)
-        acc = acc_add(acc, w_t[0], w_v[0], o1)
-        o2 = half_step(o1[0], o1[1], o1[2], o1[3], o1[4],
-                       not first_u_leads)
-        acc = acc_add(acc, w_t[1], w_v[1], o2)
-        return (o2[0], o2[1], o2[2], o2[3], o2[4], acc), None
-
-    z2u = jnp.zeros_like(ubt_in)
-    z2v = jnp.zeros_like(vbt_in)
-    z2h = jnp.zeros_like(eta_in)
-    acc0 = dict(uhbt_av=z2u, vhbt_av=z2v, ubt_av=z2u, vbt_av=z2v,
-                eta_av=z2h, u_acc=z2u, v_acc=z2v)
-    uhbt_0, vhbt_0 = transports(ubt_in, vbt_in)
-    (ubt_f, vbt_f, eta_f, uhbt_f, vhbt_f, acc), _ = jax.lax.scan(
-        pair, (ubt_in, vbt_in, eta_in, uhbt_0, vhbt_0, acc0), wt_pairs,
-        unroll=4)
-    if n_tot % 2 == 1:
-        # trailing odd substep outside the scan; substep n (1-indexed)
-        # leads with u iff n is odd, and n_tot is odd here
-        o = half_step(ubt_f, vbt_f, eta_f, uhbt_f, vhbt_f, first_u_leads)
-        acc = acc_add(acc, wt_trans[-1], wt_vel[-1], o)
-        ubt_f, vbt_f, eta_f = o[0], o[1], o[2]
-    carry = dict(acc, ubt=ubt_f, vbt=vbt_f, eta=eta_f)
+    evolve0 = (ubt_in, vbt_in, eta_in, uhbt_0, vhbt_0)
+    if params.wide_halo > 0 and params.mesh is not None:
+        from mom6_tpu.core.bt_widehalo import run_subcycle_widehalo
+        carry = run_subcycle_widehalo(
+            F, consts, evolve0, wt_trans, wt_vel, nstep, nfilter,
+            first_u_leads, params, G)
+    else:
+        carry = _run_subcycle_dense(half_step, evolve0, wt_trans,
+                                    wt_vel, nstep, nfilter,
+                                    first_u_leads)
 
     e_anom = dgeo * (carry["eta_av"] - eta_PF)
     # per-layer acceleration (btstep_layer_accel, MOM_barotropic.F90:3432)
