@@ -137,7 +137,13 @@ def dense_kit(G):
     return dict(ip1=ip1, im1=im1, jm1=jm1,
                 jp1_h=lambda a: jp1(a, kh),
                 jp1_u=lambda a: jp1(a, ku),
-                jm1_s0=lambda a: jm1_s0(a, kh))
+                jm1_s0=lambda a: jm1_s0(a, kh),
+                # jm1 of a corner-row quantity (fv_q in cor_u): under a
+                # northern fold the j=0 wrap row is the (nonzero) fold
+                # row, but the southern boundary of a tripolar grid is
+                # a wall — zero it (same reasoning as jm1_s0; without a
+                # fold the wrap row is masked-zero already)
+                jm1_q=lambda a: jm1_s0(a, kh))
 
 
 def local_kit():
@@ -147,7 +153,7 @@ def local_kit():
     return dict(ip1=ip1, im1=im1, jm1=jm1,
                 jp1_h=lambda a: jp1(a, None),
                 jp1_u=lambda a: jp1(a, None),
-                jm1_s0=jm1)
+                jm1_s0=jm1, jm1_q=jm1)
 
 
 def _make_half_step(F: BTFields, consts: dict, kit: dict):
@@ -159,12 +165,14 @@ def _make_half_step(F: BTFields, consts: dict, kit: dict):
     bebt = consts["bebt"]
     dgeo = consts["dgeo"]
     sal_fac = consts["sal_fac"]
-    ip1_, im1_, jm1_ = kit["ip1"], kit["im1"], kit["jm1"]
+    ip1_, im1_ = kit["ip1"], kit["im1"]
     jp1_h, jp1_u, jm1_s0_ = kit["jp1_h"], kit["jp1_u"], kit["jm1_s0"]
+
+    jm1_q = kit["jm1_q"]
 
     def cor_u(Vw):
         fv_q = F.q_f * 0.5 * (Vw + ip1_(Vw))
-        return 0.5 * (fv_q + jm1_(fv_q))
+        return 0.5 * (fv_q + jm1_q(fv_q))
 
     def cor_v(Uw):
         fu_q = F.q_f * 0.5 * (Uw + jp1_u(Uw))

@@ -381,7 +381,15 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                           "CONST_DYN_PSURF", float, default=0.9, module=m),
                       ice_strength_length=pf.get(
                           "ICE_LENGTH_DYN_PSURF", float, default=1.0e4,
-                          units="m", module=m))
+                          units="m", module=m),
+                      wide_halo=pf.get(
+                          "BT_WIDE_HALO", int, default=0, module=m,
+                          desc="March-inward barotropic halo width "
+                          "(BT_HALO_SIZE analogue): each shard carries "
+                          "an N-cell rim and exchanges once per N/2 "
+                          "substeps instead of per substep. 0 keeps the "
+                          "GSPMD dense path; takes effect when a mesh "
+                          "is bound (parallel.mesh.bind_mesh)."))
     else:
         bt = BTParams(nstep=1, nfilter=0)
     unsplit = None

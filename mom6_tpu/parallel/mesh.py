@@ -20,7 +20,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "state_sharding", "shard_over", "constrain_state"]
+__all__ = ["make_mesh", "state_sharding", "shard_over", "constrain_state",
+           "bind_mesh"]
 
 
 def _factor2d(n: int) -> Tuple[int, int]:
@@ -66,6 +67,23 @@ def state_sharding(mesh: Mesh, tree):
             return NamedSharding(mesh, spec_for(x.ndim))
         return None
     return jax.tree_util.tree_map(sh, tree)
+
+
+def bind_mesh(params, mesh: Mesh):
+    """Bind the device mesh into the model params for the solvers that
+    manage their own halos: the wide-halo barotropic (BT_WIDE_HALO > 0,
+    core/bt_widehalo.py) needs the mesh to build its shard_map rim
+    exchanges.  A no-op unless a wide-halo width is configured.  Accepts
+    the full model ``params`` (with a ``.dyn.bt``), a ``DynParams``
+    (with ``.bt``), or a bare ``BTParams``."""
+    def rebind_bt(bt):
+        return bt._replace(mesh=mesh) if bt.wide_halo > 0 else bt
+    if hasattr(params, "dyn"):
+        return params._replace(
+            dyn=params.dyn._replace(bt=rebind_bt(params.dyn.bt)))
+    if hasattr(params, "bt"):
+        return params._replace(bt=rebind_bt(params.bt))
+    return rebind_bt(params)
 
 
 def constrain_state(tree):
