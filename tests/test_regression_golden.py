@@ -23,10 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN = os.path.join(REPO, "tests", "golden.json")
 
 CASES = {
-    # tc-style ladder: adiabatic layered, full-physics over topography, rho
+    # tc-style ladder: adiabatic layered, full-physics over topography, rho,
+    # and the real-continents tripolar global (mosaic grid + file topo +
+    # TRIPOLAR_N fold exchanges in every lateral stencil)
     "double_gyre": ("configs/double_gyre", 6),
     "benchmark": ("configs/benchmark", 4),
     "rho_basin": ("configs/rho_basin", 4),
+    "global_2deg": ("configs/global_2deg", 3),
 }
 
 
@@ -47,6 +50,7 @@ def test_golden_regression():
     if os.environ.get("UPDATE_GOLDEN") == "1" or not os.path.exists(GOLDEN):
         with open(GOLDEN, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
+            f.write("\n")
         return
     with open(GOLDEN) as f:
         golden = json.load(f)
@@ -114,6 +118,7 @@ print("GOLDEN64:" + json.dumps(out, sort_keys=True))
     if os.environ.get("UPDATE_GOLDEN") == "1" or not os.path.exists(path):
         with open(path, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
+            f.write("\n")
         return
     with open(path) as f:
         golden = json.load(f)
