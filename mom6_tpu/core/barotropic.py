@@ -124,7 +124,10 @@ class BTFields(NamedTuple):
     obc_uvel_ext: jnp.ndarray = None
     obc_vvel_ext: jnp.ndarray = None
     obc_eta_ext: jnp.ndarray = None
-    obc_c_fl: jnp.ndarray = None
+    # per-face Flather wave speeds (zeroed on SPECIFIED faces, which
+    # clamp ubt/vbt to the given inflow with no eta response)
+    obc_c_fl_u: jnp.ndarray = None
+    obc_c_fl_v: jnp.ndarray = None
 
 
 def dense_kit(G):
@@ -212,9 +215,9 @@ def _make_half_step(F: BTFields, consts: dict, kit: dict):
         def obc_bt(ubt, vbt, eta):
             eta_u = jnp.where(F.obc_sign_u >= 0.0, eta, ip1_(eta))
             eta_v = jnp.where(F.obc_sign_v >= 0.0, eta, jp1_h(eta))
-            u_fl = F.obc_uvel_ext + F.obc_sign_u * F.obc_c_fl \
+            u_fl = F.obc_uvel_ext + F.obc_sign_u * F.obc_c_fl_u \
                 * (eta_u - F.obc_eta_ext)
-            v_fl = F.obc_vvel_ext + F.obc_sign_v * F.obc_c_fl \
+            v_fl = F.obc_vvel_ext + F.obc_sign_v * F.obc_c_fl_v \
                 * (eta_v - F.obc_eta_ext)
             ubt = ubt * (1.0 - F.obc_mask_u) + F.obc_mask_u * u_fl
             vbt = vbt * (1.0 - F.obc_mask_v) + F.obc_mask_v * v_fl
@@ -618,14 +621,28 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
     obc_fields = dict(obc_mask_u=None, obc_mask_v=None,
                       obc_mask_cell=None, obc_sign_u=None,
                       obc_sign_v=None, obc_uvel_ext=None,
-                      obc_vvel_ext=None, obc_eta_ext=None, obc_c_fl=None)
+                      obc_vvel_ext=None, obc_eta_ext=None,
+                      obc_c_fl_u=None, obc_c_fl_v=None)
     if obc is not None:
+        # SPECIFIED faces carry the inflow's depth-mean in uvel_ext and
+        # a zeroed wave speed: btstep clamps ubt there (the reference's
+        # OBC_SIMPLE segments inside the subcycle,
+        # MOM_barotropic.F90 apply_velocity_OBCs)
+        c_fl = jnp.sqrt(GV.g_earth / jnp.maximum(G.bathyT, 1.0))
+        c_u = c_fl if obc.mask_u_spec is None else \
+            c_fl * (1.0 - obc.mask_u_spec)
+        c_v = c_fl if obc.mask_v_spec is None else \
+            c_fl * (1.0 - obc.mask_v_spec)
+        mask_u_all = obc.mask_u if obc.mask_u_spec is None else \
+            jnp.clip(obc.mask_u + obc.mask_u_spec, 0.0, 1.0)
+        mask_v_all = obc.mask_v if obc.mask_v_spec is None else \
+            jnp.clip(obc.mask_v + obc.mask_v_spec, 0.0, 1.0)
         obc_fields = dict(
-            obc_mask_u=obc.mask_u, obc_mask_v=obc.mask_v,
+            obc_mask_u=mask_u_all, obc_mask_v=mask_v_all,
             obc_mask_cell=obc.mask_cell, obc_sign_u=obc.sign_u,
             obc_sign_v=obc.sign_v, obc_uvel_ext=obc.uvel_ext,
             obc_vvel_ext=obc.vvel_ext, obc_eta_ext=obc.eta_ext,
-            obc_c_fl=jnp.sqrt(GV.g_earth / jnp.maximum(G.bathyT, 1.0)))
+            obc_c_fl_u=c_u, obc_c_fl_v=c_v)
 
     F = BTFields(
         eta_PF=eta_PF, gtot=gtot, bt_force_u=bt_force_u,

@@ -74,7 +74,7 @@ FIELD_KINDS = dict(
     # regional boundaries, tripolar grids are global)
     obc_mask_u="us", obc_mask_v="vs", obc_mask_cell="h",
     obc_sign_u="us", obc_sign_v="vs", obc_uvel_ext="u",
-    obc_vvel_ext="v", obc_eta_ext="h", obc_c_fl="h",
+    obc_vvel_ext="v", obc_eta_ext="h", obc_c_fl_u="us", obc_c_fl_v="vs",
 )
 # BT_cont components swap roles across the fold (E<->W, N<->S) with the
 # velocity thresholds changing sign: (kind, fold-source partner)

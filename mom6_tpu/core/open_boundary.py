@@ -49,6 +49,7 @@ FLATHER = "FLATHER"
 ORLANSKI = "ORLANSKI"
 OBLIQUE = "OBLIQUE"
 GRADIENT = "GRADIENT"
+SPECIFIED = "SPECIFIED"
 
 
 class OBCSegment(NamedTuple):
@@ -65,7 +66,14 @@ class OBCSegment(NamedTuple):
     # one scheme, or several joined with '+' (the reference's comma lists,
     # e.g. "FLATHER,ORLANSKI" = Flather on the barotropic normal flow AND
     # Orlanski radiation of the baroclinic part, MOM_open_boundary.F90:490)
-    scheme: str = FLATHER          # FLATHER | ORLANSKI | OBLIQUE | GRADIENT
+    scheme: str = FLATHER   # FLATHER | ORLANSKI | OBLIQUE | GRADIENT |
+    #                         SPECIFIED (clamped per-layer inflow, the
+    #                         reference's OBC_SIMPLE segments — DOME)
+    # SPECIFIED per-layer data: normal velocity (nz, seg_len) and
+    # optional tracer profiles (nz,) or (nz, seg_len), host arrays
+    vel_profile: Optional[object] = None
+    T_profile: Optional[object] = None
+    S_profile: Optional[object] = None
 
 
 class OBCParams(NamedTuple):
@@ -95,6 +103,12 @@ class OBCParams(NamedTuple):
     # 0 disables (boundary tracers then use the specified T_ext/S_ext)
     res_len_in: float = 0.0
     res_len_out: float = 0.0
+    # SPECIFIED (clamped per-layer inflow) faces: masks + (nz, ny, nx)
+    # velocity profiles (OBC_SIMPLE, the DOME embayment inflow)
+    mask_u_spec: Optional[jnp.ndarray] = None
+    mask_v_spec: Optional[jnp.ndarray] = None
+    uvel_spec: Optional[jnp.ndarray] = None
+    vvel_spec: Optional[jnp.ndarray] = None
 
 
 def segment_slices(edge: str, lo: int, hi: int, ny: int, nx: int):
@@ -140,20 +154,27 @@ def merge_obc_data(obc: "OBCParams", data: Optional[OBCData]
 
 def build_obc(segments: List[OBCSegment], ny: int, nx: int,
               dtype=jnp.float32, *, res_len_in: float = 0.0,
-              res_len_out: float = 0.0) -> OBCParams:
-    """Compile segment specs into dense masks (init-time, host-side)."""
+              res_len_out: float = 0.0, nz: int = 0) -> OBCParams:
+    """Compile segment specs into dense masks (init-time, host-side).
+    ``nz`` is required when any segment is SPECIFIED (per-layer
+    profiles compile to dense (nz, ny, nx) arrays)."""
     mu = np.zeros((ny, nx)); mv = np.zeros((ny, nx))
     mur = np.zeros((ny, nx)); mvr = np.zeros((ny, nx))
     muo = np.zeros((ny, nx)); mvo = np.zeros((ny, nx))
     mug = np.zeros((ny, nx)); mvg = np.zeros((ny, nx))
+    mus = np.zeros((ny, nx)); mvs = np.zeros((ny, nx))
+    us3 = vs3 = None               # (nz, ny, nx) SPECIFIED profiles
     su = np.zeros((ny, nx)); sv = np.zeros((ny, nx))
     eta = np.zeros((ny, nx)); ue = np.zeros((ny, nx)); ve = np.zeros((ny, nx))
     mc = np.zeros((ny, nx))
     te = np.zeros((ny, nx)); se = np.zeros((ny, nx))
+    prof_writes = []               # deferred 3-D tracer profile writes
     itau = np.zeros((ny, nx))
     any_ts = False
-    pick_u = {FLATHER: mu, ORLANSKI: mur, OBLIQUE: muo, GRADIENT: mug}
-    pick_v = {FLATHER: mv, ORLANSKI: mvr, OBLIQUE: mvo, GRADIENT: mvg}
+    pick_u = {FLATHER: mu, ORLANSKI: mur, OBLIQUE: muo, GRADIENT: mug,
+              SPECIFIED: mus}
+    pick_v = {FLATHER: mv, ORLANSKI: mvr, OBLIQUE: mvo, GRADIENT: mvg,
+              SPECIFIED: mvs}
     for seg in segments:
         schemes = [s.strip().upper() for s in seg.scheme.split("+")
                    if s.strip()]
@@ -162,15 +183,37 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
                 raise ValueError(f"OBC scheme {sch!r}: expected one of "
                                  f"{sorted(pick_u)}")
         sl, cell = segment_slices(seg.edge, seg.lo, seg.hi, ny, nx)
+        if SPECIFIED in schemes:
+            if seg.vel_profile is None or nz <= 0:
+                raise ValueError("SPECIFIED OBC segments need a "
+                                 "vel_profile and build_obc(..., nz=nz)")
+            prof = np.asarray(seg.vel_profile, np.float64)
+            if prof.ndim == 1:
+                prof = prof[:, None]
+            prof = np.broadcast_to(prof, (nz, mu[sl].size))
+            if seg.edge in ("E", "W"):
+                if us3 is None:
+                    us3 = np.zeros((nz, ny, nx))
+                us3[(slice(None),) + sl] = prof
+                ue[sl] = prof.mean(axis=0)    # barotropic clamp value
+            else:
+                if vs3 is None:
+                    vs3 = np.zeros((nz, ny, nx))
+                vs3[(slice(None),) + sl] = prof
+                ve[sl] = prof.mean(axis=0)
         for sch in schemes:
             if seg.edge == "E":
-                pick_u[sch][sl] = 1.0; su[sl] = 1.0; ue[sl] = seg.vel_ext
+                pick_u[sch][sl] = 1.0; su[sl] = 1.0
             elif seg.edge == "W":
-                pick_u[sch][sl] = 1.0; su[sl] = -1.0; ue[sl] = seg.vel_ext
-            elif seg.edge == "N":
-                pick_v[sch][sl] = 1.0; sv[sl] = 1.0; ve[sl] = seg.vel_ext
+                pick_u[sch][sl] = 1.0; su[sl] = -1.0
             else:
-                pick_v[sch][sl] = 1.0; sv[sl] = -1.0; ve[sl] = seg.vel_ext
+                pick_v[sch][sl] = 1.0
+                sv[sl] = 1.0 if seg.edge == "N" else -1.0
+            if sch != SPECIFIED:
+                if seg.edge in ("E", "W"):
+                    ue[sl] = seg.vel_ext
+                else:
+                    ve[sl] = seg.vel_ext
         mc[cell] = 1.0
         eta[cell] = seg.eta_ext
         itau[cell] = 1.0 / max(seg.nudge_timescale, 1e-6)
@@ -178,6 +221,26 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
             te[cell] = seg.T_ext; any_ts = True
         if seg.S_ext is not None:
             se[cell] = seg.S_ext
+        if seg.T_profile is not None or seg.S_profile is not None:
+            any_ts = True
+            prof_writes.append((cell, seg.T_profile, seg.S_profile))
+
+    # promote tracer data to (nz, ny, nx) only when a profile was given
+    if prof_writes:
+        if nz <= 0:
+            raise ValueError("tracer profiles need build_obc(..., nz=nz)")
+        te3 = np.broadcast_to(te, (nz, ny, nx)).copy()
+        se3 = np.broadcast_to(se, (nz, ny, nx)).copy()
+        for cell, tp, sp in prof_writes:
+            if tp is not None:
+                te3[(slice(None),) + cell] = np.broadcast_to(
+                    np.asarray(tp, np.float64).reshape(nz, -1),
+                    (nz, te[cell].size))
+            if sp is not None:
+                se3[(slice(None),) + cell] = np.broadcast_to(
+                    np.asarray(sp, np.float64).reshape(nz, -1),
+                    (nz, se[cell].size))
+        te, se = te3, se3
 
     J = lambda a: jnp.asarray(a, dtype)
     opt = lambda a: J(a) if a.any() else None
@@ -190,7 +253,10 @@ def build_obc(segments: List[OBCSegment], ny: int, nx: int,
                      mask_u_rad=opt(mur), mask_v_rad=opt(mvr),
                      mask_u_obl=opt(muo), mask_v_obl=opt(mvo),
                      mask_u_grad=opt(mug), mask_v_grad=opt(mvg),
-                     res_len_in=res_len_in, res_len_out=res_len_out)
+                     res_len_in=res_len_in, res_len_out=res_len_out,
+                     mask_u_spec=opt(mus), mask_v_spec=opt(mvs),
+                     uvel_spec=None if us3 is None else J(us3),
+                     vvel_spec=None if vs3 is None else J(vs3))
 
 
 def _radiate_normal(w, w_old, sign, mask_rad, mask_obl, mask_grad,
@@ -303,6 +369,15 @@ def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
     v = (v * (1.0 - m_v_only)[None] + (m_v_only * v_fl)[None]
          + (m_v_both * (v_fl - vbar))[None])
 
+    # SPECIFIED faces: clamp every layer to the given inflow profile
+    # (the reference's OBC_SIMPLE / DOME segments)
+    if obc.mask_u_spec is not None:
+        u = u * (1.0 - obc.mask_u_spec)[None] \
+            + obc.mask_u_spec[None] * obc.uvel_spec
+    if obc.mask_v_spec is not None:
+        v = v * (1.0 - obc.mask_v_spec)[None] \
+            + obc.mask_v_spec[None] * obc.vvel_spec
+
     # the outermost cell row is the exterior reservoir: clamp its surface
     # height to the exterior value (the open boundary is non-conservative
     # by construction — volume leaves the domain here)
@@ -313,13 +388,16 @@ def apply_obc(state, obc: OBCParams, G, GV, dt, u_old=None, v_old=None):
 
     out = state.replace(h=h_new, u=u * G.mask2dCu, v=v * G.mask2dCv)
 
-    # tracer nudging on the boundary strip (reservoir role)
+    # tracer nudging on the boundary strip (reservoir role); T_ext/S_ext
+    # are 2-D (uniform in k) or 3-D (per-layer SPECIFIED profiles)
     if obc.T_ext is not None and state.T is not None:
         w = (dt * obc.inv_tau * obc.mask_cell)[None]
         denom = 1.0 / (1.0 + w)
+        t_ext = obc.T_ext if obc.T_ext.ndim == 3 else obc.T_ext[None]
+        s_ext = obc.S_ext if obc.S_ext.ndim == 3 else obc.S_ext[None]
         out = out.replace(
-            T=(out.T + w * obc.T_ext[None]) * denom,
-            S=(out.S + w * obc.S_ext[None]) * denom
+            T=(out.T + w * t_ext) * denom,
+            S=(out.S + w * s_ext) * denom
             if state.S is not None else out.S)
     return out
 

@@ -169,6 +169,50 @@ def _build_grid(pf: ParamFile, dtype, doc_dir=None) -> Tuple[Grid, float]:
                          module=m)
         yf = ((np.arange(ny) + 0.5) / ny)[:, None]
         depth = (shelf_d + (max_depth - shelf_d) * yf) * np.ones((ny, nx))
+    elif topo_config == "Kelvin":
+        # angled-coast channel (Kelvin_initialize_topography)
+        from mom6_tpu.drivers.user_cases import kelvin_depth
+        depth = kelvin_depth(
+            nx, ny, lenlon, lenlat, max_depth, max(min_depth, 1e-3),
+            coast_offset1=pf.get("ROTATED_COAST_OFFSET_1", float,
+                                 default=100.0, units="km", module=m),
+            coast_offset2=pf.get("ROTATED_COAST_OFFSET_2", float,
+                                 default=10.0, units="km", module=m),
+            coast_angle_deg=pf.get("ROTATED_COAST_ANGLE", float,
+                                   default=11.3, units="degrees",
+                                   module=m))
+    elif topo_config == "shelfwave":
+        # exponential cross-shore shelf (shelfwave_initialize_topography)
+        from mom6_tpu.drivers.user_cases import shelfwave_depth
+        depth = shelfwave_depth(
+            nx, ny, lenlat, max_depth, max(min_depth, 1e-3),
+            ly=pf.get("SHELFWAVE_Y_LENGTH_SCALE", float, default=50.0,
+                      units="km", module=m))
+    elif topo_config == "DOME":
+        # slope basin + shelf embayment (DOME_initialize_topography)
+        from mom6_tpu.drivers.user_cases import dome_depth
+        depth = dome_depth(
+            nx, ny, lenlon, lenlat, max_depth, max(min_depth, 1e-3),
+            shelf_depth=pf.get("DOME_SHELF_DEPTH", float, default=600.0,
+                               units="m", module=m),
+            shelf_edge_lat=pf.get("DOME_SHELF_EDGE_LAT", float,
+                                  default=600.0, units="km", module=m),
+            inflow_lon=pf.get("DOME_INFLOW_LON", float, default=1000.0,
+                              units="km", module=m),
+            inflow_width=pf.get("DOME_INFLOW_WIDTH", float, default=100.0,
+                                units="km", module=m),
+            slope=pf.get("DOME_TOPOG_SLOPE", float, default=0.01,
+                         module=m))
+    elif topo_config == "Neverworld":
+        # idealized two-basin world with a reentrant southern channel
+        # (Neverworld_initialize_topography)
+        from mom6_tpu.drivers.user_cases import neverworld_depth
+        depth = neverworld_depth(
+            nx, ny, max_depth,
+            roughness_amp=pf.get("NL_ROUGHNESS_AMP", float, default=0.05,
+                                 module=m),
+            continent_amp=pf.get("NL_CONTINENT_AMP", float, default=1.0,
+                                 module=m))
     else:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
@@ -751,7 +795,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                 # this implementation handles elsewhere or not at all —
                 # drop them with a warning rather than refusing the
                 # reference config outright
-                known = {"FLATHER", "ORLANSKI", "OBLIQUE", "GRADIENT"}
+                known = {"FLATHER", "ORLANSKI", "OBLIQUE", "GRADIENT",
+                         "SPECIFIED"}
                 extra = [s for s in schemes if s not in known]
                 if extra:
                     print(f"WARNING: OBC segment {n}: ignoring "
@@ -782,13 +827,88 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                 S_ext=float(kv["SALT"]) if "SALT" in kv
                 else dvals.get("SALT"),
                 nudge_timescale=float(kv.get("TAU", 3600.0))))
+        # analytic user-case segment data (the reference's
+        # OBC_USER_CONFIG registry, src/core/MOM_boundary_update.F90:203)
+        user_cfg = pf.get("OBC_USER_CONFIG", str, default="", module=m,
+                          desc="Analytic segment data: Kelvin, shelfwave "
+                          "(time series) or DOME (steady per-layer "
+                          "inflow)")
+        if user_cfg:
+            from mom6_tpu.drivers import user_cases
+            f0 = pf.get("F_0", float, default=0.0, units="s-1",
+                        module="MOM_grid_init")
+            if user_cfg == "Kelvin":
+                obc_ts.extend(user_cases.kelvin_obc_series(
+                    segs, G, gv.g_earth, f0,
+                    ssh_amp=pf.get("KELVIN_WAVE_SSH_AMP", float,
+                                   default=1.0, units="m", module=m),
+                    wave_period=pf.get("KELVIN_WAVE_PERIOD", float,
+                                       default=12.42 * 3600.0,
+                                       units="s", module=m)))
+            elif user_cfg == "shelfwave":
+                obc_ts.extend(user_cases.shelfwave_obc_series(
+                    segs, G, f0,
+                    amp=pf.get("SHELFWAVE_AMPLITUDE", float, default=0.1,
+                               units="m s-1", module=m),
+                    lx=pf.get("SHELFWAVE_X_WAVELENGTH", float,
+                              default=100.0, units="km", module=m),
+                    ly=pf.get("SHELFWAVE_Y_LENGTH_SCALE", float,
+                              default=50.0, units="km", module=m),
+                    y_mode=pf.get("SHELFWAVE_Y_MODE", float, default=1.0,
+                                  module=m),
+                    lenlat=pf.get("LENLAT", float, default=1000.0,
+                                  units="km", module="MOM_grid_init")))
+            elif user_cfg == "DOME":
+                # steady constant-Ri geostrophic embayment inflow with
+                # layer temperatures matched to the coordinate densities
+                # (DOME_set_OBC_data); fills the SPECIFIED segments
+                inflow_lon = pf.get("DOME_INFLOW_LON", float,
+                                    default=1000.0, units="km",
+                                    module="MOM_grid_init")
+                rlay = np.asarray(gv.Rlay, np.float64)
+                drho_dt = pf.get("DRHO_DT", float, default=-0.2,
+                                 units="kg m-3 degC-1", module="MOM_EOS")
+                t_top = pf.get("DOME_T_LIGHT", float, default=25.0,
+                               units="degC", module=m)
+                t_prof = t_top + (rlay - rlay[0]) / drho_dt
+                lonT = np.asarray(G.geoLonT, np.float64)
+                new_segs = []
+                for seg in segs:
+                    if "SPECIFIED" not in seg.scheme.upper():
+                        new_segs.append(seg)
+                        continue
+                    from mom6_tpu.core.open_boundary import segment_slices
+                    fsl, _ = segment_slices(seg.edge, seg.lo, seg.hi,
+                                            G.ny, G.nx)
+                    x_face = lonT[fsl]
+                    v_prof, _ = user_cases.dome_inflow(
+                        nz, x_face, gv.g_earth, gv.rho0,
+                        density_range=pf.get(
+                            "DENSITY_RANGE", float, default=2.0,
+                            units="kg m-3", module="MOM_coord_init"),
+                        d_edge=pf.get("DOME_INFLOW_THICKNESS", float,
+                                      default=300.0, units="m", module=m),
+                        ri_trans=pf.get("DOME_INFLOW_RI_TRANS", float,
+                                        default=1.0 / 3.0, module=m),
+                        f_inflow=pf.get("DOME_INFLOW_F", float,
+                                        default=f0, units="s-1",
+                                        module=m),
+                        inflow_lon=inflow_lon)
+                    new_segs.append(seg._replace(
+                        vel_profile=v_prof, T_profile=t_prof,
+                        S_profile=np.full(nz, pf.get(
+                            "S_REF", float, default=35.0, units="ppt",
+                            module="MOM_state_initialization"))))
+                segs = new_segs
+            else:
+                raise NotImplementedError(f"OBC_USER_CONFIG={user_cfg}")
         res_in = pf.get("OBC_TRACER_RESERVOIR_LENGTH_SCALE_IN", float,
                         default=0.0, units="m", module=m,
                         desc="Reservoir memory length for inflow")
         res_out = pf.get("OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT", float,
                          default=0.0, units="m", module=m)
         obc = build_obc(segs, G.ny, G.nx, dtype=dtype,
-                        res_len_in=res_in, res_len_out=res_out)
+                        res_len_in=res_in, res_len_out=res_out, nz=nz)
 
     # -- low-mode internal tide propagation ---------------------------------
     m = "MOM_internal_tides"
@@ -1487,6 +1607,34 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         tauy = jnp.full((G.ny, G.nx),
                         pf.get("CONST_WIND_TAUY", float, default=0.0,
                                module=m), dtype) * G.mask2dCv
+    wind_fn = None          # analytic t -> (taux, tauy) [ideal_hurr]
+    if wind_cfg in ("ideal_hurr", "SCM_ideal_hurr"):
+        # translating Holland-profile cyclone
+        # (idealized_hurricane_wind_forcing,
+        # src/user/Idealized_Hurricane.F90:336-456)
+        from mom6_tpu.drivers.user_cases import hurricane_wind_fn
+        ov = dict(
+            rad_max=pf.get("IDL_HURR_RAD_MAX_WIND", float, default=50.0e3,
+                           units="m", module=m),
+            vmax=pf.get("IDL_HURR_MAX_WIND", float, default=65.0,
+                        units="m s-1", module=m),
+            trans_spd=pf.get("IDL_HURR_TRAN_SPEED", float, default=5.0,
+                             units="m s-1", module=m),
+            trans_dir_deg=pf.get("IDL_HURR_TRAN_DIR", float,
+                                 default=180.0, units="degrees",
+                                 module=m),
+            x0=pf.get("IDL_HURR_X0", float, default=0.0, units="m",
+                      module=m),
+            y0=pf.get("IDL_HURR_Y0", float, default=0.0, units="m",
+                      module=m),
+            p_ambient=pf.get("IDL_HURR_AMBIENT_PRESSURE", float,
+                             default=101200.0, units="Pa", module=m),
+            p_central=pf.get("IDL_HURR_CENTRAL_PRESSURE", float,
+                             default=96800.0, units="Pa", module=m))
+        wind_fn = hurricane_wind_fn(G, ov)
+        tx0, ty0 = wind_fn(0.0)
+        taux = jnp.asarray(tx0, dtype)
+        tauy = jnp.asarray(ty0, dtype)
     wind_ts = None          # (TimeSeriesField x, TimeSeriesField y, bmap)
     if wind_cfg == "file":
         # wind_forcing_from_file (MOM_surface_forcing.F90:418-560) with
@@ -1517,7 +1665,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         wind_ts = (fx, fy, bmap)
         taux = jnp.zeros((G.ny, G.nx), dtype)   # filled by the provider
         tauy = jnp.zeros((G.ny, G.nx), dtype)
-    elif wind_cfg not in ("zero", "gyres", "constant", "global"):
+    elif wind_cfg not in ("zero", "gyres", "constant", "global",
+                          "ideal_hurr", "SCM_ideal_hurr"):
         raise NotImplementedError(f"WIND_CONFIG={wind_cfg}")
 
     buoy_cfg = pf.get("BUOY_CONFIG", str, default="zero", module=m)
@@ -1611,7 +1760,8 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                                            restore_rate=restore_rate))
 
     forcing_provider = None
-    if wind_ts is not None or buoy_ts is not None or obc_ts:
+    if wind_ts is not None or buoy_ts is not None or obc_ts \
+            or wind_fn is not None:
         from mom6_tpu.framework.data_override import data_override
         from mom6_tpu.framework.stencil import ip1, jp1
 
@@ -1656,6 +1806,11 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                 tx = 0.5 * (tx_t + ip1(tx_t)) * G.mask2dCu
                 ty = 0.5 * (ty_t + jp1(ty_t)) * G.mask2dCv
                 f = f._replace(mech=f.mech._replace(taux=tx, tauy=ty))
+            if wind_fn is not None:
+                tx_h, ty_h = wind_fn(float(t_seconds))
+                f = f._replace(mech=f.mech._replace(
+                    taux=jnp.asarray(tx_h, dtype),
+                    tauy=jnp.asarray(ty_h, dtype)))
             if buoy_ts is not None:
                 h_ts, sw_ts, fw_ts, bmap = buoy_ts
                 b = f.buoy._replace(heat_flux=data_override(
