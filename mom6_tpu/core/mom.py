@@ -180,16 +180,26 @@ def _unstack_tracers(state, stack, names):
     return state.replace(**updates)
 
 
-def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
-             ) -> OceanState:
+def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams,
+             *, collect_tend: bool = False) -> OceanState:
     """Advance one thermo cycle = n_dyn_per_thermo baroclinic steps.
 
     Land columns are held exactly inert (the reference's masked loops
     never touch them): the Angstrom-thin columns under the mask are
     numerically ill-conditioned in float32 — column solves amplify
     roundoff exponentially there, and once a land value overflows, the
-    masked stencils spread it (NaN * 0 = NaN)."""
-    out = _step_mom_impl(state, forcing, G, GV, p)
+    masked stencils spread it (NaN * 0 = NaN).
+
+    ``collect_tend=True`` returns ``(state, tend)`` where ``tend`` maps
+    tendency-diagnostic names to per-layer content tendencies in native
+    units ([degC m s-1] for heat, [ppt m s-1] for salt; the catalog
+    scales to W m-2 / kg m-2 s-1) — the register_tracer_diagnostics
+    tier of the reference (MOM_tracer_registry.F90:283-651): advective,
+    epineutral-diffusive, diapycnal-diffusive, boundary-forcing, frazil
+    and vertical-remap decompositions whose sum is the exact total
+    content change of the cycle (gated by tests/test_tendency_diags.py)."""
+    tend: Optional[dict] = {} if collect_tend else None
+    out = _step_mom_impl(state, forcing, G, GV, p, tend=tend)
     m = G.mask2dT
 
     def keep(new, old):
@@ -205,11 +215,24 @@ def step_mom(state: OceanState, forcing: Forcing, G, GV, p: MOMParams
     if out.tr is not None and state.tr is not None:
         out = out.replace(tr={k: keep(v, state.tr[k])
                               for k, v in out.tr.items()})
+    if tend is not None:
+        dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+        mm = m[None]
+        if out.T is not None:
+            # exact totals from the (masked) states the caller sees;
+            # the component captures must sum to these (gated)
+            tend["opottemptend"] = (out.T * out.h
+                                    - state.T * state.h) / dt_therm
+            tend["osalttend"] = (out.S * out.h
+                                 - state.S * state.h) / dt_therm
+        tend = {k: v * mm for k, v in tend.items()}
+        return out, tend
     return out
 
 
 def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
-                   p: MOMParams) -> OceanState:
+                   p: MOMParams, tend: Optional[dict] = None
+                   ) -> OceanState:
     eos = get_eos(p.eos_name) if p.thermo_enabled else None
     dt_therm = p.dyn.dt * p.n_dyn_per_thermo
 
@@ -345,7 +368,7 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
     if p.thermo_enabled and p.diabatic_first:
         names0 = p.tfc.registry.names if p.tfc is not None else []
         state = _thermo_block(state, forcing, G, GV, p, eos, dt_therm,
-                              None, names0)
+                              None, names0, tend=tend)
 
     # --- lateral eddy parameterizations acting on h (the
     # thickness_diffuse_first path, MOM.F90:1226-1278) -----------------------
@@ -483,13 +506,25 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
 
     # --- tracer transport (step_MOM_tracer_dyn) ---------------------------
     tr, names = _stack_tracers(state, p)
+    T_pre_adv, S_pre_adv = tr[0], tr[1]
     tr, h_adv = advect_tracers(tr, h_before_dyn, state.uhtr, state.vhtr, G,
                                n_sub=p.tracer_advect_sub)
+    if tend is not None:
+        # advective content tendency incl. the GM/MLRestrat bolus part
+        # (T_advection_xy of register_tracer_diagnostics; the transports
+        # already carry the parameterized fluxes).  The "after" content
+        # uses the model's own post-dynamics h (h_adv equals it up to
+        # rounding) so the captures telescope exactly to the total.
+        tend["T_advection_xy"] = (tr[0] * state.h
+                                  - T_pre_adv * h_before_dyn) / dt_therm
+        tend["S_advection_xy"] = (tr[1] * state.h
+                                  - S_pre_adv * h_before_dyn) / dt_therm
     state = _unstack_tracers(state, tr, names)
     state = state.replace(uhtr=jnp.zeros_like(state.uhtr),
                           vhtr=jnp.zeros_like(state.vhtr))
 
     # --- lateral tracer diffusion (tracer_hor_diff role) -------------------
+    T_pre_pm, S_pre_pm = state.T, state.S
     kd_redi = None
     if p.khtr > 0.0:
         tr, names = _stack_tracers(state, p)
@@ -538,6 +573,13 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
         tr = hor_bnd_diffusion(tr, state.h, bld, p.khtr_bl, dt_therm, G)
         state = _unstack_tracers(state, tr, names)
 
+    if tend is not None and state.T is not None:
+        # epineutral/horizontal diffusive tendency (opottemppmdiff /
+        # osaltpmdiff; the along-boundary hbd part is folded in).  h is
+        # unchanged across these blocks.
+        tend["opottemppmdiff"] = (state.T - T_pre_pm) * state.h / dt_therm
+        tend["osaltpmdiff"] = (state.S - S_pre_pm) * state.h / dt_therm
+
     if p.diabatic_first:
         # the diabatic solve already ran at the top of the cycle; apply
         # the lateral diffusion's Redi implicit K S^2 part (if any) as a
@@ -546,15 +588,23 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
             from mom6_tpu.tracers.vert_diff import tracer_vertdiff
             tr, names = _stack_tracers(state, p)
             tr = tracer_vertdiff(tr, state.h, kd_redi, dt_therm)
+            if tend is not None:
+                tend["opottempdiff"] = tend.get(
+                    "opottempdiff", 0.0) + (tr[0] - state.T) \
+                    * state.h / dt_therm
+                tend["osaltdiff"] = tend.get(
+                    "osaltdiff", 0.0) + (tr[1] - state.S) \
+                    * state.h / dt_therm
             state = _unstack_tracers(state, tr, names)
         return state
     return _thermo_block(state, forcing, G, GV, p, eos, dt_therm,
-                         kd_redi, names)
+                         kd_redi, names, tend=tend)
 
 
 def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
                                 GV, p: MOMParams, eos, dt_therm: float,
-                                kd_redi=None):
+                                kd_redi=None,
+                                components: Optional[dict] = None):
     """Interface-diffusivity contributions that feed the diabatic solve
     (the set_diffusivity feeders of the diabatic_ALE sequence): the
     boundary-layer scheme (KPP/ePBL, with the Langmuir closure when
@@ -597,6 +647,8 @@ def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
             state.h, state.u, state.v, state.T, state.S, G, GV, eos,
             taux, tauy, forcing.buoy.heat_flux,
             cp=p.diabatic.cp, la_fn=la_fn)
+        if components is not None:
+            components["Kd_BL"] = kd_bl
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     elif p.diabatic.boundary_layer_scheme == "EPBL":
         from mom6_tpu.physics.vertical.epbl import epbl_diffusivity
@@ -609,6 +661,8 @@ def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
                                          forcing.buoy.heat_flux,
                                          cp=p.diabatic.cp, la_fn=la_fn,
                                          waves=p.waves, dt=dt_therm)
+        if components is not None:
+            components["Kd_BL"] = kd_bl
         kd_extra = kd_bl if kd_extra is None else kd_extra + kd_bl
     if p.diabatic.use_shear_mixing:
         if p.diabatic.shear_scheme == "JHL":
@@ -621,13 +675,16 @@ def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
             kd_sh = shear_mixing_kd(
                 state.h, state.u, state.v, state.T, state.S, G, GV, eos,
                 ShearMixingParams(scheme=p.diabatic.shear_scheme))
+        if components is not None:
+            components["Kd_shear"] = kd_sh
         kd_extra = kd_sh if kd_extra is None else kd_extra + kd_sh
 
     # --- low-mode internal tides: propagate energy, deposit the losses
     # as extra diffusivity (MOM_internal_tides + tidal_mixing lowmode)
     en_new = None
     if p.int_tides is not None and state.En_itide is not None:
-        from mom6_tpu.diagnostics.wave_speed import wave_speed
+        from mom6_tpu.diagnostics.wave_speed import (wave_speed,
+                                                     wave_speeds)
         from mom6_tpu.physics.lateral.internal_tides import \
             step_internal_tides
         from mom6_tpu.physics.vertical.tidal_mixing import (
@@ -636,7 +693,13 @@ def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
             else TidalMixingParams()
         tke_in, _ = int_tide_input_tke(state.h, state.T, state.S, G, GV,
                                        eos, tmp)
-        cn = wave_speed(state.h, state.T, state.S, G, GV, eos)
+        if p.int_tides.n_mode > 1:
+            # exact modal speeds (wave_speeds, MOM_wave_speed.F90:750)
+            # instead of the WKB cn/m scaling
+            cn = wave_speeds(state.h, state.T, state.S, G, GV, eos,
+                             n_modes=p.int_tides.n_mode)
+        else:
+            cn = wave_speed(state.h, state.T, state.S, G, GV, eos)
         en_new, loss = step_internal_tides(state.En_itide, tke_in, cn,
                                            G, GV, dt_therm, p.int_tides)
         # deposit the propagated-loss energy with mixing efficiency mu
@@ -645,13 +708,15 @@ def assemble_diffusivity_extras(state: OceanState, forcing: Forcing, G,
                                  tmp,
                                  tke_input=loss / max(tmp.gamma_itides,
                                                       1e-6))
+        if components is not None:
+            components["Kd_lowmode"] = kd_low
         kd_extra = kd_low if kd_extra is None else kd_extra + kd_low
     return kd_extra, bl_mld, kpp_nonlocal, en_new
 
 
 def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
-                  p: MOMParams, eos, dt_therm: float, kd_redi, names
-                  ) -> OceanState:
+                  p: MOMParams, eos, dt_therm: float, kd_redi, names,
+                  tend: Optional[dict] = None) -> OceanState:
     """Column physics + ALE regrid/remap (step_MOM_thermo,
     MOM.F90:1591): the diabatic sequence with boundary-layer/shear/tidal
     diffusivities, tracer-package columns, sponges, ODA increments,
@@ -691,10 +756,11 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
     if names:
         passive = jnp.stack([state.tr[n] for n in names])
     T0, S0 = state.T, state.S
+    collect = {} if tend is not None else None
     T, S, kd, passive_new, frazil = diabatic_ale(
         state.T, state.S, state.h, forcing.buoy, dt_therm, G, GV,
         p.diabatic, kd_extra=kd_extra, extra_tracers=passive, eos=eos,
-        u=state.u, v=state.v, mld=bl_mld)
+        u=state.u, v=state.v, mld=bl_mld, collect=collect)
     if frazil is not None and state.frazil is not None:
         # accumulate the heat deficit for the coupler (Fioo_q export)
         state = state.replace(frazil=state.frazil + frazil)
@@ -724,6 +790,31 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
         from mom6_tpu.physics.stochastic import apply_sppt
         T = T0 + apply_sppt(T - T0, state.sppt_pattern, p.sppt)
         S = S0 + apply_sppt(S - S0, state.sppt_pattern, p.sppt)
+    if tend is not None:
+        # boundary-forcing tendency: the surface deposit lands in the
+        # top layer of the implicit solve; penetrating SW / geothermal /
+        # brine-plume injections distribute in-column
+        zcol = jnp.zeros_like(T)
+        bT = zcol.at[0].add(collect["t_flux"]) \
+            if collect.get("t_flux") is not None else zcol
+        if "sw_heat3d" in collect:
+            bT = bT + collect["sw_heat3d"]
+        if "geo_heat3d" in collect:
+            bT = bT + collect["geo_heat3d"]
+        bS = zcol.at[0].add(collect["s_flux"]) \
+            if collect.get("s_flux") is not None else zcol
+        if "brine_dS3d" in collect:
+            bS = bS + collect["brine_dS3d"]
+        fz = collect.get("frazil3d", zcol)
+        tend["boundary_forcing_heat_tendency"] = bT
+        tend["boundary_forcing_salt_tendency"] = bS
+        tend["frazil_heat_tendency"] = fz
+        # diapycnal diffusion = the rest of the diabatic change (incl.
+        # KPP nonlocal redistribution and any SPPT perturbation)
+        tend["opottempdiff"] = tend.get("opottempdiff", 0.0) \
+            + (T - T0) * state.h / dt_therm - bT - fz
+        tend["osaltdiff"] = tend.get("osaltdiff", 0.0) \
+            + (S - S0) * state.h / dt_therm - bS
     state = state.replace(T=T, S=S)
     if names:
         tr_d = dict(state.tr)
@@ -741,6 +832,7 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
 
     # --- sponges (apply_ALE_sponge, MOM_ALE_sponge.F90; sequenced after
     # the diabatic solve as in MOM_diabatic_driver.F90:1770) ----------------
+    T_pre_sp, S_pre_sp, h_pre_sp = state.T, state.S, state.h
     if p.sponge is not None:
         from mom6_tpu.physics.vertical.sponge import apply_sponge
         state = apply_sponge(state, dt_therm, p.sponge, G)
@@ -769,12 +861,29 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
             state = state.replace(skeb_pattern=pat)
         state = state.replace(rng_key=key)
 
+    if tend is not None and (p.sponge is not None
+                             or forcing.oda_inc is not None):
+        # sponge relaxation + ODA increments (separate bucket so the
+        # physical decomposition stays clean)
+        tend["T_tendency_sponge"] = (state.T * state.h
+                                     - T_pre_sp * h_pre_sp) / dt_therm
+        tend["S_tendency_sponge"] = (state.S * state.h
+                                     - S_pre_sp * h_pre_sp) / dt_therm
+
     # --- ALE regrid + remap ----------------------------------------------
     passive = None
     if names:
         passive = jnp.stack([state.tr[n] for n in names])
+    T_pre_rm, S_pre_rm, h_pre_rm = state.T, state.S, state.h
     state, passive_new = ale_regrid_remap(state, G, GV, p.ale,
                                           extra_tracers=passive)
+    if tend is not None:
+        # conservative-remap residual (Th_tendency_vert_remap; ~0 in the
+        # column integral for a conservative remap)
+        tend["Th_tendency_vert_remap"] = (state.T * state.h
+                                          - T_pre_rm * h_pre_rm) / dt_therm
+        tend["Sh_tendency_vert_remap"] = (state.S * state.h
+                                          - S_pre_rm * h_pre_rm) / dt_therm
     if names and passive_new is not None:
         tr_d = dict(state.tr)
         for i, n in enumerate(names):

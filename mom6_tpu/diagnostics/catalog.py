@@ -42,7 +42,7 @@ class DiagContext:
     """Lazy per-post cache of shared diagnostic intermediates."""
 
     def __init__(self, state, G, GV, params, forcing=None, eos=None,
-                 ke_budget_fn=None):
+                 ke_budget_fn=None, tend_fn=None):
         self.state = state
         self.G = G
         self.GV = GV
@@ -50,6 +50,10 @@ class DiagContext:
         self.forcing = forcing
         self.eos = eos
         self.ke_budget_fn = ke_budget_fn
+        # tend_fn(state, forcing) -> dict of per-layer content tendencies
+        # (step_mom(collect_tend=True)'s second return; solo wires a
+        # jitted closure) — the register_tracer_diagnostics tier
+        self.tend_fn = tend_fn
         self._cache: Dict[str, object] = {}
 
     def _get(self, key, builder):
@@ -100,7 +104,8 @@ class DiagContext:
     def kd_int(self):
         """Total interface diffusivity [m2 s-1]: background set (tidal,
         BBL, Bryan-Lewis) + the boundary-layer/shear/internal-tide
-        extras — the Kd_interface diagnostic of set_diffusivity."""
+        extras — the Kd_interface diagnostic of set_diffusivity.
+        Per-mechanism pieces land in the cache for the Kd_* entries."""
         def build():
             from mom6_tpu.core.mom import assemble_diffusivity_extras
             from mom6_tpu.physics.vertical.set_diffusivity import \
@@ -108,13 +113,50 @@ class DiagContext:
             p = self.params
             st = self.state
             dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+            comp: Dict[str, object] = {}
             kd_extra, bl_mld, _, _ = assemble_diffusivity_extras(
-                st, self.forcing, self.G, self.GV, p, self.eos, dt_therm)
+                st, self.forcing, self.G, self.GV, p, self.eos, dt_therm,
+                components=comp)
             self._cache["bl_mld"] = bl_mld
-            return set_diffusivity(st.h, self.G, self.GV, p.diabatic.diff,
-                                   kd_extra=kd_extra, T=st.T, S=st.S,
-                                   eos=self.eos, u=st.u, v=st.v)
+            out = set_diffusivity(st.h, self.G, self.GV, p.diabatic.diff,
+                                  kd_extra=kd_extra, T=st.T, S=st.S,
+                                  eos=self.eos, u=st.u, v=st.v,
+                                  components=comp)
+            self._cache["kd_comp"] = comp
+            return out
         return self._get("kd_int", build)
+
+    def kd_component(self, name):
+        """Per-mechanism diffusivity (Kd_bkgnd/Kd_BL/Kd_shear/...) or
+        None when the mechanism is not configured."""
+        if "kd_comp" not in self._cache:
+            _ = self.kd_int
+        return self._cache["kd_comp"].get(name)
+
+    @property
+    def tend(self):
+        """Per-layer content tendencies of one thermo cycle starting at
+        the posted state (diagnostic cadence, like the KE budget)."""
+        def build():
+            if self.tend_fn is None or self.forcing is None:
+                return {}
+            return self.tend_fn(self.state, self.forcing)
+        return self._get("tend", build)
+
+    @property
+    def gm_fluxes(self):
+        """(uhd, vhd) GM bolus volume fluxes [m3 s-1] at the current
+        state with the configured KHTH (diag-cadence recompute)."""
+        def build():
+            from mom6_tpu.physics.lateral.thickness_diffuse import \
+                thickness_diffuse
+            p = self.params
+            dt_therm = p.dyn.dt * p.n_dyn_per_thermo
+            _, uhd, vhd = thickness_diffuse(
+                self.state.h, self.G, self.GV, dt_therm, p.gm,
+                T=self.state.T, S=self.state.S, eos=self.eos)
+            return uhd, vhd
+        return self._get("gm_fluxes", build)
 
     @property
     def bl_mld(self):
@@ -436,8 +478,357 @@ CATALOG: Dict[str, CatalogEntry] = {
 del CATALOG["Kd_BL"]
 
 
+# ---------------------------------------------------------------------------
+# round-5 tier: tendencies / per-mechanism Kd / GM-MEKE energetics /
+# transports / CMOR extensions (VERDICT r4 item 2)
+
+def _heat_scale(c):
+    return c.GV.rho0 * (c.params.diabatic.cp
+                        if c.params.thermo_enabled else 3991.87)
+
+
+def _salt_scale(c):
+    return 1e-3 * c.GV.rho0
+
+
+def _tend(key, scale=None, vsum=False):
+    """Entry fn for a tendency-capture key; ``scale``: None (native
+    [conc m s-1]) | 'heat' (W m-2) | 'salt' (kg m-2 s-1); ``vsum``:
+    vertical sum (the _2d variants)."""
+    def f(c):
+        arr = c.tend.get(key)
+        if arr is None:
+            return None
+        if scale == "heat":
+            arr = _heat_scale(c) * arr
+        elif scale == "salt":
+            arr = _salt_scale(c) * arr
+        return jnp.sum(arr, axis=0) if vsum else arr
+    return f
+
+
+def _kd_comp(key):
+    return lambda c: c.kd_component(key)
+
+
+def _gm_work(c):
+    """Depth-integrated PE release by the GM transports [W m-2]
+    (GMwork of MOM_thickness_diffuse.F90's register section)."""
+    uhd, vhd = c.gm_fluxes
+    from mom6_tpu.physics.lateral.meke import gm_pe_release
+    col = jnp.maximum(jnp.sum(c.state.h, axis=0), 1.0)
+    rate = gm_pe_release(c.state.h, uhd, vhd, c.G, c.GV)   # [m2 s-3]
+    return c.GV.rho0 * rate * col * c.G.mask2dT            # [W m-2]
+
+
+def _meke_src_gm(c):
+    from mom6_tpu.physics.lateral.meke import gm_pe_release
+    uhd, vhd = c.gm_fluxes
+    return gm_pe_release(c.state.h, uhd, vhd, c.G, c.GV) * c.G.mask2dT
+
+
+def _meke_kh(c):
+    from mom6_tpu.physics.lateral.meke import meke_diffusivity
+    return meke_diffusivity(c.state.E_meke, c.params.meke, h=c.state.h,
+                            G=c.G) * c.G.mask2dT
+
+
+def _meke_ku(c):
+    from mom6_tpu.physics.lateral.meke import meke_viscosity
+    out = meke_viscosity(c.state.E_meke, c.params.meke, h=c.state.h,
+                         G=c.G)
+    return None if out is None else out * c.G.mask2dT
+
+
+def _meke_decay(c):
+    """Linear + bottom-drag damping rate of MEKE [s-1] (the MEKE_decay
+    diagnostic; the implicit damp_rate of step_meke)."""
+    from mom6_tpu.physics.lateral.meke import meke_length_scales
+    p = c.params.meke
+    h, G = c.state.h, c.G
+    e = c.state.E_meke
+    depth = jnp.maximum(jnp.sum(h, axis=0), 1e-3)
+    bottom2, _, _ = meke_length_scales(e, h, G, p)
+    drag_rate = jnp.sqrt(p.cdrag ** 2 * (2.0 * bottom2
+                                         * jnp.maximum(e, 0.0)
+                                         + p.uscale ** 2)) / depth
+    return (p.damping + drag_rate * bottom2) * G.mask2dT
+
+
+def _ustar(c):
+    m = c.forcing.mech if c.forcing is not None else None
+    if m is None or m.taux is None:
+        return None
+    from mom6_tpu.framework.stencil import im1, jm1
+    tx = 0.5 * (m.taux + im1(m.taux))
+    ty = 0.5 * (m.tauy + jm1(m.tauy)) if m.tauy is not None else 0.0
+    return jnp.sqrt(jnp.sqrt(tx * tx + ty * ty) / c.GV.rho0) * c.G.mask2dT
+
+
+def _wo(c):
+    """Vertical velocity across interfaces [m s-1] diagnosed from the
+    horizontal transport divergence (w(bottom)=0; the advective part of
+    the reference's wo — the dh/dt part is not reconstructable from a
+    single state)."""
+    if c.state.uh is None:
+        return None
+    from mom6_tpu.framework.stencil import im1, jm1
+    div = (c.state.uh - im1(c.state.uh)
+           + c.state.vh - jm1(c.state.vh)) * c.G.IareaT
+    w_below = jnp.cumsum(div[::-1], axis=0)[::-1]      # w at layer tops
+    zeros = jnp.zeros_like(div[:1])
+    return jnp.concatenate([-w_below, zeros], axis=0) \
+        * -1.0 * c.G.mask2dT[None]
+
+
+def _t_ad(component, field, scale):
+    """Advective content transport, e.g. T_adx = uh * T_face [degC m3
+    s-1] (T_adx/T_ady/S_adx/S_ady of register_tracer_diagnostics)."""
+    def f(c):
+        tr = getattr(c.state, field, None)
+        flux = getattr(c.state, "uh" if component == "x" else "vh", None)
+        if tr is None or flux is None:
+            return None
+        from mom6_tpu.framework.stencil import ip1, jp1
+        if component == "x":
+            t_face = 0.5 * (tr + ip1(tr))
+        else:
+            kh = "h" if getattr(c.G, "fold_north", False) else None
+            t_face = 0.5 * (tr + jp1(tr, kh))
+        return scale(c) * flux * t_face
+    return f
+
+
+def _sumz(fn):
+    def f(c):
+        arr = fn(c)
+        return None if arr is None else jnp.sum(arr, axis=0)
+    return f
+
+
+_TEND_UNITS_HEAT = "W m-2"
+_TEND_UNITS_SALT = "kg m-2 s-1"
+
+CATALOG.update({
+    # ---- tendency tier (register_tracer_diagnostics,
+    # MOM_tracer_registry.F90:283-651; diag-cadence capture of one thermo
+    # cycle from the posted state) -----------------------------------------
+    "opottemptend": CatalogEntry(
+        _tend("opottemptend", "heat"), _TEND_UNITS_HEAT,
+        "Tendency of heat content: total over the thermo cycle",
+        needs="tend"),
+    "osalttend": CatalogEntry(
+        _tend("osalttend", "salt"), _TEND_UNITS_SALT,
+        "Tendency of salt content: total over the thermo cycle",
+        needs="tend"),
+    "T_advection_xy": CatalogEntry(
+        _tend("T_advection_xy"), "degC m s-1",
+        "Horizontal convergence of residual-mean heat advection "
+        "(incl. parameterized bolus transports)", needs="tend"),
+    "S_advection_xy": CatalogEntry(
+        _tend("S_advection_xy"), "ppt m s-1",
+        "Horizontal convergence of residual-mean salt advection",
+        needs="tend"),
+    "opottempdiff": CatalogEntry(
+        _tend("opottempdiff", "heat"), _TEND_UNITS_HEAT,
+        "Heat-content tendency from dianeutral mixing "
+        "(incl. KPP nonlocal)", needs="tend"),
+    "osaltdiff": CatalogEntry(
+        _tend("osaltdiff", "salt"), _TEND_UNITS_SALT,
+        "Salt-content tendency from dianeutral mixing", needs="tend"),
+    "opottemppmdiff": CatalogEntry(
+        _tend("opottemppmdiff", "heat"), _TEND_UNITS_HEAT,
+        "Heat-content tendency from parameterized epineutral mixing",
+        needs="tend"),
+    "osaltpmdiff": CatalogEntry(
+        _tend("osaltpmdiff", "salt"), _TEND_UNITS_SALT,
+        "Salt-content tendency from parameterized epineutral mixing",
+        needs="tend"),
+    "boundary_forcing_heat_tendency": CatalogEntry(
+        _tend("boundary_forcing_heat_tendency", "heat"),
+        _TEND_UNITS_HEAT, "Heat-content tendency from boundary forcing "
+        "(surface fluxes, penetrating SW, geothermal)", needs="tend"),
+    "boundary_forcing_salt_tendency": CatalogEntry(
+        _tend("boundary_forcing_salt_tendency", "salt"),
+        _TEND_UNITS_SALT, "Salt-content tendency from boundary forcing "
+        "(salt/virtual-salt fluxes, brine plume)", needs="tend"),
+    "frazil_heat_tendency": CatalogEntry(
+        _tend("frazil_heat_tendency", "heat"), _TEND_UNITS_HEAT,
+        "Heat-content tendency from frazil formation", needs="tend_frazil"),
+    "Th_tendency_vert_remap": CatalogEntry(
+        _tend("Th_tendency_vert_remap", "heat"), _TEND_UNITS_HEAT,
+        "Heat-content tendency from vertical (ALE) remapping",
+        needs="tend"),
+    "Sh_tendency_vert_remap": CatalogEntry(
+        _tend("Sh_tendency_vert_remap", "salt"), _TEND_UNITS_SALT,
+        "Salt-content tendency from vertical (ALE) remapping",
+        needs="tend"),
+    # 2d (vertical sums)
+    "opottemptend_2d": CatalogEntry(
+        _tend("opottemptend", "heat", vsum=True), _TEND_UNITS_HEAT,
+        "Depth-integrated total heat-content tendency", needs="tend"),
+    "osalttend_2d": CatalogEntry(
+        _tend("osalttend", "salt", vsum=True), _TEND_UNITS_SALT,
+        "Depth-integrated total salt-content tendency", needs="tend"),
+    "T_advection_xy_2d": CatalogEntry(
+        _tend("T_advection_xy", "heat", vsum=True), _TEND_UNITS_HEAT,
+        "Depth-integrated advective heat-content tendency",
+        needs="tend"),
+    "S_advection_xy_2d": CatalogEntry(
+        _tend("S_advection_xy", "salt", vsum=True), _TEND_UNITS_SALT,
+        "Depth-integrated advective salt-content tendency",
+        needs="tend"),
+    "opottempdiff_2d": CatalogEntry(
+        _tend("opottempdiff", "heat", vsum=True), _TEND_UNITS_HEAT,
+        "Depth-integrated dianeutral heat-content tendency",
+        needs="tend"),
+    "osaltdiff_2d": CatalogEntry(
+        _tend("osaltdiff", "salt", vsum=True), _TEND_UNITS_SALT,
+        "Depth-integrated dianeutral salt-content tendency",
+        needs="tend"),
+    "opottemppmdiff_2d": CatalogEntry(
+        _tend("opottemppmdiff", "heat", vsum=True), _TEND_UNITS_HEAT,
+        "Depth-integrated epineutral heat-content tendency",
+        needs="tend"),
+    "osaltpmdiff_2d": CatalogEntry(
+        _tend("osaltpmdiff", "salt", vsum=True), _TEND_UNITS_SALT,
+        "Depth-integrated epineutral salt-content tendency",
+        needs="tend"),
+    "boundary_forcing_heat_tendency_2d": CatalogEntry(
+        _tend("boundary_forcing_heat_tendency", "heat", vsum=True),
+        _TEND_UNITS_HEAT,
+        "Depth-integrated boundary-forcing heat tendency", needs="tend"),
+    "boundary_forcing_salt_tendency_2d": CatalogEntry(
+        _tend("boundary_forcing_salt_tendency", "salt", vsum=True),
+        _TEND_UNITS_SALT,
+        "Depth-integrated boundary-forcing salt tendency", needs="tend"),
+    "frazil_heat_tendency_2d": CatalogEntry(
+        _tend("frazil_heat_tendency", "heat", vsum=True),
+        _TEND_UNITS_HEAT, "Depth-integrated frazil heat tendency",
+        needs="tend_frazil"),
+    # ---- per-mechanism diffusivities (MOM_set_diffusivity register
+    # section; assembled by the same code that feeds the solve) ------------
+    "Kd_bkgnd": CatalogEntry(_kd_comp("Kd_bkgnd"), "m2 s-1",
+                             "Background diapycnal diffusivity", "i",
+                             needs="thermo"),
+    "Kd_BL": CatalogEntry(_kd_comp("Kd_BL"), "m2 s-1",
+                          "Boundary-layer-scheme diffusivity (KPP/ePBL)",
+                          "i", needs="bl_scheme"),
+    "Kd_shear": CatalogEntry(_kd_comp("Kd_shear"), "m2 s-1",
+                             "Shear-driven diffusivity (JHL/LMD94)", "i",
+                             needs="kd_shear"),
+    "Kd_BBL": CatalogEntry(_kd_comp("Kd_BBL"), "m2 s-1",
+                           "Bottom-drag law-of-the-wall diffusivity",
+                           "i", needs="kd_bbl"),
+    "Kd_itides": CatalogEntry(_kd_comp("Kd_itides"), "m2 s-1",
+                              "Internal-tide dissipation diffusivity",
+                              "i", needs="kd_itides"),
+    "Kd_lowmode": CatalogEntry(_kd_comp("Kd_lowmode"), "m2 s-1",
+                               "Propagated low-mode internal-tide "
+                               "diffusivity", "i", needs="kd_lowmode"),
+    # CMOR aliases of the total
+    "difvho": CatalogEntry(lambda c: c.kd_int, "m2 s-1",
+                           "Ocean vertical heat diffusivity", "i",
+                           needs="thermo"),
+    "difvso": CatalogEntry(lambda c: c.kd_int, "m2 s-1",
+                           "Ocean vertical salt diffusivity", "i",
+                           needs="thermo"),
+    # ---- GM / MEKE energetics (MOM_thickness_diffuse GMwork;
+    # MOM_MEKE's source/decay register sites) ------------------------------
+    "GMwork": CatalogEntry(_gm_work, "W m-2",
+                           "Depth-integrated PE release by the GM "
+                           "parameterization", needs="gm"),
+    "MEKE_src_GM": CatalogEntry(_meke_src_gm, "m2 s-3",
+                                "MEKE source from GM PE release",
+                                needs="gm_meke"),
+    "MEKE_Kh": CatalogEntry(_meke_kh, "m2 s-1",
+                            "MEKE-derived eddy diffusivity",
+                            needs="meke"),
+    "MEKE_Ku": CatalogEntry(_meke_ku, "m2 s-1",
+                            "MEKE backscatter (anti-)viscosity",
+                            needs="meke"),
+    "MEKE_decay": CatalogEntry(_meke_decay, "s-1",
+                               "MEKE linear + bottom-drag damping rate",
+                               needs="meke"),
+    # ---- transports / surface extras --------------------------------------
+    "ustar": CatalogEntry(_ustar, "m s-1",
+                          "Surface friction velocity", needs="wind"),
+    "wo": CatalogEntry(_wo, "m s-1",
+                       "Upward interface velocity (advective part, from "
+                       "transport divergence)", "i", needs="transport"),
+    "wmo": CatalogEntry(
+        lambda c: None if _wo(c) is None
+        else c.GV.rho0 * c.G.areaT[None] * _wo(c),
+        "kg s-1", "Upward ocean mass transport (advective part)", "i",
+        needs="transport"),
+    "T_adx": CatalogEntry(_t_ad("x", "T", _heat_scale), "W",
+                          "Advective zonal heat transport", "u",
+                          needs="transport_thermo"),
+    "T_ady": CatalogEntry(_t_ad("y", "T", _heat_scale), "W",
+                          "Advective meridional heat transport", "v",
+                          needs="transport_thermo"),
+    "S_adx": CatalogEntry(_t_ad("x", "S", _salt_scale), "kg s-1",
+                          "Advective zonal salt transport", "u",
+                          needs="transport_thermo"),
+    "S_ady": CatalogEntry(_t_ad("y", "S", _salt_scale), "kg s-1",
+                          "Advective meridional salt transport", "v",
+                          needs="transport_thermo"),
+    "T_adx_2d": CatalogEntry(_sumz(_t_ad("x", "T", _heat_scale)), "W",
+                             "Depth-integrated zonal heat transport",
+                             "u", needs="transport_thermo"),
+    "T_ady_2d": CatalogEntry(_sumz(_t_ad("y", "T", _heat_scale)), "W",
+                             "Depth-integrated meridional heat "
+                             "transport", "v", needs="transport_thermo"),
+    "umo_2d": CatalogEntry(
+        lambda c: None if c.state.uh is None
+        else c.GV.rho0 * jnp.sum(c.state.uh, axis=0),
+        "kg s-1", "Depth-integrated ocean mass x transport", "u",
+        needs="transport"),
+    "vmo_2d": CatalogEntry(
+        lambda c: None if c.state.vh is None
+        else c.GV.rho0 * jnp.sum(c.state.vh, axis=0),
+        "kg s-1", "Depth-integrated ocean mass y transport", "v",
+        needs="transport"),
+    # ---- static geometry (CMOR fx-style) -----------------------------------
+    "deptho": CatalogEntry(lambda c: c.G.bathyT * c.G.mask2dT, "m",
+                           "Sea floor depth below geoid"),
+    "areacello": CatalogEntry(lambda c: c.G.areaT, "m2",
+                              "Ocean grid-cell area"),
+    "sftof": CatalogEntry(lambda c: 100.0 * c.G.mask2dT, "%",
+                          "Sea area fraction"),
+    # ---- CMOR aliases / simple derived -------------------------------------
+    "obvfsq": CatalogEntry(_n2, "s-2",
+                           "Square of Brunt-Vaisala frequency", "i",
+                           needs="thermo"),
+    "mlotst": CatalogEntry(lambda c: c.mld(0.03), "m",
+                           "Mixed-layer depth by sigma-t criterion "
+                           "(0.03 kg m-3)", needs="thermo"),
+    "zossq": CatalogEntry(lambda c: c.sfc.ssh ** 2, "m2",
+                          "Square of sea surface height"),
+    "tossq": CatalogEntry(lambda c: c.sfc.sst ** 2, "degC2",
+                          "Square of sea surface temperature",
+                          needs="thermo"),
+    "sossq": CatalogEntry(lambda c: c.sfc.sss ** 2, "psu2",
+                          "Square of sea surface salinity",
+                          needs="thermo"),
+    "pbo": CatalogEntry(
+        lambda c: (c.p_int[-1] + (c.forcing.mech.p_surf
+                   if (c.forcing is not None and c.forcing.mech is not
+                       None and c.forcing.mech.p_surf is not None)
+                   else 0.0)) * c.G.mask2dT,
+        "Pa", "Sea water pressure at sea floor"),
+    "KE_col": CatalogEntry(
+        lambda c: jnp.sum(__import__(
+            "mom6_tpu.diagnostics.diagnostics",
+            fromlist=["kinetic_energy_3d"]).kinetic_energy_3d(
+                c.state, c.G) * c.state.h, axis=0) * c.GV.rho0,
+        "J m-2", "Depth-integrated kinetic energy"),
+})
+
+
 def rejection_reason(name: str, state, params, forcing=None,
-                     has_ke_budget: bool = True) -> Optional[str]:
+                     has_ke_budget: bool = True,
+                     has_tend: bool = True) -> Optional[str]:
     """None if (base) field ``name`` is servable under this
     configuration, else a human-readable reason (the explicit-rejection
     half of the no-silent-misses contract)."""
@@ -476,6 +867,33 @@ def rejection_reason(name: str, state, params, forcing=None,
     if need == "bl_scheme" and \
             params.diabatic.boundary_layer_scheme in ("NONE", "BULKML"):
         return f"{name} needs KPP or EPBL"
+    if need in ("tend", "tend_frazil"):
+        if not params.thermo_enabled or state.T is None:
+            return f"{name} needs an active thermodynamic state " \
+                   "(ENABLE_THERMODYNAMICS)"
+        if params.diabatic.boundary_layer_scheme == "BULKML":
+            return f"{name}: tendency capture covers the ALE diabatic " \
+                   "path, not BULKML"
+        if not has_tend:
+            return f"{name} needs the tendency capture (full step_mom)"
+        if need == "tend_frazil" and not params.diabatic.frazil:
+            return f"{name} needs FRAZIL = True"
+    if need == "kd_shear" and not params.diabatic.use_shear_mixing:
+        return f"{name} needs USE_JACKSON_PARAM / shear mixing"
+    if need == "kd_bbl" and params.diabatic.diff.bbl_effic <= 0.0:
+        return f"{name} needs BBL_EFFIC > 0"
+    if need == "kd_itides" and params.diabatic.diff.tidal is None:
+        return f"{name} needs INT_TIDE_DISSIPATION"
+    if need == "kd_lowmode" and params.int_tides is None:
+        return f"{name} needs INTERNAL_TIDES = True"
+    if need == "gm" and params.gm is None:
+        return f"{name} needs THICKNESSDIFFUSE = True"
+    if need == "gm_meke" and (params.gm is None
+                              or getattr(state, "E_meke", None) is None):
+        return f"{name} needs THICKNESSDIFFUSE and USE_MEKE"
+    if need == "transport_thermo" and (state.uh is None
+                                       or state.T is None):
+        return f"{name} needs transport diagnostics and thermodynamics"
     return None
 
 

@@ -1,4 +1,4 @@
-"""First-mode internal gravity wave speed.
+"""Internal gravity wave speeds (first mode and the N-mode spectrum).
 
 Analogue of MOM6's MOM_wave_speed.F90 (per-column eigen-solve):
 
@@ -6,7 +6,13 @@ Analogue of MOM6's MOM_wave_speed.F90 (per-column eigen-solve):
   ``M w = -(N^2 dz / c^2) w`` (w at interior interfaces, w=0 at
   top/bottom) solved by batched INVERSE ITERATION: each iteration is one
   tridiagonal solve over all columns at once (the TPU-native replacement
-  for the reference's per-column Sturm-sequence root finder);
+  for the reference's per-column Sturm-sequence root finder,
+  MOM_wave_speed.F90:120-749);
+* :func:`wave_speeds` — the N lowest modes + vertical structures via
+  the same operator with B-inner-product DEFLATION (the wave_speeds
+  entry point of the reference, MOM_wave_speed.F90:750-1556, whose
+  root-bracketing loop is replaced by batched deflated inverse
+  iteration — internal tides and tidal mixing consume these);
 * :func:`wave_speed_wkb` — the WKB estimate ``c1 = (1/pi) int N dz``.
 """
 
@@ -17,7 +23,7 @@ import jax.numpy as jnp
 
 from mom6_tpu.framework.solvers import tridiag_solve
 
-__all__ = ["wave_speed", "wave_speed_wkb"]
+__all__ = ["wave_speed", "wave_speeds", "wave_speed_wkb"]
 
 
 def _n2_dz(h, T, S, GV, eos):
@@ -64,6 +70,64 @@ def wave_speed(h, T, S, G, GV, eos, n_iter: int = 10):
         jnp.sum(x * d_weight * x, axis=0), 1e-30)
     c2 = -1.0 / jnp.minimum(lam, -1e-12)
     return jnp.sqrt(jnp.maximum(c2, 0.0)) * G.mask2dT
+
+
+def wave_speeds(h, T, S, G, GV, eos, n_modes: int = 3, n_iter: int = 16,
+                return_structures: bool = False):
+    """The ``n_modes`` lowest internal-mode speeds c_n (n_modes, ny, nx)
+    [m s-1] and optionally the vertical structures w_n at interior
+    interfaces ((n_modes, nz-1, ny, nx), B-orthonormal).
+
+    Deflated inverse iteration on the generalized symmetric problem
+    M w = lambda B w (lambda = -1/c^2, B = diag(N^2 dz) > 0): mode m
+    iterates x <- M^{-1} B x and B-orthogonalizes against modes < m
+    every sweep, so each mode costs n_iter batched tridiagonal solves —
+    all columns at once, no per-column root bracketing."""
+    n2, dz_int = _n2_dz(h, T, S, GV, eos)        # (nz-1, ny, nx)
+    inv_h = 1.0 / jnp.maximum(h, 1e-3)
+    a = inv_h[:-1]
+    c = inv_h[1:]
+    b = -(inv_h[:-1] + inv_h[1:])
+    a = a.at[0].set(0.0)
+    c = c.at[-1].set(0.0)
+    bw = n2 * dz_int                              # B diagonal
+
+    def b_dot(x, y):
+        return jnp.sum(x * bw * y, axis=0, keepdims=True)
+
+    modes = []
+    speeds = []
+    nz1 = n2.shape[0]
+    for m in range(n_modes):
+        # deterministic start with the expected sign structure of mode m
+        # (sin((m+1) pi k/nz)) so the iteration cannot start B-orthogonal
+        # to its target
+        k = jnp.arange(1, nz1 + 1, dtype=h.dtype)[:, None, None]
+        x = jnp.sin((m + 1) * jnp.pi * k / (nz1 + 1)) \
+            * jnp.ones_like(n2)
+
+        def iterate(_, x, _modes=tuple(modes)):
+            for w in _modes:
+                x = x - w * b_dot(w, x)
+            y = tridiag_solve(a, b, c, bw * x)
+            for w in _modes:
+                y = y - w * b_dot(w, y)
+            norm = jnp.sqrt(jnp.maximum(b_dot(y, y), 1e-30))
+            return y / norm
+
+        x = jax.lax.fori_loop(0, n_iter, iterate, x)
+        x_up = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], 0)
+        x_dn = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], 0)
+        mx = a * x_up + b * x + c * x_dn
+        lam = jnp.sum(x * mx, axis=0) / jnp.maximum(
+            jnp.sum(x * bw * x, axis=0), 1e-30)
+        c2 = -1.0 / jnp.minimum(lam, -1e-12)
+        speeds.append(jnp.sqrt(jnp.maximum(c2, 0.0)) * G.mask2dT)
+        modes.append(x)
+    cn = jnp.stack(speeds)
+    if return_structures:
+        return cn, jnp.stack(modes)
+    return cn
 
 
 def wave_speed_wkb(h, T, S, G, GV, eos):

@@ -64,7 +64,22 @@ def make_ke_budget_fn(G, GV, params):
     return jax.jit(f)
 
 
-def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
+def make_tend_fn(G, GV, params):
+    """Jitted (state, forcing) -> per-process content-tendency dict for
+    the diag_table tendency tier (step_mom's collect_tend capture);
+    compiled once, reused across posts (diag-cadence, like the KE
+    budget: one extra thermo cycle from the posted state)."""
+    from mom6_tpu.core.mom import step_mom
+
+    def f(state, forcing):
+        return step_mom(state, forcing, G, GV, params,
+                        collect_tend=True)[1]
+
+    return jax.jit(f)
+
+
+def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn,
+                      tend_fn=None):
     """Post every diag_table-requested field the model can serve, via
     the diagnostic catalog (mom6_tpu/diagnostics/catalog.py: the
     OM4-standard field set incl. CMOR aliases); tracers resolve by
@@ -85,7 +100,7 @@ def _post_table_diags(dm, state, G, GV, params, forcing, ke_budget_fn):
                           else jax.device_get(state.S),
                           GV=GV, eos=eos)
     ctx = DiagContext(state, G, GV, params, forcing=forcing, eos=eos,
-                      ke_budget_fn=ke_budget_fn)
+                      ke_budget_fn=ke_budget_fn, tend_fn=tend_fn)
     for key, hid in list(dm._by_name.items()):
         module, name = key.split(".", 1)
         base = name
@@ -378,6 +393,7 @@ def main(argv=None):
                                                   resolve)
         tr_names = set(state.tr or ())
         rejected = {}
+        bases = []
         for d in list(dm._diags.values()):
             base = d.name
             for sfx in ("_z", "_rho", "_sigma"):
@@ -386,6 +402,15 @@ def main(argv=None):
             if base in tr_names:
                 continue
             entry = resolve(base)     # raises KeyError on unknown names
+            bases.append((d, base, entry))
+        # tendency capture: compiled only when the table asks for it
+        tend_fn = None
+        if params.thermo_enabled \
+                and params.diabatic.boundary_layer_scheme != "BULKML" \
+                and any(e.needs in ("tend", "tend_frazil")
+                        for _, _, e in bases):
+            tend_fn = make_tend_fn(G, GV, params)
+        for d, base, entry in bases:
             if not d.units:
                 d.units = entry.units
             if not d.longname:
@@ -394,7 +419,8 @@ def main(argv=None):
                 d.stagger = entry.stagger
             why = rejection_reason(base, state, params, forcing=forcing,
                                    has_ke_budget=ke_budget_fn
-                                   is not None)
+                                   is not None,
+                                   has_tend=tend_fn is not None)
             if why:
                 rejected[d.name] = why
         if rejected:
@@ -415,6 +441,7 @@ def main(argv=None):
                                                     time_avg=True)
         id_ssh = dm.register_diag_field("ocean_model", "SSH", units="m")
         ke_budget_fn = None
+        tend_fn = None
 
     # MAXCPU graceful stop (write_cputime's MAXCPU projection,
     # config_src/infra/FMS2/../MOM_write_cputime.F90 role): if the next
@@ -520,7 +547,7 @@ def main(argv=None):
             if use_table:
                 f_now = provider(t_mid) if provider is not None else forcing
                 _post_table_diags(dm, state, G, GV, params, f_now,
-                                  ke_budget_fn)
+                                  ke_budget_fn, tend_fn=tend_fn)
             else:
                 for name in diag_fields:
                     dm.post_data(diag_ids[name],

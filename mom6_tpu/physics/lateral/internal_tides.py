@@ -76,15 +76,18 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
     """Advance the energy density one step.
 
     En: (n_angle, ny, nx) [J m-2/bin]; tke_input: (ny, nx) [W m-2]
-    barotropic conversion; cn: (ny, nx) mode speed [m s-1].
+    barotropic conversion; cn: (ny, nx) first-mode speed [m s-1] (the
+    WKB cn/m scaling fills higher modes) OR (n_mode, ny, nx) exact
+    modal speeds from diagnostics.wave_speed.wave_speeds (the
+    reference's wave_speeds feed, MOM_wave_speed.F90:750).
 
     Returns (En_new, loss) with loss the column dissipation [W m-2]
     available to tidal mixing's lowmode deposition.
 
     ``En`` may be (n_angle, ny, nx) (legacy single freq/mode) or the
     full (n_freq, n_mode, n_angle, ny, nx); every frequency and mode
-    propagates with its own group speed (mode m at cn/m, WKB) and
-    sub-inertial cutoff, all in one vectorized update."""
+    propagates with its own group speed and sub-inertial cutoff, all in
+    one vectorized update."""
     legacy = En.ndim == 3
     if legacy:
         En = En[None, None]
@@ -135,10 +138,18 @@ def step_internal_tides(En, tke_input, cn, G, GV, dt,
     freqs = jnp.asarray(p.freqs[:nf], dtype).reshape(nf, 1, 1, 1, 1)
     sub = jnp.maximum(1.0 - f2_h[None, None, None] / freqs ** 2, 0.0)
     inv_m = (1.0 / jnp.arange(1, nm + 1, dtype=dtype)
-             ).reshape(1, nm, 1, 1, 1)          # WKB: cn_m = cn / m
-    cg = jnp.minimum(cn[None, None, None] * inv_m * jnp.sqrt(sub),
+             ).reshape(1, nm, 1, 1, 1)
+    if cn.ndim == 3:
+        # exact modal speeds (n_mode, ny, nx) from wave_speeds
+        cn_m = cn[None, :nm, None]
+        grid_shape = cn.shape[1:]
+    else:
+        # legacy WKB scaling cn_m = cn / m from the first-mode speed
+        cn_m = cn[None, None, None] * inv_m
+        grid_shape = cn.shape
+    cg = jnp.minimum(cn_m * jnp.sqrt(sub),
                      p.cg_max) * G.mask2dT      # (nf, nm, na(1), ny, nx)
-    cg = jnp.broadcast_to(cg, (nf, nm, 1) + cn.shape)
+    cg = jnp.broadcast_to(cg, (nf, nm, 1) + grid_shape)
 
     # --- forcing: (1-q_local) of the conversion, isotropic over bins,
     # split over frequencies by freq_frac and modes as 1/m^2 ------------

@@ -89,25 +89,37 @@ def _make_frazil(T, S, h, GV, cp, tfreeze_form: str = "LINEAR"):
     t_fr = get_tfreeze(tfreeze_form)(S, p_mid)
     deficit = jnp.maximum(t_fr - T, 0.0)           # [degC]
     frazil = jnp.sum(deficit * h, axis=0) * GV.rho0 * cp   # [J m-2]
-    return jnp.maximum(T, t_fr), frazil
+    return jnp.maximum(T, t_fr), frazil, deficit * h
 
 
 def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
                  p: DiabaticParams, kd_extra: Optional[jnp.ndarray] = None,
                  extra_tracers: Optional[jnp.ndarray] = None, eos=None,
-                 u=None, v=None, mld=None):
+                 u=None, v=None, mld=None, collect: Optional[dict] = None):
     """One thermodynamic step of column physics.
 
     ``mld``: (ny, nx) boundary-layer depth [m] from the BL scheme,
     required by the brine plume's mixing depth.
+
+    ``collect``: optional dict into which the boundary-forcing pieces of
+    the solve are recorded for the tendency diagnostics
+    (register_tracer_diagnostics tier, MOM_tracer_registry.F90:283-651):
+    ``t_flux``/``s_flux`` (net surface deposits [conc m s-1] incl.
+    restoring + non-penetrating SW + virtual salt flux + brine-plume
+    surface loss), ``sw_heat3d``/``geo_heat3d`` (penetrating-SW / geothermal
+    in-layer heating [degC m s-1] per layer), ``brine_dS3d``
+    [ppt m s-1], and ``frazil3d`` [degC m s-1].
 
     Returns (T_new, S_new, kd, extra_tracers_new, frazil)."""
     # --- geothermal heating (geothermal_in_place,
     # MOM_geothermal.F90 via opacity.geothermal_heating) -------------------
     if p.geothermal is not None:
         from mom6_tpu.physics.vertical.opacity import geothermal_heating
-        T = T + dt * geothermal_heating(h, GV, p.geothermal, cp=p.cp) \
+        geo = geothermal_heating(h, GV, p.geothermal, cp=p.cp) \
             * G.mask2dT[None]
+        T = T + dt * geo
+        if collect is not None:
+            collect["geo_heat3d"] = geo * h
 
     # --- convective instability -> large interface Kd (CVMix_conv) --------
     if p.convection is not None and eos is not None:
@@ -130,8 +142,11 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
     if forcing.sw_flux is not None:
         if p.opacity is not None:
             from mom6_tpu.physics.vertical.opacity import sw_heating
-            T = T + dt * sw_heating(h, forcing.sw_flux, GV, p.opacity,
-                                    cp=p.cp) * G.mask2dT[None]
+            swh = sw_heating(h, forcing.sw_flux, GV, p.opacity,
+                             cp=p.cp) * G.mask2dT[None]
+            T = T + dt * swh
+            if collect is not None:
+                collect["sw_heat3d"] = swh * h
         else:
             sw_top = forcing.sw_flux / (GV.rho0 * p.cp)
 
@@ -200,6 +215,11 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
         t_flux = t_flux * G.mask2dT
     if s_flux is not None:
         s_flux = s_flux * G.mask2dT
+    if collect is not None:
+        collect["t_flux"] = t_flux
+        collect["s_flux"] = s_flux
+        if brine_dS is not None:
+            collect["brine_dS3d"] = brine_dS * h / dt
     stack = [T, S]
     fluxes = [t_flux if t_flux is not None else jnp.zeros_like(T[0]),
               s_flux if s_flux is not None else jnp.zeros_like(S[0])]
@@ -225,8 +245,10 @@ def diabatic_ale(T, S, h, forcing: BuoyancyForcing, dt, G, GV,
 
     frazil = None
     if p.frazil:
-        T_new, frazil = _make_frazil(T_new, S_new, h, GV, p.cp,
-                                     p.tfreeze_form)
+        T_new, frazil, fz3d = _make_frazil(T_new, S_new, h, GV, p.cp,
+                                           p.tfreeze_form)
+        if collect is not None:
+            collect["frazil3d"] = fz3d / dt
 
     return T_new, S_new, kd, extra_new, frazil
 

@@ -128,17 +128,28 @@ def bbl_lotw_kd(h, u, v, T, S, G, GV, eos, p: DiffusivityParams):
 
 def set_diffusivity(h, G, GV, p: DiffusivityParams,
                     kd_extra: Optional[jnp.ndarray] = None,
-                    T=None, S=None, eos=None, u=None, v=None):
-    """Total interface diffusivity (nz+1, ny, nx) [m2 s-1]."""
+                    T=None, S=None, eos=None, u=None, v=None,
+                    components: Optional[dict] = None):
+    """Total interface diffusivity (nz+1, ny, nx) [m2 s-1].
+
+    ``components``: optional dict into which the per-mechanism pieces
+    are recorded (the Kd_bkgnd / Kd_BBL / Kd_itides diagnostics of
+    MOM_set_diffusivity.F90's register section) for the diag catalog."""
     nz = h.shape[0]
     shape = (nz + 1,) + h.shape[1:]
     kd = jnp.full(shape, p.kd, h.dtype)
     if p.bbl_effic > 0.0 and u is not None and v is not None \
             and eos is not None:
-        kd = kd + bbl_lotw_kd(h, u, v, T, S, G, GV, eos, p)
+        kd_bbl = bbl_lotw_kd(h, u, v, T, S, G, GV, eos, p)
+        if components is not None:
+            components["Kd_BBL"] = kd_bbl
+        kd = kd + kd_bbl
     if p.tidal is not None and T is not None and eos is not None:
         from mom6_tpu.physics.vertical.tidal_mixing import tidal_mixing_kd
-        kd = kd + tidal_mixing_kd(h, T, S, G, GV, eos, p.tidal)
+        kd_tide = tidal_mixing_kd(h, T, S, G, GV, eos, p.tidal)
+        if components is not None:
+            components["Kd_itides"] = kd_tide
+        kd = kd + kd_tide
     if p.bryan_lewis:
         # depth of each interface below the surface
         z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
@@ -146,6 +157,13 @@ def set_diffusivity(h, G, GV, p: DiffusivityParams,
         prof = p.bl_kd_surf + 0.5 * (p.bl_kd_deep - p.bl_kd_surf) * (
             1.0 + jnp.tanh((z_int - p.bl_depth) / p.bl_width))
         kd = jnp.maximum(kd, prof)
+    if components is not None:
+        # background = constant KD or the Bryan-Lewis floor, whichever
+        # governs at each interface
+        bk = jnp.full(shape, p.kd, h.dtype)
+        if p.bryan_lewis:
+            bk = jnp.maximum(bk, prof)
+        components["Kd_bkgnd"] = bk * G.mask2dT[None]
     if kd_extra is not None:
         kd = kd + kd_extra
     kd = jnp.maximum(kd, p.kd_min)

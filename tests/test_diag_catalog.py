@@ -107,9 +107,10 @@ def test_rejection_reasons():
 
 @pytest.mark.slow
 def test_global_2deg_catalog_coverage(tmp_path):
-    """configs/global_2deg + its shipped OM4-style diag_table: >= 50
-    distinct requested fields land in ocean_diags.nc, the known-
-    unservable ones are explicitly listed in diag_rejected."""
+    """configs/global_2deg + its shipped OM4-style diag_table: >= 120
+    distinct requested fields (incl. the round-5 tendency/budget tier)
+    land in ocean_diags.nc, the known-unservable ones are explicitly
+    listed in diag_rejected."""
     rundir = tmp_path / "run"
     rundir.mkdir()
     src = os.path.join(REPO, "configs", "global_2deg")
@@ -123,13 +124,23 @@ def test_global_2deg_catalog_coverage(tmp_path):
     from mom6_tpu.io.netcdf import read_nc
     out = read_nc(str(rundir / "ocean_diags.nc"))
     fields = [k for k in out if k.startswith("ocean_model_")]
-    assert len(fields) >= 50, (len(fields), sorted(fields))
+    assert len(fields) >= 120, (len(fields), sorted(fields))
     bad = [k for k in fields if not np.isfinite(out[k]).all()]
     assert not bad, bad
-    # the CMOR names specifically
+    # the CMOR names specifically, incl. the round-5 tendency tier
     for nm in ("thetao", "so", "volcello", "zos", "umo", "vmo",
-               "tauuo", "masscello", "thetao_z"):
+               "tauuo", "masscello", "thetao_z", "opottemptend",
+               "osalttend", "opottempdiff", "opottemppmdiff",
+               "boundary_forcing_heat_tendency", "opottemptend_2d",
+               "Kd_bkgnd", "Kd_BL", "GMwork", "ustar", "obvfsq",
+               "mlotst", "pbo", "T_adx", "wo", "opottemptend_z"):
         assert f"ocean_model_{nm}" in out, nm
+    # the tendency closure on the real global grid: depth-integrated
+    # boundary heat tendency == hfds pointwise (both in the file)
+    bt = out["ocean_model_boundary_forcing_heat_tendency_2d"]
+    hf = out["ocean_model_hfds"]
+    assert np.allclose(bt, hf, rtol=2e-4, atol=1.0), \
+        float(np.abs(bt - hf).max())
     # explicit rejections, with reasons
     rej = (rundir / "diag_rejected").read_text()
     for nm in ("MEKE", "frazil", "wfo"):
