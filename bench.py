@@ -50,6 +50,11 @@ def _full_physics_setup(nx, ny, nz, dt, n_dyn_per_thermo=2):
 
 
 def _time_case(step_fn, state, n_warm=1, n_calls=4, steps_per_call=1):
+    """Feedback timing: each call consumes the previous call's output.
+    REQUIRED on the axon tunnel — repeated executions with identical
+    inputs are deduplicated/cached client-side, so same-args timing
+    measures only RPC overhead (a v5e "measured" 42,000 TFLOP/s that
+    way; tools/profile_r5.py)."""
     for _ in range(n_warm):
         state = step_fn(state)
     jax.block_until_ready(state.h)
@@ -60,20 +65,77 @@ def _time_case(step_fn, state, n_warm=1, n_calls=4, steps_per_call=1):
     return (time.perf_counter() - t0) / (n_calls * steps_per_call)
 
 
-def bench_full(nx=360, ny=280, nz=32, dt=1200.0):
+def _ablation_phases(G, GV, state, params, forcing, base_ms, n_calls=3,
+                     budget_s=600.0):
+    """Full-physics cost attribution by subsystem ablation: re-time the
+    thermo cycle with one subsystem disabled; baseline minus ablated =
+    that subsystem's cost INCLUDING its fusion context (separate jits
+    lose cross-phase fusion and overstate).  The residual is the
+    dynamical core + orchestration.  Each variant recompiles the full
+    model (~20-40 s on TPU, minutes on a loaded host), so ``budget_s``
+    caps the whole sweep — variants past the budget report "skipped"
+    rather than risking the driver's bench window."""
+    from mom6_tpu.ale.ale import ALEParams, LAYER
+    from mom6_tpu.core.mom import step_mom
+    import numpy as np
+    t_start = time.perf_counter()
+    host0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), state)
+    variants = {
+        "bl_scheme": params._replace(diabatic=params.diabatic._replace(
+            boundary_layer_scheme="NONE")),
+        "shear_mix": params._replace(diabatic=params.diabatic._replace(
+            use_shear_mixing=False)),
+        "gm_meke": params._replace(gm=None, meke=None),
+        "ale_remap": params._replace(ale=ALEParams(mode=LAYER)),
+        "tracer_diff": params._replace(khtr=0.0),
+        "hor_visc": params._replace(hor_visc=None),
+    }
+    phases = {}
+    residual = base_ms
+    for tag, p in variants.items():
+        if time.perf_counter() - t_start > budget_s:
+            phases[tag] = "skipped"
+            continue
+        try:
+            step = jax.jit(lambda s, _p=p: step_mom(s, forcing, G, GV,
+                                                    _p),
+                           donate_argnums=0)
+            st = jax.tree_util.tree_map(jnp.asarray, host0)
+            t = _time_case(step, st, n_calls=n_calls)
+            share = max(base_ms - 1e3 * t, 0.0)
+            phases[tag] = round(share, 2)
+            residual -= share
+        except Exception:                        # noqa: BLE001
+            phases[tag] = None
+    phases["dyn_core_plus_rest"] = round(max(residual, 0.0), 2)
+    return phases
+
+
+def bench_full(nx=360, ny=280, nz=32, dt=1200.0, with_phases=False):
     """Full-physics thermo cycle throughput (one cycle = 2 dyn steps)."""
+    import numpy as np
     from mom6_tpu.core.mom import step_mom
     n_per = 2
     G, GV, state, params, forcing = _full_physics_setup(
         nx, ny, nz, dt, n_dyn_per_thermo=n_per)
+    host0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), state) \
+        if with_phases else None
     step = jax.jit(lambda s: step_mom(s, forcing, G, GV, params),
                    donate_argnums=0)
     sec_per_cycle = _time_case(step, state, n_calls=3)
     gps = nx * ny * nz * n_per / sec_per_cycle
     sypd = (n_per * dt / sec_per_cycle) / 365.0
-    return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
-                sypd=round(sypd, 2),
-                bt_substeps=params.dyn.bt.nstep, physics="full")
+    out = dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
+               sypd=round(sypd, 2),
+               bt_substeps=params.dyn.bt.nstep, physics="full")
+    if with_phases:
+        st = jax.tree_util.tree_map(jnp.asarray, host0)
+        out["phases_ms"] = _ablation_phases(
+            G, GV, st, params, forcing, 1e3 * sec_per_cycle)
+        out["cycle_ms"] = round(1e3 * sec_per_cycle, 2)
+    return out
 
 
 def bench_om4_shape(nx=360, ny=270, nz=75, dt=900.0):
@@ -123,6 +185,8 @@ def bench_global():
     nz, ny, nx = ms.state.h.shape
     dt = p.dyn.dt
     n_per = p.n_dyn_per_thermo
+    host0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), ms.state)
     step = jax.jit(lambda s: step_mom(s, ms.forcing, ms.grid,
                                       ms.vgrid, ms.params),
                    donate_argnums=0)
@@ -130,10 +194,15 @@ def bench_global():
     wet = float(np.asarray(ms.grid.mask2dT).mean())
     gps = nx * ny * nz * n_per / sec_per_cycle
     sypd = (n_per * dt / sec_per_cycle) / 365.0
+    st = jax.tree_util.tree_map(jnp.asarray, host0)
+    phases = _ablation_phases(ms.grid, ms.vgrid, st, ms.params,
+                              ms.forcing, 1e3 * sec_per_cycle)
     return dict(grid=f"{nx}x{ny}x{nz}", gps=round(gps, 1),
                 sypd=round(sypd, 2), ocean_frac=round(wet, 2),
                 physics="full-global-tripolar",
-                source="configs/global_half_deg")
+                source="configs/global_half_deg",
+                cycle_ms=round(1e3 * sec_per_cycle, 2),
+                phases_ms=phases)
 
 
 def _phase_breakdown(G, GV, state, params, forces):
@@ -162,8 +231,9 @@ def _phase_breakdown(G, GV, state, params, forces):
     def t(fn, *args):
         """us per application of ``fn``, measured as REP chained
         applications inside ONE jit (fn returns its next arguments) so
-        the per-call dispatch/tunnel overhead — larger than any single
-        phase at this grid size — amortizes away."""
+        the per-call dispatch/tunnel overhead amortizes away; the outer
+        timed calls ALSO chain (output feeds the next input) so the
+        tunnel's identical-execution dedup cannot fake the numbers."""
         def chained(a):
             def body(c, _):
                 return fn(*c), None
@@ -175,7 +245,7 @@ def _phase_breakdown(G, GV, state, params, forces):
         n = 4
         t0 = time.perf_counter()
         for _ in range(n):
-            out = f(args)
+            out = f(out)
         jax.block_until_ready(out)
         return round(1e6 * (time.perf_counter() - t0) / (n * REP), 1)
 
@@ -245,14 +315,122 @@ def bench_adiabatic(nx=360, ny=280, nz=8, dt=1200.0, with_phases=True):
     return out
 
 
+def _cast_tree(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def x64_child(mode: str, nx=180, ny=140, nz=32, dt=1200.0):
+    """Child entry (bench.py --x64-child f32|f64) run in a CPU
+    subprocess: the f64 verification-tier price vs f32 at the same
+    shape on the same backend (VERDICT r4 item 5).  Prints one JSON
+    line {"gps": ..., "dtype": ...}."""
+    if mode == "f64":
+        jax.config.update("jax_enable_x64", True)
+    from mom6_tpu.core.mom import step_mom
+    n_per = 2
+    G, GV, state, params, forcing = _full_physics_setup(
+        nx, ny, nz, dt, n_dyn_per_thermo=n_per)
+    if mode == "f64":
+        G = _cast_tree(G, jnp.float64)
+        state = _cast_tree(state, jnp.float64)
+        forcing = _cast_tree(forcing, jnp.float64)
+    step = jax.jit(lambda s: step_mom(s, forcing, G, GV, params),
+                   donate_argnums=0)
+    sec = _time_case(step, state, n_warm=1, n_calls=2)
+    print(json.dumps({"gps": round(nx * ny * nz * n_per / sec, 1),
+                      "dtype": mode, "grid": f"{nx}x{ny}x{nz}",
+                      "sec_per_cycle": round(sec, 3)}))
+
+
+def bench_x64():
+    """f32 vs f64 full-physics throughput at 180x140x32 on the CPU
+    backend (the verification tier runs on CPU; TPUs have no native
+    f64).  Returns gps for both, the f64/f32 price ratio, and the
+    CPU-f64 number for honest comparison against the reference's
+    f64 CPU baseline."""
+    import os
+    import subprocess
+    import sys
+    out = {}
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    # the two children are independent CPU processes — run them
+    # concurrently (each can spend minutes in XLA:CPU compilation)
+    procs = {}
+    for mode in ("f32", "f64"):
+        procs[mode] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--x64-child", mode],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    for mode, pr in procs.items():
+        try:
+            stdout, _ = pr.communicate(timeout=1800)
+            line = [ln for ln in stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            out[mode] = json.loads(line)
+        except Exception as e:                   # noqa: BLE001
+            pr.kill()
+            out[mode] = {"error": type(e).__name__}
+    case = dict(grid="180x140x32", physics="full-cpu-verification-tier",
+                backend="cpu")
+    if "gps" in out.get("f32", {}) and "gps" in out.get("f64", {}):
+        case["gps_f32_cpu"] = out["f32"]["gps"]
+        case["gps_f64_cpu"] = out["f64"]["gps"]
+        case["f64_over_f32_cost"] = round(
+            out["f32"]["gps"] / max(out["f64"]["gps"], 1e-9), 2)
+    else:
+        case["error"] = {k: v.get("error") for k, v in out.items()}
+    return case
+
+
+def bench_om4_envelope():
+    """--om4-envelope: the largest OM4_025-style (x, y, 75) full-physics
+    tile that compiles AND steps on one chip — the demonstrated memory
+    footprint behind BENCH's 16-chip projection (VERDICT r4 item 9).
+    Tries tiles in descending size; OOM moves to the next."""
+    from mom6_tpu.core.mom import step_mom
+    candidates = [(1440, 1080), (1080, 1080), (1080, 810), (720, 1080),
+                  (720, 810), (720, 540), (480, 540), (360, 270)]
+    results = []
+    for (nx, ny) in candidates:
+        try:
+            n_per = 2
+            G, GV, state, params, forcing = _full_physics_setup(
+                nx, ny, 75, 900.0, n_dyn_per_thermo=n_per)
+            step = jax.jit(lambda s: step_mom(s, forcing, G, GV, params),
+                           donate_argnums=0)
+            sec = _time_case(step, state, n_warm=1, n_calls=2)
+            gps = nx * ny * 75 * n_per / sec
+            results.append(dict(grid=f"{nx}x{ny}x75", fits=True,
+                                gps=round(gps, 1),
+                                sypd=round((n_per * 900.0 / sec) / 365.0,
+                                           2)))
+            break                   # largest fitting tile found
+        except Exception as e:                   # noqa: BLE001
+            results.append(dict(grid=f"{nx}x{ny}x75", fits=False,
+                                error=type(e).__name__))
+    print(json.dumps({"om4_envelope": results}))
+    return results
+
+
 def main():
-    full = bench_full()
+    full = bench_full(with_phases=True)
     om4 = bench_om4_shape()
     try:
         glob = bench_global()
     except Exception as e:                       # noqa: BLE001
         glob = dict(error=type(e).__name__, msg=str(e)[:200])
     adia = bench_adiabatic()
+    try:
+        x64 = bench_x64()
+    except Exception as e:                       # noqa: BLE001
+        x64 = dict(error=type(e).__name__)
     for c in (full, om4, glob):
         if "gps" in c:
             c["vs_cpu_node"] = round(c["gps"] / CPU_NODE_FULLMODEL_GPS, 2)
@@ -267,9 +445,16 @@ def main():
         "unit": "gridpoint-steps/s",
         "vs_baseline": head["vs_cpu_node"],
         "cases": {"full": full, "om4_tile": om4,
-                  "global_half_deg": glob, "adiabatic": adia},
+                  "global_half_deg": glob, "adiabatic": adia,
+                  "x64": x64},
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 2 and sys.argv[1] == "--x64-child":
+        x64_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--om4-envelope":
+        bench_om4_envelope()
+    else:
+        main()

@@ -77,12 +77,39 @@ class BTParams(NamedTuple):
     # wide_halo // halo_per_substep substeps locally, then refreshes the
     # rim with one ppermute exchange — one collective round per E
     # substeps instead of XLA's CollectivePermute per shift per substep.
-    # 0 (default) keeps the GSPMD dense path.  Requires ``mesh``.
+    # 0 (default) keeps the GSPMD dense path.  -1 = AUTO: pick the
+    # width from the mesh and shard shape at btstep time (off on a
+    # single device) — the BTHALO default logic of
+    # MOM_barotropic.F90:5450.  Requires ``mesh``.
     wide_halo: int = 0
     halo_per_substep: int = 2   # rim cells consumed per substep (the
     #                             scheme's dependency radius; 2 covers
     #                             the FB substep incl. BT_cont and OBC)
     mesh: object = None         # jax.sharding.Mesh for the shard_map path
+
+
+def auto_wide_halo(params: "BTParams", grid_shape) -> int:
+    """Resolve BT_WIDE_HALO = AUTO (-1): the BTHALO default logic of
+    the reference (MOM_barotropic.F90:5450), restated for the
+    exchange-amortization tradeoff of the shard_map path.
+
+    Returns 0 (dense GSPMD) on a single device or when the shards are
+    too small to carry a useful rim; otherwise a width targeting ~8
+    substeps per exchange (W = 8 * halo_per_substep), capped at half
+    the smaller shard dimension so the padded rim at most doubles the
+    local array."""
+    mesh = params.mesh
+    if mesh is None:
+        return 0
+    my = mesh.shape.get("y", 1)
+    mx = mesh.shape.get("x", 1)
+    if my * mx == 1:
+        return 0
+    ny, nx = grid_shape[-2:]
+    min_shard = min(ny // max(my, 1), nx // max(mx, 1))
+    r = max(1, int(params.halo_per_substep))
+    w = min(8 * r, (min_shard // 2) // 2 * 2)
+    return w if w >= 2 * r else 0
 
 
 class BTFields(NamedTuple):
@@ -671,11 +698,14 @@ def btstep(u_in, v_in, eta_in, bc_accel_u, bc_accel_v, h, uh_in, vh_in,
         vhbt_0 = Datv * vbt_in + vhbt0
 
     evolve0 = (ubt_in, vbt_in, eta_in, uhbt_0, vhbt_0)
-    if params.wide_halo > 0 and params.mesh is not None:
+    w_eff = params.wide_halo
+    if w_eff < 0:          # AUTO (BT_WIDE_HALO = -1)
+        w_eff = auto_wide_halo(params, eta_in.shape)
+    if w_eff > 0 and params.mesh is not None:
         from mom6_tpu.core.bt_widehalo import run_subcycle_widehalo
         carry = run_subcycle_widehalo(
             F, consts, evolve0, wt_trans, wt_vel, nstep, nfilter,
-            first_u_leads, params, G)
+            first_u_leads, params._replace(wide_halo=w_eff), G)
     else:
         carry = _run_subcycle_dense(half_step, evolve0, wt_trans,
                                     wt_vel, nstep, nfilter,

@@ -30,7 +30,12 @@ __all__ = ["continuity_ppm", "zonal_mass_flux", "meridional_mass_flux",
            "ppm_reconstruction_x", "ppm_reconstruction_y",
            "BTCont", "set_bt_cont", "find_uhbt", "find_vhbt"]
 
-_N_NEWTON = 5  # fixed Newton iterations for flux adjustment
+# Fixed Newton iterations for the barotropic flux adjustment.  Measured
+# on the global_half_deg state with a realistic barotropic perturbation
+# (tools/profile_r5 probe): rel err 1.2e-1 after 1, 4.2e-4 after 2,
+# 4.2e-7 (f32 roundoff, identical through n=6) after 3 — each extra
+# iteration re-evaluates the full PPM flux, ~17% of the dyn step at 5.
+_N_NEWTON = 3
 
 
 def _ppm_edges(h, hm, hp, mask_m, mask_c, mask_p, h_min, monotonic):
@@ -122,54 +127,85 @@ def ppm_reconstruction_y(h, mask_t, h_min=1e-10, monotonic=False,
     return _ppm_limit_pos(h, h_S, h_N, h_min)
 
 
-def _zonal_flux_layer(u, h, h_W, h_E, dt, G, por=None):
-    """Per-layer PPM flux through east faces and its velocity derivative.
-
-    Mirrors zonal_flux_layer / zonal_flux_thickness
-    (MOM_continuity_PPM.F90:922-1050): the flux thickness is the exact
-    integral of the parabolic reconstruction over the CFL swept region.
-    ``por``: optional per-layer fractional open face widths (porous
-    barriers, MOM_porous_barriers.F90 via por_face_areaU).
-    Returns (uh [m3 s-1], duhdu [m2]).
-    """
+def _zonal_flux_prep(h, h_W, h_E, dt, G, por=None):
+    """u-independent pieces of the zonal PPM flux, hoisted out of the
+    Newton flux-adjust loop (each iteration otherwise re-rolls the
+    reconstruction arrays — ~40% of the matched-continuity cost)."""
     face = G.dyCu * G.mask2dCu
     if por is not None:
         face = face * por
-    # donor cell is i for u>0, i+1 for u<0
-    cfl_p = u * dt * G.IdxT
-    cfl_m = -u * dt * ip1(G.IdxT)
+    idx_p = dt * G.IdxT
+    idx_m = dt * ip1(G.IdxT)
+    hW_p, hE_p = ip1(h_W), ip1(h_E)
     curv_p = (h_W + h_E) - 2.0 * h
     curv_m = ip1(curv_p)
+    h_zero = 0.5 * (hW_p + h_E)
+    return (face, idx_p, idx_m, h_W, h_E, hW_p, hE_p, curv_p, curv_m,
+            h_zero)
+
+
+def _zonal_flux_eval(u, pre):
+    """PPM flux + velocity derivative at ``u`` from prepped invariants.
+    Mirrors zonal_flux_layer / zonal_flux_thickness
+    (MOM_continuity_PPM.F90:922-1050): the flux thickness is the exact
+    integral of the parabolic reconstruction over the CFL swept region.
+    Returns (uh [m3 s-1], duhdu [m2])."""
+    (face, idx_p, idx_m, h_W, h_E, hW_p, hE_p, curv_p, curv_m,
+     h_zero) = pre
+    # donor cell is i for u>0, i+1 for u<0
+    cfl_p = u * idx_p
+    cfl_m = -u * idx_m
     h_avg_p = h_E + cfl_p * (0.5 * (h_W - h_E) + curv_p * (cfl_p - 1.5))
-    h_avg_m = ip1(h_W) + cfl_m * (0.5 * (ip1(h_E) - ip1(h_W)) + curv_m * (cfl_m - 1.5))
+    h_avg_m = hW_p + cfl_m * (0.5 * (hE_p - hW_p) + curv_m * (cfl_m - 1.5))
     h_marg_p = h_E + cfl_p * ((h_W - h_E) + 3.0 * curv_p * (cfl_p - 1.0))
-    h_marg_m = ip1(h_W) + cfl_m * ((ip1(h_E) - ip1(h_W)) + 3.0 * curv_m * (cfl_m - 1.0))
-    h_zero = 0.5 * (ip1(h_W) + h_E)
+    h_marg_m = hW_p + cfl_m * ((hE_p - hW_p) + 3.0 * curv_m * (cfl_m - 1.0))
     h_avg = jnp.where(u > 0.0, h_avg_p, jnp.where(u < 0.0, h_avg_m, h_zero))
     h_marg = jnp.where(u > 0.0, h_marg_p, jnp.where(u < 0.0, h_marg_m, h_zero))
     return face * u * h_avg, face * h_marg
 
 
-def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None, fold=False):
+def _zonal_flux_layer(u, h, h_W, h_E, dt, G, por=None):
+    """Back-compat wrapper: prep + eval in one call."""
+    return _zonal_flux_eval(u, _zonal_flux_prep(h, h_W, h_E, dt, G, por))
+
+
+def _merid_flux_prep(h, h_S, h_N, dt, G, por=None, fold=False):
+    """v-independent pieces of the meridional PPM flux (see
+    _zonal_flux_prep)."""
     face = G.dxCv * G.mask2dCv
     if por is not None:
         face = face * por
     kh = "h" if fold else None
-    cfl_p = v * dt * G.IdyT
-    cfl_m = -v * dt * jp1(G.IdyT, kh)
+    idy_p = dt * G.IdyT
+    idy_m = dt * jp1(G.IdyT, kh)
     curv_p = (h_S + h_N) - 2.0 * h
     curv_m = jp1(curv_p, kh)
     # across the fold the ghost cell's S/N edge values swap (its south
     # edge is the mirrored donor's NORTH edge)
     jS, jN = jp1_sn(h_S, h_N, kh)
+    h_zero = 0.5 * (jS + h_N)
+    return (face, idy_p, idy_m, h_S, h_N, jS, jN, curv_p, curv_m,
+            h_zero)
+
+
+def _merid_flux_eval(v, pre):
+    (face, idy_p, idy_m, h_S, h_N, jS, jN, curv_p, curv_m,
+     h_zero) = pre
+    cfl_p = v * idy_p
+    cfl_m = -v * idy_m
     h_avg_p = h_N + cfl_p * (0.5 * (h_S - h_N) + curv_p * (cfl_p - 1.5))
     h_avg_m = jS + cfl_m * (0.5 * (jN - jS) + curv_m * (cfl_m - 1.5))
     h_marg_p = h_N + cfl_p * ((h_S - h_N) + 3.0 * curv_p * (cfl_p - 1.0))
     h_marg_m = jS + cfl_m * ((jN - jS) + 3.0 * curv_m * (cfl_m - 1.0))
-    h_zero = 0.5 * (jS + h_N)
     h_avg = jnp.where(v > 0.0, h_avg_p, jnp.where(v < 0.0, h_avg_m, h_zero))
     h_marg = jnp.where(v > 0.0, h_marg_p, jnp.where(v < 0.0, h_marg_m, h_zero))
     return face * v * h_avg, face * h_marg
+
+
+def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None, fold=False):
+    """Back-compat wrapper: prep + eval in one call."""
+    return _merid_flux_eval(v, _merid_flux_prep(h, h_S, h_N, dt, G, por,
+                                                fold))
 
 
 def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
@@ -183,7 +219,8 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
     (u_adj = u + du * visc_rem; the du_cor argument of the reference's
     continuity), needed by the RK2b scheme's u_av/u_inst bookkeeping."""
     h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic, simple_2nd)
-    uh, duhdu = _zonal_flux_layer(u, h, h_W, h_E, dt, G, por)
+    pre = _zonal_flux_prep(h, h_W, h_E, dt, G, por)
+    uh, duhdu = _zonal_flux_eval(u, pre)
     if uhbt is None:
         if return_cor:
             return uh, u, jnp.zeros(u.shape[1:], u.dtype)
@@ -198,15 +235,15 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
 
     # one flux+derivative evaluation per iteration (the derivative from the
     # current iterate is reused for the next update — secant-like, same
-    # convergence in practice at half the cost)
+    # convergence in practice at half the cost); the reconstruction's
+    # shifted arrays are prepped ONCE outside the loop
     def newton(_, carry):
         du, uh_cur, duhdu_cur = carry
         err = jnp.sum(uh_cur, axis=0) - uhbt
         denom = jnp.sum(duhdu_cur * rem, axis=0)
         du = du - err / jnp.maximum(denom, 1e-30) * G.mask2dCu
         du = jnp.clip(du, -du_cap, du_cap)
-        uh_new, duhdu_new = _zonal_flux_layer(u + du * rem, h, h_W, h_E,
-                                              dt, G, por)
+        uh_new, duhdu_new = _zonal_flux_eval(u + du * rem, pre)
         return du, uh_new, duhdu_new
 
     du0 = jnp.zeros_like(uhbt)
@@ -223,8 +260,8 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
     fold = getattr(G, "fold_north", False)
     h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
                                     simple_2nd, fold=fold)
-    vh, dvhdv = _meridional_flux_layer(v, h, h_S, h_N, dt, G, por,
-                                       fold=fold)
+    pre = _merid_flux_prep(h, h_S, h_N, dt, G, por, fold)
+    vh, dvhdv = _merid_flux_eval(v, pre)
     if vhbt is None:
         if return_cor:
             return vh, v, jnp.zeros(v.shape[1:], v.dtype)
@@ -239,9 +276,7 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
         denom = jnp.sum(dvhdv_cur * rem, axis=0)
         dv = dv - err / jnp.maximum(denom, 1e-30) * G.mask2dCv
         dv = jnp.clip(dv, -dv_cap, dv_cap)
-        vh_new, dvhdv_new = _meridional_flux_layer(v + dv * rem, h, h_S,
-                                                   h_N, dt, G, por,
-                                                   fold=fold)
+        vh_new, dvhdv_new = _merid_flux_eval(v + dv * rem, pre)
         return dv, vh_new, dvhdv_new
 
     dv0 = jnp.zeros_like(vhbt)

@@ -215,6 +215,14 @@ def _build_grid(pf: ParamFile, dtype, doc_dir=None) -> Tuple[Grid, float]:
                                  module=m))
     else:
         raise NotImplementedError(f"TOPO_CONFIG={topo_config}")
+    if depth is not None:
+        # limit_topography (MOM_shared_initialization.F90): no wet point
+        # deeper than MAXIMUM_DEPTH.  THICKNESS_CONFIG=uniform places the
+        # deepest initial interface at MAXIMUM_DEPTH, so unclamped
+        # analytic topographies (e.g. Neverworld's roughness pushing D
+        # past max) would start with a multi-hundred-meter free-surface
+        # depression and a violent spurious adjustment.
+        depth = np.minimum(depth, max_depth)
     cyclic_x = pf.get("REENTRANT_X", bool, default=False, module=m)
     reentrant_y = pf.get("REENTRANT_Y", bool, default=False, module=m)
     if grid_config == "mosaic":
@@ -432,8 +440,10 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                           "(BT_HALO_SIZE analogue): each shard carries "
                           "an N-cell rim and exchanges once per N/2 "
                           "substeps instead of per substep. 0 keeps the "
-                          "GSPMD dense path; takes effect when a mesh "
-                          "is bound (parallel.mesh.bind_mesh)."))
+                          "GSPMD dense path; -1 = AUTO (width from the "
+                          "mesh/shard shape, off on 1 device); takes "
+                          "effect when a mesh is bound "
+                          "(parallel.mesh.bind_mesh)."))
     else:
         bt = BTParams(nstep=1, nfilter=0)
     unsplit = None
@@ -878,24 +888,41 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                         new_segs.append(seg)
                         continue
                     from mom6_tpu.core.open_boundary import segment_slices
-                    fsl, _ = segment_slices(seg.edge, seg.lo, seg.hi,
-                                            G.ny, G.nx)
+                    fsl, csl = segment_slices(seg.edge, seg.lo, seg.hi,
+                                              G.ny, G.nx)
                     x_face = lonT[fsl]
-                    v_prof, _ = user_cases.dome_inflow(
-                        nz, x_face, gv.g_earth, gv.rho0,
-                        density_range=pf.get(
-                            "DENSITY_RANGE", float, default=2.0,
-                            units="kg m-3", module="MOM_coord_init"),
-                        d_edge=pf.get("DOME_INFLOW_THICKNESS", float,
-                                      default=300.0, units="m", module=m),
-                        ri_trans=pf.get("DOME_INFLOW_RI_TRANS", float,
-                                        default=1.0 / 3.0, module=m),
-                        f_inflow=pf.get("DOME_INFLOW_F", float,
-                                        default=f0, units="s-1",
-                                        module=m),
-                        inflow_lon=inflow_lon)
+                    rho_range = pf.get("DENSITY_RANGE", float, default=2.0,
+                                       units="kg m-3",
+                                       module="MOM_coord_init")
+                    d_edge = pf.get("DOME_INFLOW_THICKNESS", float,
+                                    default=300.0, units="m", module=m)
+                    ri_tr = pf.get("DOME_INFLOW_RI_TRANS", float,
+                                   default=1.0 / 3.0, module=m)
+                    f_in = pf.get("DOME_INFLOW_F", float, default=f0,
+                                  units="s-1", module=m)
+                    if ale.mode != LAYER:
+                        # ALE mode: sample the inflow in DEPTH on the
+                        # local boundary column (the reference remaps
+                        # segment data onto the local grid,
+                        # update_OBC_segment_data); a global-layer
+                        # profile would land in the shelf column's
+                        # massless layers
+                        d_face = np.asarray(G.bathyT, np.float64)[csl]
+                        v_prof, rc, _ = user_cases.dome_inflow_z(
+                            nz, x_face, d_face, max_depth, gv.g_earth,
+                            gv.rho0, density_range=rho_range,
+                            d_edge=d_edge, ri_trans=ri_tr,
+                            f_inflow=f_in, inflow_lon=inflow_lon)
+                        t_seg = t_top + rho_range * (1.0 + rc) / drho_dt
+                    else:
+                        v_prof, _ = user_cases.dome_inflow(
+                            nz, x_face, gv.g_earth, gv.rho0,
+                            density_range=rho_range, d_edge=d_edge,
+                            ri_trans=ri_tr, f_inflow=f_in,
+                            inflow_lon=inflow_lon)
+                        t_seg = t_prof
                     new_segs.append(seg._replace(
-                        vel_profile=v_prof, T_profile=t_prof,
+                        vel_profile=v_prof, T_profile=t_seg,
                         S_profile=np.full(nz, pf.get(
                             "S_REF", float, default=35.0, units="ppt",
                             module="MOM_state_initialization"))))

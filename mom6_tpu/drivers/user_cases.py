@@ -226,6 +226,35 @@ def dome_inflow(nz, x_face_km, g_earth, rho0, density_range=2.0,
     return v_k[:, None] * prof[None, :], def_rad / 1e3
 
 
+def dome_inflow_z(nz, x_face_km, depth_face, max_depth, g_earth, rho0,
+                  density_range=2.0, d_edge=300.0, ri_trans=1.0 / 3.0,
+                  f_inflow=1.0e-4, inflow_lon=1000.0):
+    """``dome_inflow`` sampled in DEPTH on the local z* boundary column
+    (the reference remaps OBC segment data onto the local model grid in
+    update_OBC_segment_data, MOM_open_boundary.F90; in Z* mode the
+    shelf embayment column only has mass in its top layers, so a
+    global-layer-index profile would put the dense inflow in massless
+    layers and the ALE remap would annihilate it).  The inflow occupies
+    the bottom ``d_edge`` meters of the local column: the layer
+    coordinate rc of DOME_set_OBC_data maps to height-above-bottom hb
+    as rc = -min(hb/d_edge, 1) (densest/fastest at the bottom, zero
+    above the inflow thickness).  Returns (v (nz, n_face), rc (nz,
+    n_face) for matching T sampling, deformation radius [km])."""
+    gp = g_earth / rho0 * density_range
+    def_rad = np.sqrt(d_edge * gp) / abs(f_inflow)
+    D = np.asarray(depth_face, np.float64)[None, :]
+    cum = np.cumsum(np.full(nz, max_depth / nz))
+    e = np.minimum(np.concatenate([[0.0], cum])[:, None], D)  # interfaces
+    centers = 0.5 * (e[1:] + e[:-1])                          # (nz, nf)
+    hb = np.maximum(D - centers, 0.0)
+    rc = -np.minimum(hb / max(d_edge, 1e-3), 1.0)
+    v_k = -np.sqrt(d_edge * gp) * np.log(
+        (2.0 + ri_trans * (1.0 + 2.0 * rc)) / (2.0 - ri_trans))
+    xdist = np.maximum(np.asarray(x_face_km) - inflow_lon, 0.0) * 1e3
+    prof = np.exp(-2.0 * xdist / def_rad)
+    return v_k * prof[None, :], rc, def_rad / 1e3
+
+
 # ---------------------------------------------------------------------------
 # idealized hurricane (Holland 1980 profile, Zhang & Uhlhorn 2012 inflow
 # angle) — the reference's answer_date >= 20240501 expressions

@@ -77,7 +77,9 @@ def bind_mesh(params, mesh: Mesh):
     the full model ``params`` (with a ``.dyn.bt``), a ``DynParams``
     (with ``.bt``), or a bare ``BTParams``."""
     def rebind_bt(bt):
-        return bt._replace(mesh=mesh) if bt.wide_halo > 0 else bt
+        # != 0: a positive width or AUTO (-1) both need the mesh (AUTO
+        # resolves its width from it at btstep time)
+        return bt._replace(mesh=mesh) if bt.wide_halo != 0 else bt
     if hasattr(params, "dyn"):
         return params._replace(
             dyn=params.dyn._replace(bt=rebind_bt(params.dyn.bt)))

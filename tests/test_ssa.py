@@ -119,3 +119,21 @@ DAYMAX = 2.0
     # the shelf flows: nonzero velocities somewhere
     sp = np.hypot(res["u_ice"], res["v_ice"])
     assert sp.max() > 0.0
+
+
+def test_fold_grid_rejected():
+    """Ice-shelf dynamics on a TRIPOLAR_N fold grid must be a loud
+    config error, not a silent fold-row approximation (round-5 verdict
+    item 10; PARITY.md fold section)."""
+    import jax.numpy as jnp
+    import pytest
+    from mom6_tpu.grid.grid import build_cartesian_grid
+    from mom6_tpu.physics.ice_shelf_dynamics import SSAParams, ssa_solve
+
+    G = build_cartesian_grid(8, 8, 100.0, 100.0, max_depth=1000.0)
+    G = G._replace(fold_north=True) if hasattr(G, "_replace") else G
+    if not getattr(G, "fold_north", False):
+        object.__setattr__(G, "fold_north", True)
+    h = jnp.full((8, 8), 200.0, jnp.float32)
+    with pytest.raises(ValueError, match="fold"):
+        ssa_solve(h, G, SSAParams())

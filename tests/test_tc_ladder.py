@@ -89,6 +89,11 @@ class TestTC2:
 
 class TestTC3:
     def test_circle_obcs_radiation(self):
+        """Gravity waves RADIATE through the open boundaries: after the
+        disk collapses, the open-boundary run must hold well under half
+        the energy of a closed-wall twin, which can only reflect and
+        ring (the quantitative ladder-level assert of round-5 verdict
+        item 7; the unit-level gate is test_obc.py)."""
         ms = build("tc3")
         assert ms.params.obc is not None
         out0 = ms.state
@@ -96,15 +101,38 @@ class TestTC3:
         assert float(out0.h[0].max() - out0.h[0].min()) > 1.0
         out = run(ms, 30)
         assert bool(jnp.all(jnp.isfinite(out.u)))
-        # gravity waves radiate THROUGH the open boundaries: interior
-        # kinetic energy decays after the waves leave rather than
-        # reflecting and ringing forever
-        ke = float(jnp.sum(out.u ** 2 + out.v ** 2))
-        assert np.isfinite(ke)
-        # total volume can change through the open boundaries (the
-        # raised disk drains out) but must stay bounded
-        dv = abs(vol(ms, out) - vol(ms, out0)) / vol(ms, out0)
-        assert dv < 1e-2
+
+        def energy(ms_, s):
+            """KE + APE of the free surface [kg m2 s-2-ish, consistent
+            units between the twins]."""
+            G = ms_.grid
+            ke = float(jnp.sum((s.u ** 2 + s.v ** 2) * s.h
+                               * G.areaT[None]))
+            eta = jnp.sum(s.h, axis=0) - G.bathyT
+            eta = eta - jnp.mean(eta)
+            ape = float(9.8 * jnp.sum(eta ** 2 * G.areaT))
+            return ke + ape
+
+        # closed-wall twin: same config, open boundaries removed
+        ms_c = build("tc3")
+        ms_c = ms_c._replace(params=ms_c.params._replace(obc=None))
+        out_c = run(ms_c, 30)
+        e_open = energy(ms, out)
+        e_closed = energy(ms_c, out_c)
+        assert e_closed > 0.0
+        assert e_open < 0.5 * e_closed, (e_open, e_closed)
+        # volume: the raised disk drains out through the boundary; the
+        # closed twin conserves volume to roundoff, the open one changes
+        # by at most the disk's displaced volume
+        dv_closed = abs(vol(ms_c, out_c) - vol(ms_c, ms_c.state)) \
+            / vol(ms_c, ms_c.state)
+        assert dv_closed < 1e-5          # f32 continuity roundoff only
+        h0 = np.asarray(out0.h[0])
+        disk_vol = float(((h0 - h0.min())
+                          * np.asarray(ms.grid.areaT)).sum())
+        dv_open = abs(vol(ms, out) - vol(ms, out0))
+        assert dv_open <= 2.0 * disk_vol + 1e-6 * vol(ms, out0), \
+            (dv_open, disk_vol)
 
 
 class TestTC4:

@@ -28,11 +28,11 @@ def t_phase(fn, args, rep=8, n_calls=3, n_warm=1):
     x = args
     for _ in range(n_warm):
         x = f(x)
-    jax.block_until_ready(jax.tree_util.tree_leaves(x)[0])
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         x = f(x)
-    jax.block_until_ready(jax.tree_util.tree_leaves(x)[0])
+    jax.block_until_ready(x)
     return 1e6 * (time.perf_counter() - t0) / (n_calls * rep)
 
 
@@ -60,14 +60,21 @@ def main():
     _, uh, vh, _, _ = continuity_ppm(u, v, h, dt, G, GV)
     eps = u.dtype.type(1e-30)
 
-    # full dyn step (the quantity the phases must explain)
+    # full dyn step (the quantity the phases must explain); NO donation —
+    # the phase closures capture the same buffers
     def dstep(s):
         def pf_fn(hh, st):
             return pressure_force_fv(hh, st.T, st.S, G, GV, eos)
         return step_dynamics_split_rk2(s, forcing.mech, G, GV, p.dyn,
                                        pf_fn=pf_fn)
-    sd = jax.jit(dstep, donate_argnums=0)
-    td = timeit(sd, state, n_warm=1, n_calls=6)
+    sd = jax.jit(dstep)
+    x = sd(state)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(6):
+        x = sd(x)
+    jax.block_until_ready(x)
+    td = (time.perf_counter() - t0) / 6
     print(f"dyn_step_total  : {1e3*td:9.2f} ms", flush=True)
 
     def p_cont(u_, v_, h_):
