@@ -90,41 +90,86 @@ def _ppm_limit_cw84(h, h_L, h_R):
     return h_L2, h_R2
 
 
-def ppm_reconstruction_x(h, mask_t, h_min=1e-10, monotonic=False,
-                         simple_2nd=False):
-    """West/east edge values of the PPM fit in x.  (h: (..., ny, nx))."""
-    hm, hp = im1(h), ip1(h)
-    mm, mp = im1(mask_t), ip1(mask_t)
+def _recon_core(h, mask_t, h_min, monotonic, simple_2nd,
+                m1_fn, p1_fn, p1_slp_fn):
+    """PPM edge reconstruction with the sweep-direction shifts abstracted
+    into callables: ``m1_fn``/``p1_fn`` shift toward the minus/plus
+    neighbor, ``p1_slp_fn`` is the plus-shift for the SLOPE field (which
+    is y-antisymmetric across a tripolar fold, hence a separate kind).
+    Shared verbatim by the XLA path (global roll shifts) and the Pallas
+    kernels (block-local shifts) so the two paths cannot drift."""
+    hm, hp = m1_fn(h), p1_fn(h)
+    mm, mp = m1_fn(mask_t), p1_fn(mask_t)
     if simple_2nd:
         h_m = mm * hm + (1.0 - mm) * h
         h_p = mp * hp + (1.0 - mp) * h
         return 0.5 * (h_m + h), 0.5 * (h_p + h)
     h_m, h_p, slp = _ppm_edges(h, hm, hp, mm, mask_t, mp, h_min, monotonic)
     one_sixth = 1.0 / 6.0
-    h_W = 0.5 * (h_m + h) + one_sixth * (im1(slp) - slp)
-    h_E = 0.5 * (h_p + h) + one_sixth * (slp - ip1(slp))
+    h_L = 0.5 * (h_m + h) + one_sixth * (m1_fn(slp) - slp)
+    h_R = 0.5 * (h_p + h) + one_sixth * (slp - p1_slp_fn(slp))
     if monotonic:
-        return _ppm_limit_cw84(h, h_W, h_E)
-    return _ppm_limit_pos(h, h_W, h_E, h_min)
+        return _ppm_limit_cw84(h, h_L, h_R)
+    return _ppm_limit_pos(h, h_L, h_R, h_min)
+
+
+def ppm_reconstruction_x(h, mask_t, h_min=1e-10, monotonic=False,
+                         simple_2nd=False):
+    """West/east edge values of the PPM fit in x.  (h: (..., ny, nx))."""
+    return _recon_core(h, mask_t, h_min, monotonic, simple_2nd,
+                       im1, ip1, ip1)
 
 
 def ppm_reconstruction_y(h, mask_t, h_min=1e-10, monotonic=False,
                          simple_2nd=False, fold=False):
     kh = "h" if fold else None
-    hm, hp = jm1(h), jp1(h, kh)
-    mm, mp = jm1(mask_t), jp1(mask_t, kh)
-    if simple_2nd:
-        h_m = mm * hm + (1.0 - mm) * h
-        h_p = mp * hp + (1.0 - mp) * h
-        return 0.5 * (h_m + h), 0.5 * (h_p + h)
-    h_m, h_p, slp = _ppm_edges(h, hm, hp, mm, mask_t, mp, h_min, monotonic)
-    one_sixth = 1.0 / 6.0
-    h_S = 0.5 * (h_m + h) + one_sixth * (jm1(slp) - slp)
-    h_N = 0.5 * (h_p + h) + one_sixth * (slp - jp1(slp, "dh" if fold
-                                                   else None))
-    if monotonic:
-        return _ppm_limit_cw84(h, h_S, h_N)
-    return _ppm_limit_pos(h, h_S, h_N, h_min)
+    return _recon_core(h, mask_t, h_min, monotonic, simple_2nd,
+                       jm1, lambda a: jp1(a, kh),
+                       lambda a: jp1(a, "dh" if fold else None))
+
+
+def _flux_pre_core(h, h_L, h_R, face, d_p, d_m, p1_fn, p1_pair_fn):
+    """Velocity-independent pieces of the PPM flux, direction-agnostic:
+    ``h_L``/``h_R`` are the upstream/downstream edges for positive flow,
+    ``d_p``/``d_m`` = dt/dx of the donor cell for positive/negative flow,
+    ``p1_pair_fn`` shifts the edge PAIR to the plus neighbor (under a
+    tripolar fold the pair SWAPS — the ghost cell's south edge is the
+    mirrored donor's north edge)."""
+    L_p, R_p = p1_pair_fn(h_L, h_R)
+    curv_p = (h_L + h_R) - 2.0 * h
+    curv_m = p1_fn(curv_p)
+    h_zero = 0.5 * (L_p + h_R)
+    return (face, d_p, d_m, h_L, h_R, L_p, R_p, curv_p, curv_m, h_zero)
+
+
+def _flux_eval_core(w, pre):
+    """PPM flux + velocity derivative at velocity ``w`` from prepped
+    invariants.  Mirrors zonal_flux_layer / zonal_flux_thickness
+    (MOM_continuity_PPM.F90:922-1050): the flux thickness is the exact
+    integral of the parabolic reconstruction over the CFL swept region.
+    Returns (wh [m3 s-1], dwhdw [m2])."""
+    (face, d_p, d_m, h_L, h_R, L_p, R_p, curv_p, curv_m, h_zero) = pre
+    # donor cell is the minus cell for w>0, the plus cell for w<0
+    cfl_p = w * d_p
+    cfl_m = -w * d_m
+    h_avg_p = h_R + cfl_p * (0.5 * (h_L - h_R) + curv_p * (cfl_p - 1.5))
+    h_avg_m = L_p + cfl_m * (0.5 * (R_p - L_p) + curv_m * (cfl_m - 1.5))
+    h_marg_p = h_R + cfl_p * ((h_L - h_R) + 3.0 * curv_p * (cfl_p - 1.0))
+    h_marg_m = L_p + cfl_m * ((R_p - L_p) + 3.0 * curv_m * (cfl_m - 1.0))
+    h_avg = jnp.where(w > 0.0, h_avg_p, jnp.where(w < 0.0, h_avg_m, h_zero))
+    h_marg = jnp.where(w > 0.0, h_marg_p, jnp.where(w < 0.0, h_marg_m, h_zero))
+    return face * w * h_avg, face * h_marg
+
+
+def _pass_core(w, h, mask, face, d_p, d_m, h_min, monotonic, simple_2nd,
+               m1_fn, p1_fn, p1_slp_fn, p1_pair_fn):
+    """One full directional pass (reconstruction + flux) through shift
+    callables — the single source of truth executed by BOTH the XLA path
+    and the Pallas kernel bodies (pallas_continuity.py)."""
+    h_L, h_R = _recon_core(h, mask, h_min, monotonic, simple_2nd,
+                           m1_fn, p1_fn, p1_slp_fn)
+    pre = _flux_pre_core(h, h_L, h_R, face, d_p, d_m, p1_fn, p1_pair_fn)
+    return _flux_eval_core(w, pre)
 
 
 def _zonal_flux_prep(h, h_W, h_E, dt, G, por=None):
@@ -136,32 +181,11 @@ def _zonal_flux_prep(h, h_W, h_E, dt, G, por=None):
         face = face * por
     idx_p = dt * G.IdxT
     idx_m = dt * ip1(G.IdxT)
-    hW_p, hE_p = ip1(h_W), ip1(h_E)
-    curv_p = (h_W + h_E) - 2.0 * h
-    curv_m = ip1(curv_p)
-    h_zero = 0.5 * (hW_p + h_E)
-    return (face, idx_p, idx_m, h_W, h_E, hW_p, hE_p, curv_p, curv_m,
-            h_zero)
+    return _flux_pre_core(h, h_W, h_E, face, idx_p, idx_m, ip1,
+                          lambda l, r: (ip1(l), ip1(r)))
 
 
-def _zonal_flux_eval(u, pre):
-    """PPM flux + velocity derivative at ``u`` from prepped invariants.
-    Mirrors zonal_flux_layer / zonal_flux_thickness
-    (MOM_continuity_PPM.F90:922-1050): the flux thickness is the exact
-    integral of the parabolic reconstruction over the CFL swept region.
-    Returns (uh [m3 s-1], duhdu [m2])."""
-    (face, idx_p, idx_m, h_W, h_E, hW_p, hE_p, curv_p, curv_m,
-     h_zero) = pre
-    # donor cell is i for u>0, i+1 for u<0
-    cfl_p = u * idx_p
-    cfl_m = -u * idx_m
-    h_avg_p = h_E + cfl_p * (0.5 * (h_W - h_E) + curv_p * (cfl_p - 1.5))
-    h_avg_m = hW_p + cfl_m * (0.5 * (hE_p - hW_p) + curv_m * (cfl_m - 1.5))
-    h_marg_p = h_E + cfl_p * ((h_W - h_E) + 3.0 * curv_p * (cfl_p - 1.0))
-    h_marg_m = hW_p + cfl_m * ((hE_p - hW_p) + 3.0 * curv_m * (cfl_m - 1.0))
-    h_avg = jnp.where(u > 0.0, h_avg_p, jnp.where(u < 0.0, h_avg_m, h_zero))
-    h_marg = jnp.where(u > 0.0, h_marg_p, jnp.where(u < 0.0, h_marg_m, h_zero))
-    return face * u * h_avg, face * h_marg
+_zonal_flux_eval = _flux_eval_core
 
 
 def _zonal_flux_layer(u, h, h_W, h_E, dt, G, por=None):
@@ -178,28 +202,12 @@ def _merid_flux_prep(h, h_S, h_N, dt, G, por=None, fold=False):
     kh = "h" if fold else None
     idy_p = dt * G.IdyT
     idy_m = dt * jp1(G.IdyT, kh)
-    curv_p = (h_S + h_N) - 2.0 * h
-    curv_m = jp1(curv_p, kh)
-    # across the fold the ghost cell's S/N edge values swap (its south
-    # edge is the mirrored donor's NORTH edge)
-    jS, jN = jp1_sn(h_S, h_N, kh)
-    h_zero = 0.5 * (jS + h_N)
-    return (face, idy_p, idy_m, h_S, h_N, jS, jN, curv_p, curv_m,
-            h_zero)
+    return _flux_pre_core(h, h_S, h_N, face, idy_p, idy_m,
+                          lambda a: jp1(a, kh),
+                          lambda s, n: jp1_sn(s, n, kh))
 
 
-def _merid_flux_eval(v, pre):
-    (face, idy_p, idy_m, h_S, h_N, jS, jN, curv_p, curv_m,
-     h_zero) = pre
-    cfl_p = v * idy_p
-    cfl_m = -v * idy_m
-    h_avg_p = h_N + cfl_p * (0.5 * (h_S - h_N) + curv_p * (cfl_p - 1.5))
-    h_avg_m = jS + cfl_m * (0.5 * (jN - jS) + curv_m * (cfl_m - 1.5))
-    h_marg_p = h_N + cfl_p * ((h_S - h_N) + 3.0 * curv_p * (cfl_p - 1.0))
-    h_marg_m = jS + cfl_m * ((jN - jS) + 3.0 * curv_m * (cfl_m - 1.0))
-    h_avg = jnp.where(v > 0.0, h_avg_p, jnp.where(v < 0.0, h_avg_m, h_zero))
-    h_marg = jnp.where(v > 0.0, h_marg_p, jnp.where(v < 0.0, h_marg_m, h_zero))
-    return face * v * h_avg, face * h_marg
+_merid_flux_eval = _flux_eval_core
 
 
 def _meridional_flux_layer(v, h, h_S, h_N, dt, G, por=None, fold=False):
@@ -218,9 +226,29 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
     ``return_cor`` appends the 2-D barotropic velocity correction ``du``
     (u_adj = u + du * visc_rem; the du_cor argument of the reference's
     continuity), needed by the RK2b scheme's u_av/u_inst bookkeeping."""
-    h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic, simple_2nd)
-    pre = _zonal_flux_prep(h, h_W, h_E, dt, G, por)
-    uh, duhdu = _zonal_flux_eval(u, pre)
+    from mom6_tpu.core.pallas_continuity import use_pallas_continuity
+    if (u.ndim == 3 and u.shape[-2] >= 8 and u.shape[-1] >= 8
+            and use_pallas_continuity(u, h, visc_rem)):
+        from mom6_tpu.core.pallas_continuity import zonal_flux_pallas
+        face = G.dyCu * G.mask2dCu
+        if por is not None:
+            face = face * por
+        d_p, d_m = dt * G.IdxT, dt * ip1(G.IdxT)
+        uh, duhdu = zonal_flux_pallas(u, h, G.mask2dT, face, d_p, d_m,
+                                      h_min, monotonic, simple_2nd)
+
+        def eval_at(du, rem):
+            return zonal_flux_pallas(u, h, G.mask2dT, face, d_p, d_m,
+                                     h_min, monotonic, simple_2nd,
+                                     rem=rem, dw=du)
+    else:
+        h_W, h_E = ppm_reconstruction_x(h, G.mask2dT, h_min, monotonic,
+                                        simple_2nd)
+        pre = _zonal_flux_prep(h, h_W, h_E, dt, G, por)
+        uh, duhdu = _zonal_flux_eval(u, pre)
+
+        def eval_at(du, rem):
+            return _zonal_flux_eval(u + du * rem, pre)
     if uhbt is None:
         if return_cor:
             return uh, u, jnp.zeros(u.shape[1:], u.dtype)
@@ -236,14 +264,14 @@ def zonal_mass_flux(u, h, dt, G, *, uhbt: Optional[jnp.ndarray] = None,
     # one flux+derivative evaluation per iteration (the derivative from the
     # current iterate is reused for the next update — secant-like, same
     # convergence in practice at half the cost); the reconstruction's
-    # shifted arrays are prepped ONCE outside the loop
+    # invariants are prepped/fused ONCE outside the loop
     def newton(_, carry):
         du, uh_cur, duhdu_cur = carry
         err = jnp.sum(uh_cur, axis=0) - uhbt
         denom = jnp.sum(duhdu_cur * rem, axis=0)
         du = du - err / jnp.maximum(denom, 1e-30) * G.mask2dCu
         du = jnp.clip(du, -du_cap, du_cap)
-        uh_new, duhdu_new = _zonal_flux_eval(u + du * rem, pre)
+        uh_new, duhdu_new = eval_at(du, rem)
         return du, uh_new, duhdu_new
 
     du0 = jnp.zeros_like(uhbt)
@@ -258,10 +286,34 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
                          monotonic=False, simple_2nd=False, h_min=1e-10,
                          por=None, return_cor: bool = False):
     fold = getattr(G, "fold_north", False)
-    h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
-                                    simple_2nd, fold=fold)
-    pre = _merid_flux_prep(h, h_S, h_N, dt, G, por, fold)
-    vh, dvhdv = _merid_flux_eval(v, pre)
+    from mom6_tpu.core.pallas_continuity import use_pallas_continuity
+    if (v.ndim == 3 and v.shape[-2] >= 8 and v.shape[-1] >= 8
+            and use_pallas_continuity(v, h, visc_rem)):
+        from mom6_tpu.core.pallas_continuity import (merid_flux_pallas,
+                                                     merid_ghosts)
+        face = G.dxCv * G.mask2dCv
+        if por is not None:
+            face = face * por
+        kh = "h" if fold else None
+        d_p, d_m = dt * G.IdyT, dt * jp1(G.IdyT, kh)
+        ghosts = merid_ghosts(h, G.mask2dT, h_min, monotonic,
+                              simple_2nd, fold)
+        vh, dvhdv = merid_flux_pallas(v, h, G.mask2dT, face, d_p, d_m,
+                                      h_min, monotonic, simple_2nd,
+                                      fold, ghosts=ghosts)
+
+        def eval_at(dv, rem):
+            return merid_flux_pallas(v, h, G.mask2dT, face, d_p, d_m,
+                                     h_min, monotonic, simple_2nd, fold,
+                                     rem=rem, dw=dv, ghosts=ghosts)
+    else:
+        h_S, h_N = ppm_reconstruction_y(h, G.mask2dT, h_min, monotonic,
+                                        simple_2nd, fold=fold)
+        pre = _merid_flux_prep(h, h_S, h_N, dt, G, por, fold)
+        vh, dvhdv = _merid_flux_eval(v, pre)
+
+        def eval_at(dv, rem):
+            return _merid_flux_eval(v + dv * rem, pre)
     if vhbt is None:
         if return_cor:
             return vh, v, jnp.zeros(v.shape[1:], v.dtype)
@@ -276,7 +328,7 @@ def meridional_mass_flux(v, h, dt, G, *, vhbt: Optional[jnp.ndarray] = None,
         denom = jnp.sum(dvhdv_cur * rem, axis=0)
         dv = dv - err / jnp.maximum(denom, 1e-30) * G.mask2dCv
         dv = jnp.clip(dv, -dv_cap, dv_cap)
-        vh_new, dvhdv_new = _merid_flux_eval(v + dv * rem, pre)
+        vh_new, dvhdv_new = eval_at(dv, rem)
         return dv, vh_new, dvhdv_new
 
     dv0 = jnp.zeros_like(vhbt)
