@@ -45,7 +45,9 @@ def _full_physics_setup(nx, ny, nz, dt, n_dyn_per_thermo=2):
                                           use_shear_mixing=True))
     state = state.replace(
         E_meke=jnp.zeros((ny, nx), jnp.float32),
-        tr=tfc.init_tracers(state.h.shape, jnp.float32))
+        tr=tfc.init_tracers(state.h.shape, jnp.float32),
+        # BL/shear momentum viscosity carry (visc%Kv_shear role)
+        kv_shear=jnp.zeros((nz + 1, ny, nx), jnp.float32))
     return G, GV, state, params, forcing
 
 

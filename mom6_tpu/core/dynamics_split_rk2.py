@@ -116,11 +116,17 @@ def _massless_ramp(h, G, h0: float):
     return hu / (hu + h0), hv / (hv + h0)
 
 
-def _visc_setup(h, u, v, G, GV, p: "DynParams", bbl_piston):
+def _visc_setup(h, u, v, G, GV, p: "DynParams", bbl_piston,
+                kv_int=None):
     """Face thicknesses, implicit-viscosity tridiagonal couplings and the
     viscous remnants over dt (vertvisc_coef + vertvisc_remnant,
     MOM_vert_friction.F90), shared by the RK2 and RK2b steppers.  ``u``/
-    ``v`` supply the near-bottom speed for the quadratic drag law."""
+    ``v`` supply the near-bottom speed for the quadratic drag law.
+    ``kv_int``: optional boundary-layer/shear interface viscosity at h
+    points ((nz+1, ny, nx), the visc%Kv_shear of MOM_set_viscosity),
+    averaged to the faces and added to the background coupling — this
+    is what spreads wind momentum over the mixed layer
+    (find_coupling_coef, MOM_vert_friction.F90:1756)."""
     h_u, h_v = _face_thickness(h, G)
     # near-bottom speed for the quadratic drag law, averaged over the
     # deepest ~10 m of ACTUAL water — over topography layer nz is often a
@@ -148,6 +154,19 @@ def _visc_setup(h, u, v, G, GV, p: "DynParams", bbl_piston):
                               kappa_gl90=p.kappa_gl90,
                               alpha_gl90=p.alpha_gl90,
                               hbbl_gl90=p.hbbl_gl90)
+    if kv_int is not None:
+        # interior interfaces of the BL/shear viscosity, averaged to the
+        # faces and converted to couplings a = Kv/dz (find_coupling_coef)
+        kh = "h" if getattr(G, "fold_north", False) else None
+        kv_c = kv_int[1:-1]
+        kv_u = 0.5 * (kv_c + ip1(kv_c))
+        kv_v = 0.5 * (kv_c + jp1(kv_c, kh))
+        dz_u = jnp.maximum(0.5 * (h_u[:-1] + h_u[1:]), 1e-3)
+        dz_v = jnp.maximum(0.5 * (h_v[:-1] + h_v[1:]), 1e-3)
+        a_kv_u = kv_u / dz_u
+        a_kv_v = kv_v / dz_v
+        agl_u = a_kv_u if agl_u is None else agl_u + a_kv_u
+        agl_v = a_kv_v if agl_v is None else agl_v + a_kv_v
     cu = vertvisc_coef(h_u, p.kv, bottom_drag=drag_u,
                        u_bot=u_bot, cdrag=cdrag_eff, a_gl90=agl_u)
     cv = vertvisc_coef(h_v, p.kv, bottom_drag=drag_v,
@@ -160,7 +179,7 @@ def _visc_setup(h, u, v, G, GV, p: "DynParams", bbl_piston):
 def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
                             G, GV, p: DynParams, *,
                             pf_fn=None, hv_fn=None, por=None,
-                            bbl_piston=None, obc=None,
+                            bbl_piston=None, obc=None, kv_int=None,
                             return_accel: bool = False):
     """``pf_fn(h, state) -> PressureForceOut`` overrides the default
     Montgomery pressure force (used for the FV/EOS thermo path);
@@ -176,6 +195,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
         return step_dynamics_split_rk2b(state, forces, G, GV, p,
                                         pf_fn=pf_fn, hv_fn=hv_fn, por=por,
                                         bbl_piston=bbl_piston, obc=obc,
+                                        kv_int=kv_int,
                                         return_accel=return_accel)
     dt = p.dt
     dt_pred = p.be * dt
@@ -187,7 +207,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 
     # ---- shared setup ------------------------------------------------------
     h_u, h_v, cu, cv, visc_rem_u, visc_rem_v = _visc_setup(
-        h, u, v, G, GV, p, bbl_piston)
+        h, u, v, G, GV, p, bbl_piston, kv_int)
 
     # continuity fluxes of the initial state (for btstep's uhbt0)
     _, uh_in, vh_in, _, _ = continuity_ppm(
@@ -316,7 +336,7 @@ def step_dynamics_split_rk2(state: OceanState, forces: MechForcing,
 def step_dynamics_split_rk2b(state: OceanState, forces: MechForcing,
                              G, GV, p: DynParams, *,
                              pf_fn=None, hv_fn=None, por=None,
-                             bbl_piston=None, obc=None,
+                             bbl_piston=None, obc=None, kv_int=None,
                              return_accel: bool = False):
     """Split RK2b: the variant that time-steps the TIME-FILTERED
     velocities (step_MOM_dyn_split_RK2b, reference:
@@ -352,7 +372,7 @@ def step_dynamics_split_rk2b(state: OceanState, forces: MechForcing,
         pf_fn = lambda hh, st: pressure_force_montgomery(hh, G, GV)
 
     h_u, h_v, cu, cv, visc_rem_u, visc_rem_v = _visc_setup(
-        h, u_av, v_av, G, GV, p, bbl_piston)
+        h, u_av, v_av, G, GV, p, bbl_piston, kv_int)
 
     # reconstruct the instantaneous velocities (ref :701-706)
     du_i = (state.du_av_inst if state.du_av_inst is not None

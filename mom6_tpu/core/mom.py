@@ -477,7 +477,8 @@ def _step_mom_impl(state: OceanState, forcing: Forcing, G, GV,
             out = step_dynamics_split_rk2(st, forcing.mech, G, GV, p.dyn,
                                           pf_fn=pf_fn, hv_fn=hv_fn,
                                           por=por, bbl_piston=bbl_piston,
-                                          obc=obc_eff)
+                                          obc=obc_eff,
+                                          kv_int=st.kv_shear)
         if obc_eff is not None:
             from mom6_tpu.core.open_boundary import (
                 apply_obc, update_tracer_reservoirs)
@@ -747,10 +748,28 @@ def _thermo_block(state: OceanState, forcing: Forcing, G, GV,
 
     # ALE mode: boundary-layer + shear mixing feed the diabatic solve as
     # extra interface diffusivities (diabatic_ALE sequence, SURVEY.md §3.5)
+    kd_parts = {}
     kd_extra, bl_mld, kpp_nonlocal, en_new = assemble_diffusivity_extras(
-        state, forcing, G, GV, p, eos, dt_therm, kd_redi=kd_redi)
+        state, forcing, G, GV, p, eos, dt_therm, kd_redi=kd_redi,
+        components=kd_parts)
     if en_new is not None:
         state = state.replace(En_itide=en_new)
+    # momentum viscosity from the boundary-layer + shear schemes with
+    # unit Prandtl number (visc%Kv_shear role, MOM_set_viscosity /
+    # MOM_kappa_shear.F90 applies the same kappa to momentum; CVMix KPP
+    # computes Kv with the same shape function as Kd) — stored on the
+    # state so the NEXT cycle's implicit vertical friction mixes wind
+    # momentum over the boundary layer instead of trapping it in the
+    # top layer (MOM_vert_friction.F90:find_coupling_coef)
+    kv_parts = [kd_parts[k] for k in ("Kd_BL", "Kd_shear")
+                if k in kd_parts]
+    if kv_parts and state.kv_shear is not None:
+        # only when the field was allocated at build time — a scan over
+        # step_mom needs the carry pytree structure fixed
+        kv_sh = kv_parts[0]
+        for extra in kv_parts[1:]:
+            kv_sh = kv_sh + extra
+        state = state.replace(kv_shear=kv_sh)
 
     passive = None
     if names:

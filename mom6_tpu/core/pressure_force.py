@@ -273,18 +273,19 @@ def pressure_force_fv(h, T, S, G, GV, eos, p_surf=None, e_tidal=None,
               + ((h_r - h) * intx_pa[:-1]
                  - (roll_fn(e_b) - e_b) * intx_dpa)) \
             * (2.0 * i_rho0 * idx_metric) / ((h + h_r) + _H_NEGLECT)
-        # massless faces (layers vanished below topography): zero the PGF
-        # only where the face is TRULY massless (hard gate at 2x the
-        # Angstrom scale).  The previous smooth ramp hmin/(hmin+1e-3)
-        # rescaled the PGF at every thin-but-real face along slopes,
-        # making the discrete force non-conservative (nonzero work around
-        # closed loops) — an energy source that e-folded resting basins
-        # over topography in ~3 days once seeded; a hard gate on
-        # geometrically meaningless faces does not disturb the force
-        # balance of real water
-        hmin = jnp.minimum(h, h_r)
-        gate = (hmin > 2e-3).astype(pf.dtype)
-        return pf * gate * mask_face  # PF_GATE
+        # NO massless-face gate (r5): the hWght mass-weighted face
+        # integral above IS the reference's against-topography guard
+        # (int_density_dz, MOM_density_integrals.F90:276-305) and the
+        # form telescopes exactly at rest, vanished layers included.
+        # Two earlier patches were both wrong: a smooth ramp
+        # hmin/(hmin+1e-3) rescaled thin-but-real faces (non-conservative
+        # -> 3-day-efolding energy source), and the r4 hard gate at
+        # hmin > 2e-3 SNAPPED the full face force on whenever a vanished
+        # layer at a topography step inflated past 2 mm — the
+        # discontinuity injected ~0.3 m/s per step at shelf breaks and
+        # cascaded (the global_half_deg cap blowup, r5 probes).  The
+        # reference runs ungated for the same reason.
+        return pf * mask_face
 
     kh = "h" if getattr(G, "fold_north", False) else None
     pfu = pf_dir(ip1, G.IdxCu, G.mask2dCu)

@@ -63,6 +63,13 @@ class OceanState:
     # collected it (CS%tv%frazil role, MOM_variables.F90; exported as
     # Fioo_q by the NUOPC cap).  None = not tracked.
     frazil: Optional[jnp.ndarray] = None
+    # interface viscosity from the boundary-layer + shear-mixing schemes
+    # at h points [(nz+1, ny, nx), m2 s-1] — the visc%Kv_shear/Kv_slow
+    # role of MOM_set_viscosity/MOM_vert_friction: computed in the
+    # thermo block, consumed by the next cycle's implicit vertical
+    # friction (restart-registered so the first post-restart dyn step
+    # sees the same viscosity, as the reference's "Kv_shear" restart)
+    kv_shear: Optional[jnp.ndarray] = None
 
 
 def init_state_resting(grid, vgrid, thicknesses, dtype=jnp.float32,

@@ -1250,6 +1250,20 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                            "(matched neutral positions)").lower(),
                        khtr_bl=khtr_bl,
                        n_dyn_per_thermo=n_dyn_per_thermo,
+                       # static stand-in for the reference's dynamic
+                       # "domore" sub-sweep iteration
+                       # (MOM_tracer_advect.F90: splits until each
+                       # sweep's CFL < 1): one sub-sweep per dyn step
+                       # keeps the per-sweep CFL at the dyn-step CFL no
+                       # matter how large DT_THERM/DT is
+                       tracer_advect_sub=pf.get(
+                           "TRACER_ADVECT_SUB", int,
+                           default=max(2, n_dyn_per_thermo),
+                           module="MOM_tracer_advect",
+                           desc="Static x/y sub-sweep count for tracer "
+                           "advection over the accumulated DT_THERM "
+                           "transports (per-sweep CFL ~ DT_THERM/DT/"
+                           "n_sub of the dyn CFL)"),
                        diabatic_first=pf.get(
                            "DIABATIC_FIRST", bool, default=False,
                            module="MOM",
@@ -1263,7 +1277,15 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
                        interface_filter=iface_filter, porous=porous,
                        zb=zb, bbl_visc=bbl_visc, stanley_coeff=stanley,
                        pf_recon=pf.get(
-                           "RECONSTRUCT_FOR_PRESSURE", bool, default=False,
+                           "RECONSTRUCT_FOR_PRESSURE", bool,
+                           # reference default is use_ALE
+                           # (MOM_PressureForce_FV.F90): under ALE the
+                           # PLM reconstruction is what keeps adjacent
+                           # columns' density profiles consistent at
+                           # topography steps — without it the
+                           # layer-mean mismatch drives O(1e-4 m s-2)
+                           # rest-state PGF at shelf breaks (r5 probes)
+                           default=ale.mode != LAYER,
                            module="MOM_PressureForce",
                            desc="PLM T/S reconstruction in the pressure-"
                            "force density integrals"),
@@ -1878,6 +1900,14 @@ def build_model_from_params(pf: ParamFile, *, dtype=jnp.float32,
         state = state.replace(
             du_av_inst=jnp.zeros((G.ny, G.nx), dtype),
             dv_av_inst=jnp.zeros((G.ny, G.nx), dtype))
+    if use_thermo and ale.mode != LAYER and (
+            diab.boundary_layer_scheme in ("KPP", "EPBL")
+            or diab.use_shear_mixing):
+        # BL/shear momentum viscosity carried across thermo cycles
+        # (visc%Kv_shear role) — allocated up front so the scan carry
+        # keeps a fixed pytree structure
+        state = state.replace(
+            kv_shear=jnp.zeros((nz + 1, G.ny, G.nx), dtype))
     if sppt is not None:
         import jax as _jax
         seed = pf.get("STOCH_SEED", int, default=0,

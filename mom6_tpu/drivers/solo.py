@@ -218,6 +218,12 @@ def main(argv=None):
     fields = ["h", "u", "v", "uh", "vh", "uhtr", "vhtr"]
     if params.thermo_enabled:
         fields += ["T", "S"]
+        if (params.diabatic.boundary_layer_scheme in ("KPP", "EPBL")
+                or params.diabatic.use_shear_mixing):
+            # the BL/shear momentum viscosity carried to the next
+            # cycle's vert_friction (the reference's "Kv_shear" restart,
+            # MOM_set_viscosity.F90 set_visc_register_restarts)
+            fields += ["kv_shear"]
     if params.dyn.scheme.upper() == "RK2B":
         # the RK2b u_av/u_inst correction pair (register_restart_pair,
         # MOM_dynamics_split_RK2b.F90)

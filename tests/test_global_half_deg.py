@@ -24,9 +24,9 @@ def test_global_half_deg_solo_segment(tmp_path):
     shutil.copy(os.path.join(src, "MOM_input"), rundir / "MOM_input")
     shutil.copy(os.path.join(src, "make_inputs.py"),
                 rundir / "make_inputs.py")
-    # 3 cycles; stats every cycle
+    # 3 thermo cycles (DT_THERM = 7200 s); stats every cycle
     (rundir / "MOM_override").write_text(
-        "#override DAYMAX = 0.084\n#override ENERGYSAVEDAYS = 0.028\n")
+        "#override DAYMAX = 0.25\n#override ENERGYSAVEDAYS = 0.084\n")
 
     from mom6_tpu.drivers import solo
     solo.main([str(rundir)])
@@ -45,7 +45,11 @@ def test_global_half_deg_solo_segment(tmp_path):
     # significant digits; continuity is finite-volume)
     assert masses[-1] == pytest.approx(masses[0], rel=1e-9)
     for ln in rows:
-        assert field(ln, "maxCFL") < 0.5
+        # strictly BELOW the CFL-truncation limit (0.25): a run that is
+        # only "stable" because limit_velocity clips runaway jets sits
+        # exactly AT 0.25 (the r4 state of this config, see the r5
+        # pressure-force gate fix) and must fail here
+        assert field(ln, "maxCFL") < 0.2
         assert np.isfinite(field(ln, "En"))
     # restart written => the run dir round-trips
     assert (rundir / "MOM.res.nc").exists()
